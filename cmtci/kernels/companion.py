@@ -1,0 +1,270 @@
+"""Batched inverse-eigenvalue clouds of generalized Lucas companion matrices.
+
+Reference behavior (NOT copied; reimplemented TPU-first):
+  * companion matrix with given first row and ones on the subdiagonal —
+    ``lucas_equipotential_test_v3.py:58-74``, ``tci_construct_mandelbrot_v002_fixed.py:24-25``
+  * the four top-row families — ``lucas_equipotential_test_v3.py:76-91``
+  * inverse-eigenvalue cloud {1/λ, |λ|>tol} concatenated over n —
+    ``lucas_equipotential_test_v3.py:93-118``, ``tci_construct_mandelbrot_v002_fixed.py:27-33``
+
+TPU-first design: the eigenvalues of a companion matrix with first row
+(c_1..c_n) are exactly the roots of  p(x) = x^n - c_1 x^{n-1} - ... - c_n.
+Instead of porting a dense LAPACK eigensolve (CPU-only in JAX) we solve the
+polynomial directly with a **batched Aberth–Ehrlich simultaneous root
+iteration**: pure elementwise VPU work over (batch, lane) arrays, float64
+(complex as (re, im) pairs since TPU has no complex128), fixed shapes with
+validity masks, `lax.while_loop` until converged. LAPACK on host remains
+available as a parity oracle (``backend="lapack"``).
+
+Numerical stability for degrees up to ~1220: Newton ratios p/p' are evaluated
+in two branches — a reversed-polynomial (in u = 1/z) Horner for |z| > 1.25 and
+a padded direct Horner for |z| <= 1.25 — so nothing overflows even though
+x^1220 would. Zero-padding of coefficients is exact in both branches (the
+padded direct polynomial is z^(L-deg) * p(z); its extra log-derivative term
+(L-deg)/z is subtracted analytically).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmtci.utils import cplx
+
+FAMILIES = (
+    "lucas_all_ones",
+    "pell_like_all_twos",
+    "sparser_gap_1_0_1_then_ones",
+    "padovan_like_0_1_then_ones",
+)
+
+# Branch-switch radius for the two Horner evaluations.
+_R_SWITCH2 = 1.25 * 1.25
+
+
+def family_top_row(name: str, n: int) -> np.ndarray:
+    """First row of the generalized companion matrix (host).
+
+    Matches the reference families at lucas_equipotential_test_v3.py:76-91.
+    """
+    if name == "lucas_all_ones":
+        return np.ones(n)
+    if name == "pell_like_all_twos":
+        return 2.0 * np.ones(n)
+    if name == "sparser_gap_1_0_1_then_ones":
+        top = np.ones(n)
+        if n >= 2:
+            top[1] = 0.0
+        return top
+    if name == "padovan_like_0_1_then_ones":
+        top = np.ones(n)
+        top[0] = 0.0
+        return top
+    raise ValueError(f"Unknown family '{name}'")
+
+
+def companion_matrix(top: np.ndarray) -> np.ndarray:
+    """Dense companion matrix (host; parity oracle only)."""
+    top = np.asarray(top, dtype=float).reshape(-1)
+    n = top.shape[0]
+    c = np.zeros((n, n))
+    c[0, :] = top
+    c[1:, :-1] += np.eye(n - 1)
+    return c
+
+
+def poly_coeff_batch(ns, family: str = "lucas_all_ones"):
+    """Padded ascending coefficient batch for the char polys of `ns`.
+
+    Returns (a, deg): a[b, k] is the coefficient of u^k in
+    q_b(u) = 1 - sum_k c_k u^k  (i.e. a[b,0]=1, a[b,k]=-c_k for k<=n_b),
+    zero-padded to the max degree. deg[b] = n_b.
+    """
+    ns = [int(n) for n in ns]
+    lmax = max(ns)
+    a = np.zeros((len(ns), lmax + 1))
+    a[:, 0] = 1.0
+    for b, n in enumerate(ns):
+        a[b, 1 : n + 1] = -family_top_row(family, n)
+    return jnp.asarray(a), jnp.asarray(ns, dtype=jnp.int32)
+
+
+def _horner_pair(a, z, reverse: bool):
+    """Simultaneous Horner of the polynomial and its derivative.
+
+    a: (B, L+1) real coefficients, ascending in u.
+    z: pair of (B, nL) arrays.
+    reverse=False evaluates P(x) = sum_k a_k x^(L-k) (descending; padded
+    direct form); reverse=True evaluates q(u) = sum_k a_k u^k by iterating
+    coefficients high-to-low. Returns (val_pair, deriv_pair).
+    """
+    big_l = a.shape[1] - 1
+    zero = jnp.zeros_like(z[0])
+
+    def body(i, carry):
+        p_r, p_i, d_r, d_i = carry
+        k = big_l - i if reverse else i
+        ak = jax.lax.dynamic_slice_in_dim(a, k, 1, axis=1)  # (B, 1)
+        d = cplx.add(cplx.mul((d_r, d_i), z), (p_r, p_i))
+        p = cplx.add(cplx.mul((p_r, p_i), z), (ak + zero, zero))
+        return p[0], p[1], d[0], d[1]
+
+    init = (zero, zero, zero, zero)
+    p_r, p_i, d_r, d_i = jax.lax.fori_loop(0, big_l + 1, body, init)
+    return (p_r, p_i), (d_r, d_i)
+
+
+def _newton_ratio(a, deg, z):
+    """w = p(z)/p'(z) for the charpoly, stable for any |z|. Pair in/out.
+
+    Both branches are written so that w -> 0 smoothly as z approaches a root
+    (no intermediate infinities when p(z) == 0 exactly):
+      outside: w = z*q / (deg*q - u*q')        with u = 1/z
+      inside:  w = z*P / (z*P' - pad*P)        with P = z^pad * p
+    """
+    big_l = a.shape[1] - 1
+    degf = _re_pair(deg[:, None].astype(z[0].dtype))
+    outside = cplx.abs2(z) > _R_SWITCH2
+
+    # --- outside branch: reversed polynomial in u = 1/z
+    u = cplx.where(outside, cplx.reciprocal(z), cplx.full_like(z, 0.5))
+    q, qp = _horner_pair(a, u, reverse=True)
+    num_out = cplx.mul(z, q)
+    den_out = cplx.sub(cplx.mul(degf, q), cplx.mul(u, qp))
+
+    # --- inside branch: padded direct P(z) = z^(L-deg) p(z)
+    z_in = cplx.where(outside, cplx.full_like(z, 0.5), z)
+    p, pp = _horner_pair(a, z_in, reverse=False)
+    pad = _re_pair(big_l - degf[0])
+    num_in = cplx.mul(z_in, p)
+    den_in = cplx.sub(cplx.mul(z_in, pp), cplx.mul(pad, p))
+
+    num = cplx.where(outside, num_out, num_in)
+    den = cplx.where(outside, den_out, den_in)
+    den2 = cplx.abs2(den)
+    safe = den2 > 0
+    den2 = jnp.where(safe, den2, 1.0)
+    w = ((num[0] * den[0] + num[1] * den[1]) / den2,
+         (num[1] * den[0] - num[0] * den[1]) / den2)
+    return cplx.where(safe, w, cplx.full_like(z, 0.0))
+
+
+def _re_pair(x):
+    return x, jnp.zeros_like(x)
+
+
+def _pairwise_repulsion(z, valid, chunk: int):
+    """S_i = sum_{j != i, valid_j} 1/(z_i - z_j), blocked over j to bound memory."""
+    nl = z[0].shape[1]
+    nl_pad = ((nl + chunk - 1) // chunk) * chunk
+    pad = nl_pad - nl
+    zr = jnp.pad(z[0], ((0, 0), (0, pad)))
+    zi = jnp.pad(z[1], ((0, 0), (0, pad)))
+    vp = jnp.pad(valid, ((0, 0), (0, pad)))
+    lane = jnp.arange(nl)[None, :]
+
+    def body(c, carry):
+        s_r, s_i = carry
+        j0 = c * chunk
+        zjr = jax.lax.dynamic_slice_in_dim(zr, j0, chunk, axis=1)
+        zji = jax.lax.dynamic_slice_in_dim(zi, j0, chunk, axis=1)
+        vj = jax.lax.dynamic_slice_in_dim(vp, j0, chunk, axis=1)
+        jdx = j0 + jnp.arange(chunk)[None, :]
+        dr = z[0][:, :, None] - zjr[:, None, :]
+        di = z[1][:, :, None] - zji[:, None, :]
+        d2 = dr * dr + di * di
+        mask = vj[:, None, :] & (lane[:, :, None] != jdx[:, None, :])
+        inv = jnp.where(mask & (d2 > 0), 1.0 / jnp.where(d2 > 0, d2, 1.0), 0.0)
+        return s_r + jnp.sum(dr * inv, axis=2), s_i + jnp.sum(-di * inv, axis=2)
+
+    zero = jnp.zeros_like(z[0])
+    return jax.lax.fori_loop(0, nl_pad // chunk, body, (zero, zero))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "chunk"))
+def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 128):
+    """Batched Aberth–Ehrlich root finder.
+
+    a: (B, L+1) ascending coefficients (see poly_coeff_batch); deg: (B,).
+    Returns (re, im, valid): (B, L) roots with valid[b, k] = k < deg[b].
+    """
+    bsz, lp1 = a.shape
+    nl = lp1 - 1
+    lane = jnp.arange(nl)[None, :]
+    valid = lane < deg[:, None]
+
+    # Init: distinct angles on a unit-ish circle, golden-ratio phase offset.
+    degf = jnp.maximum(deg, 1)[:, None].astype(a.dtype)
+    theta = 2.0 * jnp.pi * (lane + 0.256) / degf + 0.577 / degf
+    r0 = 1.0
+    z = (r0 * jnp.cos(theta), r0 * jnp.sin(theta))
+    # Park invalid lanes far away so they never interact with valid ones.
+    far = (1e9 * jnp.cos(lane + jnp.zeros((bsz, 1))), 1e9 * jnp.sin(lane + jnp.zeros((bsz, 1))))
+    z = cplx.where(valid, z, far)
+
+    tol2 = tol * tol
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def body(state):
+        zr, zi, it, _ = state
+        z = (zr, zi)
+        w = _newton_ratio(a, deg, z)
+        s = _pairwise_repulsion(z, valid, chunk)
+        denom = cplx.sub(cplx.full_like(z, 1.0), cplx.mul(w, s))
+        corr = cplx.div(w, denom)
+        moved2 = cplx.abs2(corr)
+        conv = moved2 <= tol2 * jnp.maximum(cplx.abs2(z), 1e-30)
+        corr = cplx.where(valid & ~conv, corr, cplx.full_like(z, 0.0))
+        z_new = cplx.sub(z, corr)
+        done = jnp.all(jnp.where(valid, conv, True))
+        return z_new[0], z_new[1], it + 1, done
+
+    zr, zi, _, _ = jax.lax.while_loop(
+        cond, body, (z[0], z[1], jnp.int32(0), jnp.bool_(False))
+    )
+    return zr, zi, valid
+
+
+def eigvals_batched(ns, family: str = "lucas_all_ones", max_iters: int = 200):
+    """Padded batched companion eigenvalues via Aberth. Returns (re, im, valid)."""
+    a, deg = poly_coeff_batch(ns, family)
+    return aberth_roots(a, deg, max_iters=max_iters)
+
+
+def inverse_cloud_padded(ns, family: str = "lucas_all_ones"):
+    """Padded inverse-eigenvalue cloud 1/λ on device. Returns (re, im, valid)."""
+    zr, zi, valid = eigvals_batched(ns, family)
+    inv = cplx.reciprocal((zr, zi))
+    return inv[0], inv[1], valid
+
+
+def inverse_cloud(
+    ns,
+    family: str = "lucas_all_ones",
+    tol: float = 1e-10,
+    backend: str = "aberth",
+) -> np.ndarray:
+    """Host complex128 inverse-eigenvalue cloud, concatenated over ns.
+
+    Matches tci_construct_mandelbrot_v002_fixed.py:27-33 semantics
+    (drop |λ| <= tol, then invert). backend="lapack" reproduces the
+    reference's exact per-n LAPACK ordering for bitwise parity runs.
+    """
+    if backend == "lapack":
+        pts = []
+        for n in ns:
+            vals = np.linalg.eigvals(companion_matrix(family_top_row(family, n)))
+            vals = vals[np.abs(vals) > tol]
+            pts.append(1.0 / vals)
+        return np.concatenate(pts)
+    zr, zi, valid = inverse_cloud_padded(ns, family)
+    lam2 = 1.0 / (np.asarray(zr) ** 2 + np.asarray(zi) ** 2 + 1e-300)  # |λ|² of padded 1/λ
+    keep = np.asarray(valid) & (lam2 > tol * tol)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    return np.concatenate([z[b][keep[b]] for b in range(z.shape[0])])

@@ -1,0 +1,22 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax import.
+
+Multi-chip sharding (cmtci.parallel) is validated on a virtual 8-device CPU
+mesh; real-TPU perf is exercised only by bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
