@@ -1,0 +1,327 @@
+"""Mandelbrot escape-time / distance-estimator / Green-function fields.
+
+One family of batched, jittable iteration kernels covering every escape-loop
+variant in the reference (reimplemented, not copied; complex numbers carried
+as (re, im) float pairs so the same code runs on TPU):
+
+  * dwell grid                 — mandelbrot_boundary_sample.py:22-39
+  * DE, TCI variant            — tci_construct_mandelbrot_v002_fixed.py:35-47
+      (dz NOT latched: it keeps iterating to IEEE overflow after escape, so
+      d == 0 for all but the latest escapers; the 25%-quantile boundary
+      sampler at :49-59 therefore selects the whole escaped exterior. We
+      reproduce that faithfully — it is the oracle behavior behind the
+      checked-in v3_*.csv artifacts.)
+  * DE, standard variant       — variograms_construct_mandelbrot.py:61-88
+      (latches z AND dz; num = log(max(|z|,1))*|z|, R=4)
+  * parameter-plane Green g_M, Phi — lucas_equipotential_test_v3.py:124-162
+  * escape potentials, 3 normalizations:
+      log|z_n| / 2^n at first escape   — variograms_construct_mandelbrot.py:148-173
+      log|z_k| / 2^k with break        — Potentials.py:32-47
+      log|z_k| / (k+1)                 — Laplacian_C-M.py:27-43
+
+These run the loop over the full array with escape latches (`jnp.where`),
+which XLA fuses into a single elementwise pipeline; the Pallas kernel in
+mandelbrot_pallas.py adds per-tile early exit for TPU throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def complex_grid(domain, nx: int, ny: int, dtype=jnp.float64):
+    """(cr, ci) meshgrid matching np.meshgrid(xs, ys) indexing='xy'.
+
+    domain = (xmin, xmax, ymin, ymax); output shape (ny, nx).
+    """
+    xmin, xmax, ymin, ymax = domain
+    xs = jnp.linspace(xmin, xmax, nx, dtype=dtype)
+    ys = jnp.linspace(ymin, ymax, ny, dtype=dtype)
+    cr, ci = jnp.meshgrid(xs, ys, indexing="xy")
+    return cr, ci
+
+
+def _zsq_add_c(zr, zi, cr, ci):
+    """z <- z*z + c, componentwise like numpy's complex multiply."""
+    return zr * zr - zi * zi + cr, zr * zi + zi * zr + ci
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def dwell_grid(cr, ci, max_iter: int = 500):
+    """Escape-time dwell counts (mandelbrot_boundary_sample.py:22-30).
+
+    dwell = first n (0-based) with |z_{n+1}|^2 > 4, else max_iter.
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    dwell = jnp.full(cr.shape, max_iter, dtype=jnp.int32)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+
+    def body(n, s):
+        zr, zi, dwell, esc = s
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = (zr * zr + zi * zi > 4.0) & ~esc
+        dwell = jnp.where(hit, n, dwell)
+        esc = esc | hit
+        # freeze escaped orbits so f32 runs don't generate inf/nan churn
+        zr = jnp.where(esc, jnp.where(hit, zr, 0.0), zr)
+        zi = jnp.where(esc, jnp.where(hit, zi, 0.0), zi)
+        return zr, zi, dwell, esc
+
+    _, _, dwell, _ = jax.lax.fori_loop(0, max_iter, body, (zr, zi, dwell, esc))
+    return dwell
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def de_field_tci(cr, ci, max_iter: int = 250, escape_r: float = 250.0, eps: float = 1e-12):
+    """TCI distance estimator (tci_construct_mandelbrot_v002_fixed.py:35-47).
+
+    Exact reference semantics: dz is updated BEFORE z each step, z is latched
+    at first |z| > escape_r, dz is NOT latched and overflows to inf for early
+    escapers (so d == 0 there). Returns (esc, d, last_r, last_i).
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    dzr = jnp.ones_like(cr)
+    dzi = jnp.zeros_like(ci)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+    lr = jnp.zeros_like(cr)
+    li = jnp.zeros_like(ci)
+
+    def body(_, s):
+        zr, zi, dzr, dzi, esc, lr, li = s
+        # dz = 2*z*dz + 1 (numpy op order: t = 2*z, then t*dz, then +1)
+        tr, ti = 2.0 * zr, 2.0 * zi
+        dzr, dzi = tr * dzr - ti * dzi + 1.0, tr * dzi + ti * dzr
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = (jnp.sqrt(zr * zr + zi * zi) > escape_r) & ~esc
+        lr = jnp.where(hit, zr, lr)
+        li = jnp.where(hit, zi, li)
+        esc = esc | hit
+        return zr, zi, dzr, dzi, esc, lr, li
+
+    zr, zi, dzr, dzi, esc, lr, li = jax.lax.fori_loop(
+        0, max_iter, body, (zr, zi, dzr, dzi, esc, lr, li)
+    )
+    az = jnp.sqrt(lr * lr + li * li)
+    # 2*z*dz with the latched z and FINAL dz (possibly inf/nan)
+    pr, pi = 2.0 * lr * dzr - 2.0 * li * dzi, 2.0 * lr * dzi + 2.0 * li * dzr
+    den = jnp.maximum(jnp.sqrt(pr * pr + pi * pi), eps)
+    d = jnp.where(esc, jnp.log(jnp.maximum(az, 1e-300)) * az / den, 0.0)
+    d = jnp.nan_to_num(d, nan=0.0, posinf=0.0, neginf=0.0)
+    return esc, d, lr, li
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def de_field_std(cr, ci, max_iter: int = 500, escape_r: float = 4.0, eps: float = 1e-14):
+    """Standard distance estimator (variograms_construct_mandelbrot.py:61-88).
+
+    Latches both z and dz at first escape; num = log(max(|z|,1))*|z|.
+    Returns (esc, dist, last_z(re,im), last_dz(re,im)).
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    dzr = jnp.ones_like(cr)
+    dzi = jnp.zeros_like(ci)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+    lzr = jnp.zeros_like(cr)
+    lzi = jnp.zeros_like(ci)
+    ldr = jnp.ones_like(cr)
+    ldi = jnp.zeros_like(ci)
+
+    def body(_, s):
+        zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi = s
+        tr, ti = 2.0 * zr, 2.0 * zi
+        dzr, dzi = tr * dzr - ti * dzi + 1.0, tr * dzi + ti * dzr
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = ~esc & (jnp.sqrt(zr * zr + zi * zi) > escape_r)
+        lzr = jnp.where(hit, zr, lzr)
+        lzi = jnp.where(hit, zi, lzi)
+        ldr = jnp.where(hit, dzr, ldr)
+        ldi = jnp.where(hit, dzi, ldi)
+        esc = esc | hit
+        # freeze escaped orbits (z/dz are latched; further evolution unused)
+        zr = jnp.where(esc, 0.0, zr)
+        zi = jnp.where(esc, 0.0, zi)
+        dzr = jnp.where(esc, 1.0, dzr)
+        dzi = jnp.where(esc, 0.0, dzi)
+        return zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi
+
+    out = jax.lax.fori_loop(0, max_iter, body, (zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi))
+    zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi = out
+    az = jnp.sqrt(lzr * lzr + lzi * lzi)
+    pr, pi = 2.0 * (lzr * ldr - lzi * ldi), 2.0 * (lzr * ldi + lzi * ldr)
+    num = jnp.log(jnp.maximum(az, 1.0)) * az
+    den = jnp.maximum(jnp.sqrt(pr * pr + pi * pi), eps)
+    dist = jnp.where(esc, jnp.nan_to_num(num / den, nan=0.0, posinf=0.0, neginf=0.0), 0.0)
+    return esc, dist, (lzr, lzi), (ldr, ldi)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def green_potential(cr, ci, max_iter: int = 20000, escape_r: float = 2.0):
+    """Parameter-plane Green function g_M(c) and Phi(c).
+
+    Reference: lucas_equipotential_test_v3.py:124-162. At first escape k
+    (1-based): log_phi = log(z) * 2^-k, g = Re log_phi clamped to >= 0,
+    phi = exp(log_phi); else (0, max_iter, nan).
+    Returns (g, k, phi_r, phi_i).
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+    g = jnp.zeros_like(cr)
+    kk = jnp.full(cr.shape, max_iter, dtype=jnp.int32)
+    lpr = jnp.zeros_like(cr)
+    lpi = jnp.zeros_like(ci)
+    r2 = escape_r * escape_r
+
+    def body(i, s):
+        zr, zi, esc, g, kk, lpr, lpi = s
+        k = i + 1
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = ~esc & (zr * zr + zi * zi > r2)
+        scale = jnp.exp2(-k.astype(cr.dtype))
+        logr = 0.5 * jnp.log(jnp.maximum(zr * zr + zi * zi, 1e-300))
+        theta = jnp.arctan2(zi, zr)
+        gg = logr * scale
+        gg = jnp.where(jnp.isfinite(gg) & (gg >= 0.0), gg, 0.0)
+        g = jnp.where(hit, gg, g)
+        kk = jnp.where(hit, k, kk)
+        lpr = jnp.where(hit, logr * scale, lpr)
+        lpi = jnp.where(hit, theta * scale, lpi)
+        esc = esc | hit
+        zr = jnp.where(esc, 0.0, zr)
+        zi = jnp.where(esc, 0.0, zi)
+        return zr, zi, esc, g, kk, lpr, lpi
+
+    zr, zi, esc, g, kk, lpr, lpi = jax.lax.fori_loop(
+        0, max_iter, body, (zr, zi, esc, g, kk, lpr, lpi)
+    )
+    er = jnp.exp(lpr)
+    phi_r = jnp.where(esc, er * jnp.cos(lpi), jnp.nan)
+    phi_i = jnp.where(esc, er * jnp.sin(lpi), jnp.nan)
+    return g, kk, phi_r, phi_i
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "normalization"))
+def escape_potential_grid(
+    cr, ci, max_iter: int = 500, escape_r: float = 4.0, normalization: str = "two_pow_n"
+):
+    """Grid escape potential with the reference's three normalizations.
+
+    normalization:
+      "two_pow_n":  g = log|z_n| / 2^n at first escape, n 1-based, else 0
+                    (variograms_construct_mandelbrot.py:148-166)
+      "two_pow_k_break": Potentials.py:32-47 — k is the 0-based loop index at
+                    break (or max_iter-1 if no escape); U = log|z_end|/2^k,
+                    0 where |z_end| == 0.
+      "k_plus_1":   U = log|z_k|/(k+1) at first escape (0-based k), else 0
+                    (Laplacian_C-M.py:27-43)
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+    g = jnp.zeros_like(cr)
+    r2 = escape_r * escape_r
+    kend = jnp.zeros(cr.shape, dtype=jnp.int32)
+    lzr = jnp.zeros_like(cr)
+    lzi = jnp.zeros_like(ci)
+
+    def body(i, s):
+        zr, zi, esc, g, kend, lzr, lzi = s
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = ~esc & (zr * zr + zi * zi > r2)
+        logr = 0.5 * jnp.log(jnp.maximum(zr * zr + zi * zi, 1e-300))
+        if normalization == "two_pow_n":
+            val = logr / jnp.exp2((i + 1).astype(cr.dtype))
+        elif normalization == "k_plus_1":
+            val = logr / (i + 1).astype(cr.dtype)
+        else:  # two_pow_k_break
+            val = logr / jnp.exp2(i.astype(cr.dtype))
+        g = jnp.where(hit, val, g)
+        kend = jnp.where(hit, i, kend)
+        lzr = jnp.where(hit | esc, lzr, zr)  # last unescaped z
+        lzi = jnp.where(hit | esc, lzi, zi)
+        lzr = jnp.where(hit, zr, lzr)
+        lzi = jnp.where(hit, zi, lzi)
+        esc = esc | hit
+        zr = jnp.where(esc, 0.0, zr)
+        zi = jnp.where(esc, 0.0, zi)
+        return zr, zi, esc, g, kend, lzr, lzi
+
+    zr, zi, esc, g, kend, lzr, lzi = jax.lax.fori_loop(
+        0, max_iter, body, (zr, zi, esc, g, kend, lzr, lzi)
+    )
+    if normalization == "two_pow_k_break":
+        # non-escaped points: U = log|z_final| / 2^(max_iter-1), 0 if |z|==0
+        a2 = lzr * lzr + lzi * lzi
+        tail = 0.5 * jnp.log(jnp.maximum(a2, 1e-300)) / jnp.exp2(
+            jnp.asarray(max_iter - 1, dtype=cr.dtype)
+        )
+        g = jnp.where(esc, g, jnp.where(a2 > 0.0, tail, 0.0))
+    return g
+
+
+@jax.jit
+def smooth5(g):
+    """Interior 5-point average (variograms_construct_mandelbrot.py:168-173)."""
+    out = g
+    inner = (g[1:-1, 1:-1] + g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]) / 5.0
+    return out.at[1:-1, 1:-1].set(inner)
+
+
+# ---------------------------------------------------------------------------
+# Boundary proxy samplers (host wrappers; RNG on host for reference parity)
+# ---------------------------------------------------------------------------
+
+
+def sample_boundary_quantile(
+    domain,
+    grid_n: int,
+    n_samples: int,
+    max_iter: int = 250,
+    escape_r: float = 250.0,
+    eps: float = 1e-12,
+    rng: np.random.RandomState | None = None,
+    dtype=jnp.float64,
+):
+    """TCI boundary sampler (tci_construct_mandelbrot_v002_fixed.py:49-59).
+
+    Keep escaped points with d <= 25%-quantile of escaped d, then subsample
+    to n_samples with numpy RNG (pass np.random to share the reference's
+    global-seed stream for bitwise parity runs).
+    """
+    cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+    esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
+    esc = np.asarray(esc)
+    d = np.asarray(d)
+    if not esc.any():
+        raise RuntimeError("No escape points")
+    q = np.quantile(d[esc], 0.25)
+    c = np.asarray(cr) + 1j * np.asarray(ci)
+    pts = c[esc & (d <= q)].ravel()
+    if pts.size > n_samples:
+        r = rng if rng is not None else np.random
+        pts = r.choice(pts, n_samples, replace=False)
+    return pts
+
+
+def boundary_points_threshold(
+    domain=(-2.25, 1.25, -1.75, 1.75),
+    grid_n: int = 600,
+    dist_thresh: float = 0.002,
+    max_iter: int = 500,
+    escape_r: float = 4.0,
+    dtype=jnp.float64,
+):
+    """Threshold boundary proxy (variograms_construct_mandelbrot.py:90-104)."""
+    cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+    esc, dist, _, _ = de_field_std(cr, ci, max_iter=max_iter, escape_r=escape_r)
+    esc = np.asarray(esc)
+    dist = np.asarray(dist)
+    c = np.asarray(cr) + 1j * np.asarray(ci)
+    return c[esc & (dist <= dist_thresh)]
