@@ -1,0 +1,201 @@
+"""Alpha shapes via Delaunay + circumradius filtering, and boundary tracing.
+
+Reference behavior (reimplemented):
+  * circumradius filter R < 1/alpha over Delaunay simplices —
+    construct_boundary_alpha_spyder_v2.py:32-61 (and the alphashape library
+    used at lucas_to_cardioid_v18...py:209-219 — same criterion)
+  * boundary edges = edges used by exactly one kept triangle — :54-61
+  * connected components; prefer the longest CLOSED loop, fall back to the
+    longest open chain — :63-148
+  * polygon construction (largest loop by area) replacing
+    alphashape.alphashape(...) -> shapely Polygon — lucas_to_cardioid_v40_reference.py:85-93
+
+Delaunay runs on host CPU (qhull via scipy; there is no TPU analogue of an
+incremental flip algorithm worth building for <100k points). Everything
+downstream (circumradii, edge counting) is vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+from cmtci.geometry.polygon import Polygon
+
+
+def circumradii(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Vectorized triangle circumradius, inf for degenerate triangles.
+
+    Matches construct_boundary_alpha_spyder_v2.py:32-41 (Heron form with
+    +1e-16 area guard).
+    """
+    a = np.linalg.norm(p[tri[:, 1]] - p[tri[:, 2]], axis=1)
+    b = np.linalg.norm(p[tri[:, 0]] - p[tri[:, 2]], axis=1)
+    c = np.linalg.norm(p[tri[:, 0]] - p[tri[:, 1]], axis=1)
+    s = (a + b + c) / 2.0
+    heron = np.maximum(s * (s - a) * (s - b) * (s - c), 0.0)
+    area = np.sqrt(heron)
+    with np.errstate(divide="ignore"):
+        r = (a * b * c) / (4.0 * area + 1e-16)
+    return np.where(area == 0.0, np.inf, r)
+
+
+def alpha_complex(points: np.ndarray, alpha: float):
+    """Kept Delaunay simplices with circumradius < 1/alpha."""
+    points = np.asarray(points, dtype=float)
+    tri = Delaunay(points)
+    r = circumradii(points, tri.simplices)
+    return points, tri.simplices[r < 1.0 / alpha]
+
+
+def boundary_edges_of(simplices: np.ndarray) -> np.ndarray:
+    """Edges used by exactly one kept triangle, as sorted (i,j) pairs."""
+    if len(simplices) == 0:
+        return np.zeros((0, 2), dtype=int)
+    e = np.concatenate(
+        [simplices[:, [0, 1]], simplices[:, [1, 2]], simplices[:, [2, 0]]], axis=0
+    )
+    e = np.sort(e, axis=1)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    return uniq[counts == 1]
+
+
+def alpha_shape_edges(points: np.ndarray, alpha: float) -> np.ndarray:
+    _, kept = alpha_complex(points, alpha)
+    return boundary_edges_of(kept)
+
+
+def _components(edges):
+    adj = defaultdict(list)
+    nodes = set()
+    for i, j in edges:
+        adj[int(i)].append(int(j))
+        adj[int(j)].append(int(i))
+        nodes.add(int(i))
+        nodes.add(int(j))
+    visited = set()
+    comps = []
+    for v in nodes:
+        if v in visited:
+            continue
+        q = deque([v])
+        visited.add(v)
+        comp = {v}
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in visited:
+                    visited.add(w)
+                    q.append(w)
+                    comp.add(w)
+        comps.append(comp)
+    return comps, adj
+
+
+def _trace(adj, comp_nodes):
+    """Order one component; returns (index list, is_closed).
+
+    construct_boundary_alpha_spyder_v2.py:87-116 semantics: a component whose
+    nodes all have degree 2 is walked as a closed loop; otherwise the longest
+    simple chain from an endpoint is taken.
+    """
+    endpoints = [v for v in comp_nodes if len(adj[v]) != 2]
+    if not endpoints and len(comp_nodes) > 2:
+        start = next(iter(comp_nodes))
+        ordered = [start]
+        prev, curr = None, start
+        for _ in range(len(comp_nodes) + 5):
+            nbrs = adj[curr]
+            nxt = nbrs[0] if nbrs[0] != prev else (nbrs[1] if len(nbrs) > 1 else None)
+            if nxt is None:
+                break
+            ordered.append(nxt)
+            prev, curr = curr, nxt
+            if curr == start:
+                break
+        return ordered, True
+    starts = [v for v in endpoints if len(adj[v]) == 1] or endpoints or list(comp_nodes)
+    best = []
+    for s in starts:
+        seen = {s}
+        path = [s]
+        prev, curr = None, s
+        for _ in range(len(comp_nodes) + 5):
+            nbrs = [x for x in adj[curr] if x != prev]
+            if not nbrs:
+                break
+            nxt = nbrs[0]
+            if nxt in seen:
+                break
+            path.append(nxt)
+            seen.add(nxt)
+            prev, curr = curr, nxt
+        if len(path) > len(best):
+            best = path
+    return best, False
+
+
+def trace_boundary(points: np.ndarray, edges, min_len: int = 5):
+    """Pick the longest closed loop (else longest open chain) of the edge set.
+
+    Returns (ordered vertex indices, was_closed).
+    """
+    comps, _ = _components(edges)
+    edge_set = {tuple(e) for e in np.asarray(edges).tolist()}
+    closed, open_ = [], []
+    for comp in comps:
+        local = defaultdict(list)
+        for i, j in edge_set:
+            if i in comp:
+                local[i].append(j)
+                local[j].append(i)
+        ordered, is_closed = _trace(local, comp)
+        if len(ordered) < min_len:
+            continue
+        (closed if is_closed else open_).append(ordered)
+    if closed:
+        return max(closed, key=len), True
+    if open_:
+        return max(open_, key=len), False
+    raise RuntimeError("No usable boundary component found. Adjust alpha.")
+
+
+def alpha_shape_polygon(points, alpha: float) -> Polygon:
+    """Largest closed alpha-shape loop as a Polygon (replaces alphashape lib).
+
+    Accepts complex or (N,2) points (lucas_to_cardioid_v18...py:209-219).
+    Loops are ranked by enclosed area (the alphashape library returns the
+    largest-area polygon of a MultiPolygon).
+    """
+    pts = np.asarray(points)
+    if np.iscomplexobj(pts):
+        pts = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    pts = np.asarray(pts, dtype=float)
+    _, kept = alpha_complex(pts, alpha)
+    edges = boundary_edges_of(kept)
+    if len(edges) == 0:
+        raise RuntimeError("Alpha-shape produced no boundary edges; adjust alpha.")
+    comps, _ = _components(edges)
+    edge_list = np.asarray(edges)
+    best_poly, best_area = None, -1.0
+    for comp in comps:
+        mask = np.array([e[0] in comp for e in edge_list])
+        local = defaultdict(list)
+        for i, j in edge_list[mask]:
+            local[int(i)].append(int(j))
+            local[int(j)].append(int(i))
+        ordered, is_closed = _trace(local, comp)
+        if not is_closed or len(ordered) < 4:
+            continue
+        ring = pts[ordered[:-1]] if ordered[0] == ordered[-1] else pts[ordered]
+        try:
+            poly = Polygon(ring)
+        except ValueError:
+            continue
+        if poly.area > best_area:
+            best_area, best_poly = poly.area, poly
+    if best_poly is None:
+        raise RuntimeError("Alpha shape yielded no closed loop; adjust alpha.")
+    return best_poly

@@ -1,0 +1,95 @@
+"""Polygon triangulation for FEM (v18 meshing, vectorized host stage).
+
+Reference: lucas_to_cardioid_v18...py:222-308 — arclength boundary sampling,
+interior grid, jittered boundary layers, dedupe, qhull Delaunay (QJ Qbb Qc),
+centroid-in-polygon filter, degenerate-triangle drop. The per-point shapely
+covers()/contains() loops (the v18 hot spot at fine levels) are replaced by
+one vectorized point-in-polygon call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial import Delaunay
+
+from cmtci.geometry.polygon import Polygon
+
+UV_QHULL_OPTIONS = "QJ Qbb Qc"
+
+
+def polygon_to_mesh(
+    poly: Polygon,
+    h: float = 0.05,
+    boundary_h: float | None = None,
+    boundary_layers: int = 1,
+    layer_factor: float = 2.0,
+    seed: int = 0,
+    qhull_options: str = UV_QHULL_OPTIONS,
+):
+    """Triangulate a (possibly concave) polygon. Returns (P, T)."""
+    rng = np.random.default_rng(seed)
+    if boundary_h is None:
+        boundary_h = 0.5 * h
+
+    # 1) boundary samples by arclength
+    big_l = poly.length
+    nb = max(16, int(np.ceil(big_l / boundary_h)))
+    svals = np.linspace(0.0, big_l, nb, endpoint=False)
+    bpts = poly.interpolate(svals)
+
+    # 2) interior grid (x-major order like the reference's comprehension)
+    minx, miny, maxx, maxy = poly.bounds
+    xs = np.arange(minx, maxx + h, h)
+    ys = np.arange(miny, maxy + h, h)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    grid = np.column_stack([gx.ravel(), gy.ravel()])
+    inside = poly.contains(grid, include_boundary=True)
+    interior = grid[inside]
+
+    # 3) jittered boundary layers
+    layers = []
+    for k in range(1, boundary_layers + 1):
+        r = (k / boundary_layers) * (h / layer_factor)
+        cand = bpts + rng.normal(scale=r, size=bpts.shape)
+        keep = poly.contains(cand, include_boundary=True)
+        if keep.any():
+            layers.append(cand[keep])
+    bl = np.vstack(layers) if layers else np.zeros((0, 2))
+
+    # 4) combine + dedupe + Delaunay
+    pts = np.vstack([bpts, interior, bl])
+    pts = np.unique(np.round(pts, 12), axis=0)
+    if len(pts) < 30:
+        raise RuntimeError("Too few points; decrease h or boundary_h")
+    tri = Delaunay(pts, qhull_options=qhull_options)
+    t = tri.simplices
+
+    # 5) centroid-in-polygon filter (strict interior, concave-safe)
+    centroids = pts[t].mean(axis=1)
+    t = t[poly.contains(centroids)]
+
+    # 6) drop near-degenerate triangles
+    p0, p1, p2 = pts[t[:, 0]], pts[t[:, 1]], pts[t[:, 2]]
+    dbl_area = np.abs(
+        (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
+        - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
+    )
+    t = t[dbl_area > 2e-14]
+    return pts, t
+
+
+def boundary_vertices(triangles: np.ndarray) -> np.ndarray:
+    """Vertex indices on the mesh boundary (edges used by one triangle).
+
+    Vectorized version of lucas_to_cardioid_v18...py:349-362.
+    """
+    e = np.concatenate(
+        [triangles[:, [0, 1]], triangles[:, [1, 2]], triangles[:, [2, 0]]], axis=0
+    )
+    e = np.sort(e, axis=1)
+    uniq, counts = np.unique(e, axis=0, return_counts=True)
+    return np.unique(uniq[counts == 1])
+
+
+def tri_centroids(points: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    return points[triangles].mean(axis=1)

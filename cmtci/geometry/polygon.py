@@ -1,0 +1,200 @@
+"""Planar polygon ops (shapely replacement, vectorized numpy).
+
+The reference leans on shapely for contains/covers/project/interpolate/
+distance/centroid (lucas_to_cardioid_v18...py:222-308,365-404,641-646;
+lucas_to_cardioid_v40_reference.py:96-162). shapely is not available here and
+is a per-point Python loop in the reference anyway; this module provides the
+same operations as O(P·E) vectorized kernels over all query points at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Polygon:
+    """Simple polygon given by its exterior ring (no holes).
+
+    Vertices are stored open (first point not repeated). Orientation is
+    preserved as given; use .ccw() to enforce counterclockwise.
+    """
+
+    def __init__(self, xy):
+        xy = np.asarray(xy, dtype=float)
+        if xy.ndim != 2 or xy.shape[1] != 2:
+            raise ValueError("Polygon expects (N,2) vertices")
+        if len(xy) > 1 and np.allclose(xy[0], xy[-1]):
+            xy = xy[:-1]
+        if len(xy) < 3:
+            raise ValueError("Polygon needs >= 3 distinct vertices")
+        self.xy = xy
+
+    # --- basic measures -------------------------------------------------
+    @property
+    def signed_area(self) -> float:
+        x, y = self.xy[:, 0], self.xy[:, 1]
+        return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+    @property
+    def area(self) -> float:
+        return abs(self.signed_area)
+
+    @property
+    def is_ccw(self) -> bool:
+        return self.signed_area > 0
+
+    def ccw(self) -> "Polygon":
+        return self if self.is_ccw else Polygon(self.xy[::-1])
+
+    @property
+    def bounds(self):
+        mn = self.xy.min(axis=0)
+        mx = self.xy.max(axis=0)
+        return float(mn[0]), float(mn[1]), float(mx[0]), float(mx[1])
+
+    @property
+    def centroid(self) -> complex:
+        x, y = self.xy[:, 0], self.xy[:, 1]
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        cross = x * yn - xn * y
+        a = 0.5 * np.sum(cross)
+        if abs(a) < 1e-300:
+            return complex(x.mean(), y.mean())
+        cx = np.sum((x + xn) * cross) / (6.0 * a)
+        cy = np.sum((y + yn) * cross) / (6.0 * a)
+        return complex(cx, cy)
+
+    # --- segments -------------------------------------------------------
+    @property
+    def _segs(self):
+        p0 = self.xy
+        p1 = np.roll(self.xy, -1, axis=0)
+        return p0, p1
+
+    @property
+    def seg_lengths(self) -> np.ndarray:
+        p0, p1 = self._segs
+        return np.sqrt(((p1 - p0) ** 2).sum(axis=1))
+
+    @property
+    def length(self) -> float:
+        return float(self.seg_lengths.sum())
+
+    @property
+    def arclengths(self) -> np.ndarray:
+        """Cumulative arclength at each vertex, starting at 0."""
+        return np.concatenate([[0.0], np.cumsum(self.seg_lengths)])[:-1]
+
+    # --- queries ----------------------------------------------------------
+    def contains(self, pts, include_boundary: bool = False, tol: float = 0.0):
+        """Even-odd crossing test, vectorized over (P,2) points.
+
+        include_boundary=True emulates shapely .covers() up to `tol` (points
+        within tol of the boundary count as inside).
+        """
+        pts = _as_xy(pts)
+        x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+        p0, p1 = self._segs
+        x0, y0 = p0[:, 0][None, :], p0[:, 1][None, :]
+        x1, y1 = p1[:, 0][None, :], p1[:, 1][None, :]
+        cond = (y0 <= y) != (y1 <= y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+        crossings = np.sum(cond & (x < xint), axis=1)
+        inside = (crossings % 2) == 1
+        if include_boundary:
+            d = self.exterior_distance(pts)
+            inside = inside | (d <= max(tol, 1e-12))
+        return inside
+
+    def exterior_distance(self, pts) -> np.ndarray:
+        """Min distance from each point to the boundary polyline."""
+        pts = _as_xy(pts)
+        d, _, _ = _nearest_on_segments(pts, *self._segs)
+        return d
+
+    def project(self, pts) -> np.ndarray:
+        """Arclength of the nearest boundary point (shapely .project)."""
+        pts = _as_xy(pts)
+        d, seg_idx, t = _nearest_on_segments(pts, *self._segs)
+        s0 = self.arclengths
+        return s0[seg_idx] + t * self.seg_lengths[seg_idx]
+
+    def interpolate(self, s) -> np.ndarray:
+        """Boundary point(s) at arclength(s) s (shapely .interpolate)."""
+        s = np.atleast_1d(np.asarray(s, dtype=float)) % max(self.length, 1e-300)
+        lengths = self.seg_lengths
+        cum = np.concatenate([[0.0], np.cumsum(lengths)])
+        idx = np.clip(np.searchsorted(cum, s, side="right") - 1, 0, len(lengths) - 1)
+        t = (s - cum[idx]) / np.maximum(lengths[idx], 1e-300)
+        p0, p1 = self._segs
+        return p0[idx] + (p1[idx] - p0[idx]) * t[:, None]
+
+
+def _as_xy(pts):
+    pts = np.asarray(pts)
+    if np.iscomplexobj(pts):
+        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    if pts.ndim == 1:
+        return pts.reshape(1, 2)
+    return pts
+
+
+def _nearest_on_segments(pts, p0, p1):
+    """For each point: (distance, segment index, param t) of nearest segment point."""
+    d01 = p1 - p0  # (E,2)
+    len2 = np.maximum((d01**2).sum(axis=1), 1e-300)  # (E,)
+    # (P,E) parameter of the projection, clamped to the segment
+    dp = pts[:, None, :] - p0[None, :, :]  # (P,E,2)
+    t = np.clip((dp * d01[None, :, :]).sum(axis=2) / len2[None, :], 0.0, 1.0)
+    closest = p0[None, :, :] + t[:, :, None] * d01[None, :, :]
+    dist2 = ((pts[:, None, :] - closest) ** 2).sum(axis=2)
+    seg_idx = np.argmin(dist2, axis=1)
+    rows = np.arange(len(pts))
+    return np.sqrt(dist2[rows, seg_idx]), seg_idx, t[rows, seg_idx]
+
+
+def ensure_interior_point(poly: Polygon, z0: complex) -> complex:
+    """Bisect toward the centroid until inside (v40:122-132 semantics)."""
+    cc = poly.centroid
+    z = complex(z0)
+    if poly.contains([z])[0]:
+        return z
+    for _ in range(60):
+        z = 0.5 * z + 0.5 * cc
+        if poly.contains([z])[0]:
+            return z
+    return cc
+
+
+def slightly_inside(z, a: complex, eps: float = 1e-3):
+    """Convex shrink toward an interior point (v40:135-138)."""
+    z = np.asarray(z, dtype=np.complex128)
+    return (1.0 - eps) * z + eps * a
+
+
+def sample_interior_points(poly: Polygon, n: int, seed: int = 0, max_tries: int = 2_000_000,
+                           batch: int = 8192):
+    """Uniform rejection sampling inside the polygon (v40:149-162).
+
+    Same distribution as the reference's per-point loop but drawn in batches
+    (vectorized contains); the accept/reject stream is identical because the
+    same uniform draws are made in the same x,y order.
+    """
+    rng = np.random.default_rng(seed)
+    minx, miny, maxx, maxy = poly.bounds
+    out = []
+    k = 0
+    tries = 0
+    while k < n and tries < max_tries:
+        m = min(batch, max_tries - tries)
+        # interleaved draws to match the reference's x,y per-try order
+        u = rng.uniform(size=(m, 2))
+        xs = minx + (maxx - minx) * u[:, 0]
+        ys = miny + (maxy - miny) * u[:, 1]
+        tries += m
+        ok = poly.contains(np.column_stack([xs, ys]))
+        acc = xs[ok] + 1j * ys[ok]
+        out.append(acc[: n - k])
+        k += min(len(acc), n - k)
+    return (np.concatenate(out) if out else np.empty(0, complex)), tries

@@ -1,0 +1,191 @@
+"""Geometry layer tests: polygon ops, alpha shape, contour, resampling."""
+
+import numpy as np
+import pytest
+
+from cmtci.geometry import alpha_shape, cardioid, contour, interp, mesh, resample
+from cmtci.geometry.polygon import Polygon, sample_interior_points, slightly_inside
+
+
+def _circle_poly(n=200, r=1.0):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return Polygon(np.column_stack([r * np.cos(t), r * np.sin(t)]))
+
+
+class TestPolygon:
+    def test_area_centroid_length(self):
+        sq = Polygon([[0, 0], [2, 0], [2, 2], [0, 2]])
+        assert sq.area == pytest.approx(4.0)
+        assert sq.length == pytest.approx(8.0)
+        assert sq.centroid == pytest.approx(1 + 1j)
+        assert sq.is_ccw
+
+    def test_contains_vs_matplotlib(self, rng):
+        from matplotlib.path import Path
+
+        t = np.sort(rng.uniform(0, 2 * np.pi, 50))
+        rr = 1.0 + 0.3 * np.sin(5 * t)
+        ring = np.column_stack([rr * np.cos(t), rr * np.sin(t)])
+        poly = Polygon(ring)
+        pts = rng.uniform(-1.5, 1.5, size=(500, 2))
+        ref = Path(ring).contains_points(pts)
+        got = poly.contains(pts)
+        assert (got == ref).mean() > 0.995  # boundary-adjacent ties may differ
+
+    def test_project_interpolate_roundtrip(self):
+        poly = _circle_poly(400)
+        s = np.array([0.1, 1.0, 3.0, 5.5])
+        pts = poly.interpolate(s)
+        s_back = poly.project(pts)
+        np.testing.assert_allclose(s_back, s, atol=1e-8)
+
+    def test_exterior_distance(self):
+        poly = _circle_poly(2000)
+        d = poly.exterior_distance(np.array([[0.0, 0.0], [0.5, 0.0], [2.0, 0.0]]))
+        np.testing.assert_allclose(d, [1.0, 0.5, 1.0], atol=1e-4)
+
+    def test_interior_sampling(self):
+        poly = _circle_poly(100)
+        pts, tries = sample_interior_points(poly, 500, seed=0)
+        assert len(pts) == 500
+        assert np.all(np.abs(pts) <= 1.0)
+        z = slightly_inside(pts[:5], 0j, 0.1)
+        assert np.all(np.abs(z) < np.abs(pts[:5]) + 1e-12)
+
+
+class TestAlphaShape:
+    def test_disk_cloud_boundary(self, rng):
+        # dense uniform disk: alpha-shape loop should be near the unit circle
+        pts = rng.normal(size=(4000, 2))
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * np.sqrt(rng.uniform(0, 1, (4000, 1)))
+        poly = alpha_shape.alpha_shape_polygon(pts, alpha=4.0)
+        r = np.abs(poly.xy[:, 0] + 1j * poly.xy[:, 1])
+        assert poly.area == pytest.approx(np.pi, rel=0.1)
+        assert r.min() > 0.7
+
+    def test_boundary_edges_each_once(self, rng):
+        pts = rng.uniform(size=(500, 2))
+        edges = alpha_shape.alpha_shape_edges(pts, alpha=8.0)
+        assert len(edges) > 0
+        # property: each boundary edge appears exactly once (construction invariant)
+        assert len(np.unique(edges, axis=0)) == len(edges)
+
+    def test_trace_closed_loop(self, rng):
+        pts = rng.normal(size=(3000, 2))
+        pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
+        pts *= np.sqrt(rng.uniform(0.0, 1.0, (3000, 1)))
+        edges = alpha_shape.alpha_shape_edges(pts, alpha=3.0)
+        ordered, closed = alpha_shape.trace_boundary(pts, edges)
+        assert closed
+        assert len(ordered) > 50
+
+
+class TestContour:
+    def test_circle_level_set(self):
+        xs = np.linspace(-2, 2, 201)
+        ys = np.linspace(-2, 2, 201)
+        gx, gy = np.meshgrid(xs, ys)
+        z = gx**2 + gy**2
+        path = contour.extract_contour(xs, ys, z, level=1.0)
+        assert path is not None
+        r = np.hypot(path[:, 0], path[:, 1])
+        np.testing.assert_allclose(r, 1.0, atol=0.01)
+        # closed-ish: endpoints coincide
+        assert np.linalg.norm(path[0] - path[-1]) < 0.05
+
+    def test_matches_matplotlib_vertices(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        rng = np.random.default_rng(1)
+        xs = np.linspace(0, 1, 40)
+        ys = np.linspace(0, 1, 30)
+        z = np.sin(6 * xs)[None, :] + np.cos(5 * ys)[:, None] + 0.1 * rng.normal(size=(30, 40))
+        cs = plt.contour(xs, ys, z, levels=[0.4])
+        # modern mpl returns ONE Path per level with MOVETO-joined sub-paths;
+        # compare the union of vertices (the reference's old API returned
+        # per-polyline paths, which is what extract_contour emits).
+        ref = np.vstack([p.vertices for p in cs.get_paths()])
+        plt.close("all")
+        segs = contour.contour_segments(xs, ys, z, 0.4)
+        got = np.vstack(contour.chain_segments(segs))
+        ref_set = {(round(a, 8), round(b, 8)) for a, b in ref}
+        got_set = {(round(a, 8), round(b, 8)) for a, b in got}
+        assert ref_set == got_set
+        # longest polyline is connected with consistent step size
+        path = contour.extract_contour(xs, ys, z, 0.4)
+        steps = np.linalg.norm(np.diff(path, axis=0), axis=1)
+        assert steps.max() < 0.06  # bounded by cell diagonal
+
+
+class TestResample:
+    def test_densify_uniform_spacing(self):
+        t = np.linspace(0, 2 * np.pi, 77, endpoint=False)
+        b = np.column_stack([np.cos(t), np.sin(t)])
+        out = resample.densify_boundary(b, target_n=500)
+        assert out.shape == (500, 2)
+        seg = np.linalg.norm(np.diff(out, axis=0), axis=1)
+        assert seg.std() / seg.mean() < 0.05
+
+    def test_resample_closed_matches_reference_walk(self):
+        rng = np.random.default_rng(2)
+        t = np.sort(rng.uniform(0, 2 * np.pi, 60))
+        xy = np.column_stack([np.cos(t), np.sin(t)])
+        got = resample.resample_closed_polyline(xy, 200)
+
+        # reference sequential walk (lucas_to_cardioid_v18...py:110-138)
+        pts = np.vstack([xy, xy[0]])
+        seg = pts[1:] - pts[:-1]
+        d = np.sqrt((seg**2).sum(axis=1))
+        s = np.concatenate([[0.0], np.cumsum(d)])
+        tt = np.linspace(0.0, s[-1], 201)[:-1]
+        ref = np.zeros((200, 2))
+        j = 0
+        for i, ti in enumerate(tt):
+            while j < len(d) - 1 and s[j + 1] < ti:
+                j += 1
+            u = 0.0 if d[j] == 0 else (ti - s[j]) / d[j]
+            ref[i] = pts[j] * (1 - u) + pts[j + 1] * u
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_sample_polygon_boundary(self):
+        poly = _circle_poly(1000)
+        z, ds = resample.sample_polygon_boundary(poly, 256)
+        assert len(z) == 256
+        np.testing.assert_allclose(np.abs(z), 1.0, atol=1e-3)
+        np.testing.assert_allclose(ds, poly.length / 256)
+
+
+class TestCardioid:
+    def test_exact_inverse_roundtrip(self, rng):
+        w = 0.9 * (rng.uniform(-1, 1, 500) + 1j * rng.uniform(-1, 1, 500))
+        w = w[np.abs(w) < 0.95]
+        z = cardioid.disk_to_cardioid(w)
+        w_back = cardioid.cardioid_to_disk(z)
+        np.testing.assert_allclose(w_back, w, atol=1e-12)
+
+    def test_polygon_area(self):
+        poly = cardioid.cardioid_polygon(4000, endpoint=False)
+        # univalent f(w) = w/2 - w^2/4: area = pi*(1*|1/2|^2 + 2*|1/4|^2) = 0.375*pi
+        assert poly.area == pytest.approx(0.375 * np.pi, rel=1e-4)
+
+
+class TestMeshInterp:
+    def test_mesh_and_barycentric_roundtrip(self):
+        poly = _circle_poly(200)
+        pts, tri = mesh.polygon_to_mesh(poly, h=0.2, boundary_h=0.15, seed=0)
+        assert len(tri) > 20
+        bnd = mesh.boundary_vertices(tri)
+        assert len(bnd) > 10
+        r_bnd = np.hypot(pts[bnd, 0], pts[bnd, 1])
+        assert r_bnd.min() > 0.7
+        # interpolate the identity: invert_uv_to_z(z(uv)=uv) recovers queries
+        z_nodes = pts[:, 0] + 1j * pts[:, 1]
+        q = np.array([[0.1, 0.2], [-0.3, 0.4], [0.0, 0.0]])
+        z_out, ok, _ = interp.invert_uv_to_z(q, pts, z_nodes)
+        assert ok.all()
+        np.testing.assert_allclose(
+            np.column_stack([z_out.real, z_out.imag]), q, atol=1e-9
+        )
