@@ -1,0 +1,115 @@
+"""Entropic OT alignment: kernel-argmax matcher and full log-space Sinkhorn.
+
+Reference variants (S6, reimplemented):
+  * "fixed" degenerate matcher — subsample both clouds to equal size, scale
+    the distance matrix by its mean, K = exp(-M/eps), match = argmax over
+    rows (a nearest-neighbor matcher; no iterations) —
+    tci_construct_mandelbrot_v002_fixed.py:62-71
+  * full Sinkhorn u/v iterations (eps=0.05, 1000 iters, SQUARED cdist) —
+    tci_construct_mandelbrot-v002.py:60-72; POT ot.sinkhorn path —
+    construct_stage1_clean.py:110-133
+
+TPU-first: the distance matrix is built blocked; the full Sinkhorn runs in
+log space with lax.scan (numerically safe for small eps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _xy(c):
+    c = np.asarray(c)
+    if np.iscomplexobj(c):
+        return np.column_stack([c.real.ravel(), c.imag.ravel()])
+    return c
+
+
+@jax.jit
+def _pairwise_dist(a, b):
+    """Euclidean distances computed like cdist: sqrt of coordinate sums."""
+    dx = a[:, 0][:, None] - b[:, 0][None, :]
+    dy = a[:, 1][:, None] - b[:, 1][None, :]
+    return jnp.sqrt(dx * dx + dy * dy)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _argmax_kernel_rows(a, b, inv_mean_eps, chunk: int = 2048):
+    """argmax_j exp(-d_ij * inv_mean_eps) computed blocked over rows of a."""
+    n = a.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    ap = jnp.pad(a, ((0, npad - n), (0, 0)))
+
+    def body(i, out):
+        rows = jax.lax.dynamic_slice_in_dim(ap, i * chunk, chunk, axis=0)
+        d = _pairwise_dist(rows, b)
+        k = jnp.nan_to_num(jnp.exp(-d * inv_mean_eps))
+        return jax.lax.dynamic_update_slice_in_dim(out, jnp.argmax(k, axis=1), i * chunk, axis=0)
+
+    out = jnp.zeros(npad, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    out = jax.lax.fori_loop(0, npad // chunk, body, out)
+    return out[:n]
+
+
+def entropic_argmax_match(x, y, eps: float = 0.8, rng=None):
+    """tci_construct_mandelbrot_v002_fixed.py:62-71 semantics.
+
+    Subsample the larger cloud to the smaller's size with numpy RNG (pass
+    np.random to share the reference's global stream), normalize distances by
+    their mean, and match each x to argmax_j exp(-d/eps).
+    Returns (y[match], x) like the reference.
+    """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    r = rng if rng is not None else np.random
+    n, m = len(x), len(y)
+    if n > m:
+        x = r.choice(x, m, replace=False)
+    if m > n:
+        y = r.choice(y, n, replace=False)
+    ax, by = _xy(x), _xy(y)
+    d = _pairwise_dist(jnp.asarray(ax), jnp.asarray(by))
+    mean = jnp.mean(d)
+    match = np.asarray(_argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), 1.0 / (mean * eps)))
+    return y[match], x
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def sinkhorn_log(cost, iters: int = 1000, eps: float = 0.05):
+    """Log-domain Sinkhorn with uniform marginals; returns the plan.
+
+    Equivalent (for well-scaled costs) to the reference's u/v iterations at
+    tci_construct_mandelbrot-v002.py:60-72, but stable for small eps.
+    """
+    n, m = cost.shape
+    log_mu = -jnp.log(n) * jnp.ones(n, dtype=cost.dtype)
+    log_nu = -jnp.log(m) * jnp.ones(m, dtype=cost.dtype)
+    mk = -cost / eps
+
+    def body(carry, _):
+        f, g = carry
+        f = eps * (log_mu - jax.scipy.special.logsumexp(mk + g[None, :] / eps, axis=1))
+        g = eps * (log_nu - jax.scipy.special.logsumexp(mk + f[:, None] / eps, axis=0))
+        return (f, g), None
+
+    (f, g), _ = jax.lax.scan(body, (jnp.zeros(n, cost.dtype), jnp.zeros(m, cost.dtype)), None, length=iters)
+    return jnp.exp(mk + f[:, None] / eps + g[None, :] / eps)
+
+
+def sinkhorn_match(x, y, eps: float = 0.05, iters: int = 1000, squared: bool = True):
+    """Full-Sinkhorn barycentric matching: each x_i -> argmax_j plan_ij.
+
+    Mirrors the original tci_construct_mandelbrot-v002.py intent (squared
+    cdist cost). Returns (y[match], plan).
+    """
+    ax, by = _xy(x), _xy(y)
+    d = np.asarray(_pairwise_dist(jnp.asarray(ax), jnp.asarray(by)))
+    cost = d**2 if squared else d
+    cost = cost / max(cost.mean(), 1e-300)
+    plan = np.asarray(sinkhorn_log(jnp.asarray(cost), iters=iters, eps=eps))
+    match = plan.argmax(axis=1)
+    return np.asarray(y)[match], plan
