@@ -107,10 +107,11 @@ def de_field_tci(cr, ci, max_iter: int = 250, escape_r: float = 250.0, eps: floa
     zr, zi, dzr, dzi, esc, lr, li = jax.lax.fori_loop(
         0, max_iter, body, (zr, zi, dzr, dzi, esc, lr, li)
     )
-    az = jnp.sqrt(lr * lr + li * li)
-    # 2*z*dz with the latched z and FINAL dz (possibly inf/nan)
+    az = jnp.hypot(lr, li)
+    # 2*z*dz with the latched z and FINAL dz (possibly inf/nan); hypot matches
+    # numpy's complex abs (no premature overflow at |.| ~ 1e200)
     pr, pi = 2.0 * lr * dzr - 2.0 * li * dzi, 2.0 * lr * dzi + 2.0 * li * dzr
-    den = jnp.maximum(jnp.sqrt(pr * pr + pi * pi), eps)
+    den = jnp.maximum(jnp.hypot(pr, pi), eps)
     d = jnp.where(esc, jnp.log(jnp.maximum(az, 1e-300)) * az / den, 0.0)
     d = jnp.nan_to_num(d, nan=0.0, posinf=0.0, neginf=0.0)
     return esc, d, lr, li
@@ -153,10 +154,10 @@ def de_field_std(cr, ci, max_iter: int = 500, escape_r: float = 4.0, eps: float 
 
     out = jax.lax.fori_loop(0, max_iter, body, (zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi))
     zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi = out
-    az = jnp.sqrt(lzr * lzr + lzi * lzi)
+    az = jnp.hypot(lzr, lzi)
     pr, pi = 2.0 * (lzr * ldr - lzi * ldi), 2.0 * (lzr * ldi + lzi * ldr)
     num = jnp.log(jnp.maximum(az, 1.0)) * az
-    den = jnp.maximum(jnp.sqrt(pr * pr + pi * pi), eps)
+    den = jnp.maximum(jnp.hypot(pr, pi), eps)
     dist = jnp.where(esc, jnp.nan_to_num(num / den, nan=0.0, posinf=0.0, neginf=0.0), 0.0)
     return esc, dist, (lzr, lzi), (ldr, ldi)
 

@@ -1,0 +1,223 @@
+"""GI assumption tracker (Appendix A verification) — reference orchestrator P4.
+
+Rebuild of gi_assumption_tracker_v3.py:155-343 as a config-driven library
+call (the reference dynamically imports tci_construct_mandelbrot_v002_fixed
+and monkey-patches its globals; here everything is explicit parameters).
+
+Per resolution (bins doubling 64 -> bins_max):
+  1. Construct cloud C (inverse eigenvalues, ns = step..construct_max)
+  2. Mandelbrot boundary proxy M (TCI DE grid + 25%-quantile sampler)
+  3. kernel-argmax OT match + Procrustes (reference rotation convention)
+  4. mollified histograms P_M, P_C (sigma in bins)
+  5. GI-flow (fixed-T or adaptive-to-threshold), delta_n = KL(P_M||X_T)
+  6. TV / overlap / Pinsker / compound diagnostics; growth schedule
+     (gi_assumption_tracker_v3.py:296-299)
+
+With parity=True the RNG stream (np.random.RandomState(seed)), LAPACK cloud
+ordering, and scipy-cdist matcher reproduce the checked-in
+v3_T25_sigma3_dense / v3_adaptive artifacts; the default path runs the same
+math with the batched Aberth eigensolver and blocked on-device matcher.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from cmtci.kernels import companion, mandelbrot
+from cmtci.transport import giflow
+from cmtci.transport import histogram as hg
+from cmtci.transport.procrustes import procrustes_align_no_scale
+from cmtci.transport.sinkhorn import entropic_argmax_match
+
+
+@dataclass
+class TrackerConfig:
+    # tracker CLI knobs (gi_assumption_tracker_v3.py:156-188 defaults)
+    seed: int = 7
+    domain: tuple = (-2.2, 1.2, -1.6, 1.6)
+    alpha: float = 0.1
+    bins_start: int = 64
+    bins_max: int = 1024
+    construct_step: int = 20
+    construct_max_start: int = 300
+    construct_max_growth: float = 1.35
+    mandelbrot_grid_start: int = 600
+    mandelbrot_grid_growth: float = 1.15
+    mandelbrot_samples_start: int = 25000
+    mandelbrot_samples_growth: float = 1.35
+    mandelbrot_samples_max: int = 150000
+    sigma_bins: float = 1.0
+    t_fixed: int = -1
+    kl_threshold: float = 1e-6
+    max_steps: int = 800
+    min_steps: int = 5
+    compound_threshold: float = 1e-3
+    tv_threshold: float = 0.05
+    # TCI module constants (tci_construct_mandelbrot_v002_fixed.py:12-22)
+    escape_r: float = 250.0
+    max_iter: int = 250
+    sinkhorn_eps: float = 0.8
+    eps: float = 1e-12
+    # execution
+    parity: bool = False  # LAPACK cloud + scipy matcher for bitwise oracle runs
+    family: str = "lucas_all_ones"
+
+
+@dataclass
+class TrackerRow:
+    # field names/order mirror the reference Row (gi_assumption_tracker_v3.py:48-81)
+    bins: int
+    mesh_proxy: float
+    construct_max_n: int
+    construct_step: int
+    n_construct_pts: int
+    mandelbrot_grid: int
+    mandelbrot_samples: int
+    n_mandel_pts: int
+    alpha: float
+    sigma_bins: float
+    mode: str
+    T_n: int
+    kl_initial: float
+    delta_n: float
+    kl_PM_PC: float
+    pinsker_tv_bound_XT_PM: float
+    tv_XT_PM: float
+    tv_PC_PM: float
+    overlap_mass_PC_PM: float
+    mass_outside_domain_C: float
+    mass_outside_domain_M: float
+    tv_bound_PC_PM: float
+    compound: float
+    compound_with_pinsker: float
+    stop_reason: str
+    runtime_sec: float
+
+
+def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
+    """Run the resolution-doubling tracker. Returns (rows, meta)."""
+    rng = np.random.RandomState(cfg.seed)
+    rows: List[TrackerRow] = []
+    bins = int(cfg.bins_start)
+    construct_max = int(cfg.construct_max_start)
+    grid = int(cfg.mandelbrot_grid_start)
+    samples = int(cfg.mandelbrot_samples_start)
+    global_stop = ""
+    cloud_backend = "lapack" if cfg.parity else "aberth"
+    matcher_backend = "numpy" if cfg.parity else "jax"
+
+    while bins <= int(cfg.bins_max):
+        if max_stages is not None and len(rows) >= max_stages:
+            break
+        t0 = time.time()
+        ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
+
+        c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
+        m_cloud = mandelbrot.sample_boundary_quantile(
+            cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
+            eps=cfg.eps, rng=rng,
+        )
+
+        m_match, c_sub = entropic_argmax_match(
+            c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng, backend=matcher_backend
+        )
+        c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
+        m_aligned = m_match
+
+        outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
+        outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
+
+        p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps))
+        p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps))
+        kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
+
+        if cfg.t_fixed > 0:
+            mode = f"fixedT={cfg.t_fixed}"
+            x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps)
+            stop_reason = "fixed_T"
+        else:
+            mode = "adaptive"
+            x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
+                p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps
+            )
+            stop_reason = (
+                "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
+            )
+
+        tv_xt_pm = hg.tv_distance(x_t, p_m)
+        tv_pc_pm = hg.tv_distance(p_c, p_m)
+        ov = hg.overlap_mass(p_c, p_m)
+        pinsker = hg.pinsker_bound(delta)
+        factor = (1.0 - cfg.alpha) ** (-int(t_n)) if t_n > 0 else float("inf")
+
+        rows.append(TrackerRow(
+            bins=bins,
+            mesh_proxy=1.0 / bins,
+            construct_max_n=construct_max,
+            construct_step=cfg.construct_step,
+            n_construct_pts=int(c_aligned.size),
+            mandelbrot_grid=grid,
+            mandelbrot_samples=samples,
+            n_mandel_pts=int(m_aligned.size),
+            alpha=cfg.alpha,
+            sigma_bins=cfg.sigma_bins,
+            mode=mode,
+            T_n=int(t_n),
+            kl_initial=float(kl0),
+            delta_n=float(delta),
+            kl_PM_PC=float(kl_pm_pc),
+            pinsker_tv_bound_XT_PM=float(pinsker),
+            tv_XT_PM=float(tv_xt_pm),
+            tv_PC_PM=float(tv_pc_pm),
+            overlap_mass_PC_PM=float(ov),
+            mass_outside_domain_C=float(outside_c),
+            mass_outside_domain_M=float(outside_m),
+            tv_bound_PC_PM=float(factor * pinsker),
+            compound=float(factor * np.sqrt(delta)),
+            compound_with_pinsker=float(factor * pinsker),
+            stop_reason=stop_reason,
+            runtime_sec=float(time.time() - t0),
+        ))
+
+        if (delta <= cfg.kl_threshold and rows[-1].compound <= cfg.compound_threshold
+                and tv_pc_pm <= cfg.tv_threshold):
+            global_stop = ("global_stop: kl<=threshold AND compound<=threshold "
+                           "AND TV(P_C,P_M)<=tv_threshold")
+            break
+
+        bins *= 2
+        construct_max = int(round((construct_max * cfg.construct_max_growth) / cfg.construct_step)) * cfg.construct_step
+        grid = int(round(grid * cfg.mandelbrot_grid_growth))
+        samples = min(cfg.mandelbrot_samples_max, int(round(samples * cfg.mandelbrot_samples_growth)))
+
+    meta = {
+        **{k: (list(v) if isinstance(v, tuple) else v) for k, v in dataclasses.asdict(cfg).items()},
+        "global_stop_reason": global_stop,
+        "rows": [dataclasses.asdict(r) for r in rows],
+    }
+    return rows, meta
+
+
+def write_outputs(rows, meta, out_prefix: str):
+    """CSV + JSON writers, schema-compatible with the reference outputs."""
+    import csv as _csv
+
+    csv_path = f"{out_prefix}.csv"
+    json_path = f"{out_prefix}.json"
+    if rows:
+        with open(csv_path, "w", newline="", encoding="utf-8") as f:
+            w = _csv.DictWriter(f, fieldnames=list(dataclasses.asdict(rows[0]).keys()))
+            w.writeheader()
+            for r in rows:
+                w.writerow(dataclasses.asdict(r))
+    else:
+        open(csv_path, "w", encoding="utf-8").close()
+    with open(json_path, "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=2)
+    return csv_path, json_path

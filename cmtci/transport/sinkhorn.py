@@ -38,16 +38,19 @@ def _pairwise_dist(a, b):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _argmax_kernel_rows(a, b, inv_mean_eps, chunk: int = 2048):
-    """argmax_j exp(-d_ij * inv_mean_eps) computed blocked over rows of a."""
+def _argmax_kernel_rows(a, b, mean, eps, chunk: int = 2048):
+    """argmax_j exp(-(d_ij/mean)/eps) computed blocked over rows of a.
+
+    Op order matches the reference (scale by mean, then by eps, then exp).
+    """
     n = a.shape[0]
     npad = ((n + chunk - 1) // chunk) * chunk
     ap = jnp.pad(a, ((0, npad - n), (0, 0)))
 
     def body(i, out):
         rows = jax.lax.dynamic_slice_in_dim(ap, i * chunk, chunk, axis=0)
-        d = _pairwise_dist(rows, b)
-        k = jnp.nan_to_num(jnp.exp(-d * inv_mean_eps))
+        d = _pairwise_dist(rows, b) / mean
+        k = jnp.nan_to_num(jnp.exp(-d / eps))
         return jax.lax.dynamic_update_slice_in_dim(out, jnp.argmax(k, axis=1), i * chunk, axis=0)
 
     out = jnp.zeros(npad, dtype=jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
@@ -55,13 +58,17 @@ def _argmax_kernel_rows(a, b, inv_mean_eps, chunk: int = 2048):
     return out[:n]
 
 
-def entropic_argmax_match(x, y, eps: float = 0.8, rng=None):
+def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"):
     """tci_construct_mandelbrot_v002_fixed.py:62-71 semantics.
 
     Subsample the larger cloud to the smaller's size with numpy RNG (pass
-    np.random to share the reference's global stream), normalize distances by
-    their mean, and match each x to argmax_j exp(-d/eps).
-    Returns (y[match], x) like the reference.
+    np.random or a RandomState to share the reference's global stream),
+    normalize distances by their mean, and match each x to
+    argmax_j exp(-d/eps). Returns (y[match], x) like the reference.
+
+    backend="numpy" reproduces the reference's exact op order (scipy cdist,
+    full K matrix) for bitwise oracle parity; backend="jax" computes the same
+    match blocked on-device without materializing K.
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -72,9 +79,19 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None):
     if m > n:
         y = r.choice(y, n, replace=False)
     ax, by = _xy(x), _xy(y)
-    d = _pairwise_dist(jnp.asarray(ax), jnp.asarray(by))
-    mean = jnp.mean(d)
-    match = np.asarray(_argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), 1.0 / (mean * eps)))
+    if backend == "numpy":
+        from scipy.spatial.distance import cdist
+
+        d = cdist(ax, by)
+        d = d / d.mean()
+        k = np.nan_to_num(np.exp(-d / eps))
+        match = np.argmax(k, axis=1)
+    else:
+        d = _pairwise_dist(jnp.asarray(ax), jnp.asarray(by))
+        mean = jnp.mean(d)
+        match = np.asarray(
+            _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
+        )
     return y[match], x
 
 

@@ -1,0 +1,70 @@
+"""End-to-end regression: tracker pipeline vs the checked-in Appendix-A oracles.
+
+tests/data/v3_*.csv are the reference repo's frozen gi_assumption_tracker_v3
+outputs (seed 7). In parity mode the rebuilt pipeline reproduces them to
+~1e-9 relative; the TPU-first path (Aberth eigensolver + blocked matcher)
+must agree statistically.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+CHECK_KEYS = [
+    "kl_initial", "delta_n", "kl_PM_PC", "tv_XT_PM", "tv_PC_PM",
+    "overlap_mass_PC_PM", "tv_bound_PC_PM", "compound",
+]
+EXACT_KEYS = ["n_construct_pts", "n_mandel_pts", "T_n", "bins", "stop_reason"]
+
+
+def _ref_rows(name):
+    with open(os.path.join(DATA, name)) as f:
+        return list(csv.DictReader(f))
+
+
+@pytest.mark.parametrize("mode", ["parity", "tpu"])
+def test_fixed_t_stage1_vs_oracle(mode):
+    ref = _ref_rows("v3_T25_sigma3_dense.csv")[0]
+    cfg = TrackerConfig(sigma_bins=3.0, t_fixed=25, bins_start=64, bins_max=512,
+                        parity=(mode == "parity"))
+    rows, _ = run_tracker(cfg, max_stages=1)
+    r = rows[0]
+    rtol = 1e-9 if mode == "parity" else 2e-3
+    for k in CHECK_KEYS:
+        assert float(getattr(r, k)) == pytest.approx(float(ref[k]), rel=rtol), k
+    for k in EXACT_KEYS:
+        got = getattr(r, k)
+        want = type(got)(ref[k]) if not isinstance(got, str) else ref[k]
+        assert got == want, k
+    assert r.mass_outside_domain_C == 0.0
+    assert r.mass_outside_domain_M == 0.0
+
+
+def test_adaptive_stage1_vs_oracle():
+    ref = _ref_rows("v3_adaptive.csv")[0]
+    cfg = TrackerConfig(sigma_bins=1.0, t_fixed=-1, bins_start=64, bins_max=512, parity=True)
+    rows, _ = run_tracker(cfg, max_stages=1)
+    r = rows[0]
+    assert r.T_n == int(ref["T_n"])  # == 87: adaptive stop at the same step
+    assert r.stop_reason == "kl_threshold_met"
+    for k in CHECK_KEYS:
+        assert float(getattr(r, k)) == pytest.approx(float(ref[k]), rel=1e-9), k
+
+
+def test_output_schema_matches_reference(tmp_path):
+    from cmtci.pipelines.tracker import write_outputs
+
+    cfg = TrackerConfig(sigma_bins=3.0, t_fixed=2, bins_start=16, bins_max=16,
+                        mandelbrot_grid_start=120, mandelbrot_samples_start=2000,
+                        construct_max_start=60)
+    rows, meta = run_tracker(cfg)
+    csv_path, json_path = write_outputs(rows, meta, str(tmp_path / "out"))
+    got_header = open(csv_path).readline().strip().split(",")
+    ref_header = open(os.path.join(DATA, "v3_adaptive.csv")).readline().strip().split(",")
+    assert got_header == ref_header
