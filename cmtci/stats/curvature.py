@@ -1,0 +1,109 @@
+"""Boundary curvature estimators (T1-T3), vectorized/vmapped.
+
+Reference behavior (reimplemented):
+  * local-polynomial paper estimator (±m window, signed local arclength,
+    quadratic least squares in x(s), y(s), κ = |x'y''-y'x''|/speed³) —
+    boundary_curvature_localpoly.py:65-184
+  * quick gradient estimator — spatial_stats_phase3.py:18-25
+  * PCA-eccentricity proxy (kNN covariance λ_min/Σλ) —
+    tci_construct_mandelbrot_v002_fixed.py:100-108
+
+TPU-first: the per-point Python loop becomes one batched windowed gather +
+a vmapped 3x3 normal-equation solve.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _window_indices(n: int, m: int, closed: bool):
+    offs = np.arange(-m, m + 1)
+    idx = np.arange(n)[:, None] + offs[None, :]
+    if closed:
+        return idx % n
+    return np.clip(idx, 0, n - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _localpoly_core(xy_win, m: int):
+    """xy_win: (N, 2m+1, 2) windowed points; returns curvature fields."""
+    mid = m
+    seg = jnp.linalg.norm(xy_win[:, 1:, :] - xy_win[:, :-1, :], axis=-1)  # (N, 2m)
+    # signed arclength with s=0 at the window center
+    cum = jnp.concatenate([jnp.zeros_like(seg[:, :1]), jnp.cumsum(seg, axis=1)], axis=1)
+    s = cum - cum[:, mid : mid + 1]  # (N, 2m+1)
+
+    ones = jnp.ones_like(s)
+    a = jnp.stack([ones, s, s * s], axis=-1)  # (N, W, 3)
+    ata = jnp.einsum("nwi,nwj->nij", a, a)
+    atx = jnp.einsum("nwi,nw->ni", a, xy_win[..., 0])
+    aty = jnp.einsum("nwi,nw->ni", a, xy_win[..., 1])
+    cx = jnp.linalg.solve(ata, atx[..., None])[..., 0]
+    cy = jnp.linalg.solve(ata, aty[..., None])[..., 0]
+
+    x1, x2 = cx[:, 1], 2.0 * cx[:, 2]
+    y1, y2 = cy[:, 1], 2.0 * cy[:, 2]
+    cross = x1 * y2 - y1 * x2
+    speed = jnp.sqrt(x1 * x1 + y1 * y1) + 1e-16
+    kappa_signed = cross / speed**3
+    return jnp.abs(kappa_signed), kappa_signed, speed, x1, y1, x2, y2
+
+
+def localpoly_curvature(p, neighbors: int = 7, closed: bool = True):
+    """Paper curvature estimator. Returns (kappa, kappa_signed, speed, aux).
+
+    Matches boundary_curvature_localpoly.py:133-184 (stride=1); the
+    quadratic fit solves the normal equations (vs lstsq/SVD in the
+    reference — identical to ~1e-10 for these well-conditioned windows).
+    """
+    p = np.asarray(p, dtype=float)
+    n = p.shape[0]
+    m = int(neighbors)
+    if m < 2:
+        raise ValueError("neighbors must be >= 2 for a meaningful quadratic fit.")
+    if n < 2 * m + 1:
+        raise ValueError(f"Need at least {2*m+1} points; got {n}.")
+    idx = _window_indices(n, m, closed)
+    kappa, ks, speed, x1, y1, x2, y2 = _localpoly_core(jnp.asarray(p)[idx], m)
+    aux = dict(xprime=np.asarray(x1), yprime=np.asarray(y1), x2=np.asarray(x2), y2=np.asarray(y2))
+    return np.asarray(kappa), np.asarray(ks), np.asarray(speed), aux
+
+
+def gradient_curvature(p):
+    """np.gradient-based estimator (spatial_stats_phase3.py:18-25)."""
+    p = jnp.asarray(p, dtype=jnp.float64)
+    dx = jnp.gradient(p[:, 0])
+    dy = jnp.gradient(p[:, 1])
+    ddx = jnp.gradient(dx)
+    ddy = jnp.gradient(dy)
+    return np.asarray(jnp.abs(dx * ddy - dy * ddx) / (dx**2 + dy**2) ** 1.5)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pca_ecc(xy, k: int):
+    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+    _, idx = jax.lax.top_k(-d2, k)  # k nearest incl. self
+    neigh = xy[idx]  # (N, k, 2)
+    z = neigh - neigh.mean(axis=1, keepdims=True)
+    cov = jnp.einsum("nki,nkj->nij", z, z) / (k - 1)
+    eig = jnp.linalg.eigvalsh(cov)
+    return eig[:, 0] / jnp.maximum(eig.sum(axis=1), 1e-300)
+
+
+def pca_eccentricity(pts, k: int = 6):
+    """kNN covariance λ_min/Σλ (tci_construct_mandelbrot_v002_fixed.py:100-108).
+
+    The reference queries a KDTree per point; here it's a dense blocked
+    top-k (fine for the ≤25k-point clouds involved).
+    """
+    pts = np.asarray(pts)
+    if np.iscomplexobj(pts):
+        xy = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    else:
+        xy = pts
+    return np.asarray(_pca_ecc(jnp.asarray(xy), int(k)))

@@ -1,0 +1,125 @@
+"""Point-cloud spatial statistics: g(r), Ripley K, Hausdorff, box counting.
+
+Reference behavior (reimplemented, blocked/vectorized):
+  * pair correlation & Ripley K with bbox-area density normalization —
+    spatial_stats_phase2.py:9-47
+  * Hausdorff = max of the two directed distances —
+    spatial_stats_phase3.py:10-15, tci_construct_mandelbrot_v002_fixed.py:97-98
+  * box-counting fractal dimension over 10 logspaced relative scales —
+    spatial_stats_phase3.py:41-55
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _xy(pts):
+    pts = np.asarray(pts)
+    if np.iscomplexobj(pts):
+        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    return np.asarray(pts, dtype=float)
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "chunk"))
+def _pair_hist(xy, r_edges, nbins: int, chunk: int = 1024):
+    """Histogram of upper-triangle pairwise distances into r_edges bins.
+
+    Returns counts per bin (values >= last edge are dropped, matching the
+    reference's shell masks).
+    """
+    n = xy.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(xy, ((0, npad - n), (0, 0)))
+    rows = jnp.arange(npad)
+
+    def body(i, acc):
+        blk = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=0)
+        bidx = i * chunk + jnp.arange(chunk)
+        d = jnp.sqrt(jnp.sum((blk[:, None, :] - xp[None, :, :]) ** 2, axis=-1))
+        valid = (bidx[:, None] < rows[None, :]) & (bidx[:, None] < n) & (rows[None, :] < n)
+        bins = jnp.searchsorted(r_edges, d.ravel(), side="right") - 1
+        ok = valid.ravel() & (bins >= 0) & (bins < nbins)
+        bins = jnp.where(ok, bins, nbins)
+        return acc.at[bins].add(1.0)
+
+    acc = jnp.zeros(nbins + 1)
+    acc = jax.lax.fori_loop(0, npad // chunk, body, acc)
+    return acc[:-1]
+
+
+def pair_correlation(points, r_max: float, dr: float):
+    """g(r) per spatial_stats_phase2.py:9-31 (shells [r, r+dr))."""
+    xy = _xy(points)
+    n = len(xy)
+    area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
+    rho = n / area
+    r_vals = np.arange(0, r_max, dr)
+    edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]))
+    counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
+    norm = 2 * np.pi * r_vals * dr * n * rho
+    g = np.where(norm > 0, counts / np.where(norm > 0, norm, 1.0), 0.0)
+    return r_vals, g
+
+
+def ripley_k(points, r_max: float, dr: float):
+    """K(r) per spatial_stats_phase2.py:33-47 (cumulative count < r)."""
+    xy = _xy(points)
+    n = len(xy)
+    area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
+    rho = n / area
+    r_vals = np.arange(0, r_max, dr)
+    # histogram then cumulative: count(d < r) for each threshold r
+    edges = jnp.asarray(np.concatenate([[0.0], r_vals]))
+    counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
+    cum = np.cumsum(counts)  # pairs with d < r_vals[k] (upper triangle)
+    return r_vals, (2.0 * cum) / (n * rho)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _directed_hausdorff(a, b, chunk: int = 1024):
+    """max_i min_j |a_i - b_j| (exact, blocked)."""
+    n = a.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    ap = jnp.pad(a, ((0, npad - n), (0, 0)))
+
+    def body(i, best):
+        blk = jax.lax.dynamic_slice_in_dim(ap, i * chunk, chunk, axis=0)
+        d2 = jnp.sum((blk[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        mins = jnp.min(d2, axis=1)
+        idx = i * chunk + jnp.arange(chunk)
+        mins = jnp.where(idx < n, mins, -jnp.inf)
+        return jnp.maximum(best, jnp.max(mins))
+
+    best = jax.lax.fori_loop(0, npad // chunk, body, -jnp.inf)
+    return jnp.sqrt(best)
+
+
+def hausdorff(a, b) -> float:
+    """Symmetric Hausdorff distance (exact; equals scipy's directed pair)."""
+    a = jnp.asarray(_xy(a))
+    b = jnp.asarray(_xy(b))
+    return float(jnp.maximum(_directed_hausdorff(a, b), _directed_hausdorff(b, a)))
+
+
+def fractal_dimension(points, scales=None):
+    """Box-counting dimension (spatial_stats_phase3.py:41-55).
+
+    Returns (slope, (log(1/scales), log(N))).
+    """
+    xy = _xy(points)
+    if scales is None:
+        scales = np.logspace(-2, 0, 10, base=10.0)
+    mins = xy.min(axis=0)
+    rng = xy.max(axis=0) - mins
+    n_boxes = []
+    for s in scales:
+        step = rng * s
+        grid = np.floor((xy - mins) / step).astype(int)
+        n_boxes.append(len(np.unique(grid, axis=0)))
+    coeffs = np.polyfit(np.log(1 / scales), np.log(n_boxes), 1)
+    return coeffs[0], (np.log(1 / scales), np.log(n_boxes))
