@@ -1,0 +1,105 @@
+"""Diffusion-map style spectral embeddings of point clouds (T16).
+
+Reference: dynamical_embeddings_phase7.py:42-102 — sparse kNN gaussian
+kernel (k=20, sigma = eps_scale * median kNN distance), symmetrize, row-
+normalize to a Markov matrix, top-n_eigs eigenpairs of the symmetrized P,
+and an L2 spectral distance on leading eigenvalues.
+
+TPU-first: the kNN search is a blocked dense top-k on device (the clouds
+are <=150k points, 2-D); the small eigenproblem runs via scipy eigsh on the
+sparse symmetrized Markov matrix (host) with a dense jnp.linalg.eigh path
+for small n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.linalg import eigsh
+
+
+def _xy(pts):
+    pts = np.asarray(pts)
+    if np.iscomplexobj(pts):
+        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    return np.asarray(pts, dtype=float)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn(xy, k: int, chunk: int = 2048):
+    """(distances, indices) of the k nearest neighbors excluding self."""
+    n = xy.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(xy, ((0, npad - n), (0, 0)), constant_values=jnp.inf)
+
+    def body(i, acc):
+        dists, idxs = acc
+        blk = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=0)
+        ridx = i * chunk + jnp.arange(chunk)
+        d2 = jnp.sum((blk[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(ridx[:, None] == jnp.arange(n)[None, :], jnp.inf, d2)  # drop self
+        negd, nbr = jax.lax.top_k(-d2, k)
+        dists = jax.lax.dynamic_update_slice_in_dim(dists, jnp.sqrt(-negd), i * chunk, axis=0)
+        idxs = jax.lax.dynamic_update_slice_in_dim(idxs, nbr, i * chunk, axis=0)
+        return dists, idxs
+
+    dists = jnp.zeros((npad, k), dtype=xy.dtype)
+    idxs = jnp.zeros((npad, k), dtype=jnp.int32)
+    dists, idxs = jax.lax.fori_loop(0, npad // chunk, body, (dists, idxs))
+    return dists[:n], idxs[:n]
+
+
+def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5):
+    """Symmetric sparse gaussian kNN kernel; returns (K csr, sigma)."""
+    xy = _xy(points)
+    n = len(xy)
+    dists, idxs = _knn(jnp.asarray(xy), int(k))
+    dists = np.asarray(dists)
+    idxs = np.asarray(idxs)
+    sigma = float(np.median(dists.ravel()) * eps_scale)
+    if sigma <= 0:
+        sigma = 1.0
+    rows = np.repeat(np.arange(n), k)
+    data = np.exp(-(dists.ravel() ** 2) / (2 * sigma * sigma))
+    kmat = csr_matrix((data, (rows, idxs.ravel())), shape=(n, n))
+    return 0.5 * (kmat + kmat.T), sigma
+
+
+def markov_from_kernel(kmat):
+    """Row-normalize to a Markov matrix (dynamical_embeddings_phase7.py:69-76)."""
+    row_sum = np.asarray(kmat.sum(axis=1)).ravel()
+    inv = np.divide(1.0, row_sum, out=np.zeros_like(row_sum), where=row_sum != 0)
+    d_inv = csr_matrix((inv, (np.arange(len(inv)), np.arange(len(inv)))), shape=kmat.shape)
+    return d_inv.dot(kmat)
+
+
+def spectral_embedding(p, n_eigs: int = 8):
+    """Top eigenpairs of the symmetrized Markov matrix, descending."""
+    s = (0.5 * (p + p.T)).tocsr()
+    k = min(n_eigs, s.shape[0] - 2)
+    try:
+        vals, vecs = eigsh(s, k=k, which="LM")
+    except Exception:
+        vals_all, vecs_all = np.linalg.eigh(s.toarray())
+        vals = vals_all[::-1][:n_eigs]
+        vecs = vecs_all[:, ::-1][:, :n_eigs]
+    order = np.argsort(vals)[::-1]
+    return vals[order], vecs[:, order]
+
+
+def diffusion_map(points, k: int = 20, n_eigs: int = 8, eps_scale: float = 0.5):
+    """Full pipeline: kernel -> Markov -> spectrum. Returns (vals, vecs, sigma)."""
+    kmat, sigma = build_sparse_kernel(points, k=k, eps_scale=eps_scale)
+    p = markov_from_kernel(kmat)
+    vals, vecs = spectral_embedding(p, n_eigs=n_eigs)
+    return vals, vecs, sigma
+
+
+def embedding_spectral_distance(vals_a, vals_b) -> float:
+    """L2 on leading eigenvalues (dynamical_embeddings_phase7.py:169-172)."""
+    n = min(len(vals_a), len(vals_b))
+    return float(np.linalg.norm(np.asarray(vals_a)[:n] - np.asarray(vals_b)[:n]))

@@ -1,0 +1,183 @@
+"""Symmetry analysis: discrete ops + best reflection-axis search (T17).
+
+Reference: symmetry_phase_bestaxis.py:36-296 — ops {identity, reflect_x,
+reflect_y, rot_pi, reflect about an arbitrary axis through the centroid};
+preservation fraction = share of points whose symmetric image has a nearest
+neighbor within TOL; 361-angle coarse scan then bounded scalar refinement.
+(The reference file as checked in has a SyntaxError at :181 — `bounds=`
+passed twice to minimize_scalar; the clear intent, a bounded refine within
+±5° of the coarse optimum, is implemented here.)
+
+TPU-first: the nearest-neighbor distances are a blocked min-distance kernel
+and the 361-angle scan vmaps over angles.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _xy(pts):
+    pts = np.asarray(pts)
+    if np.iscomplexobj(pts):
+        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    return np.asarray(pts, dtype=float)
+
+
+def reflect_across_line(points, angle: float, origin=None):
+    """Reflect about the line through `origin` at `angle` (radians).
+
+    Matches symmetry_phase_bestaxis.py:51-77 (rotate by -angle, flip y,
+    rotate back).
+    """
+    points = _xy(points)
+    if origin is None:
+        origin = points.mean(axis=0)
+    p = points - origin
+    c, s = math.cos(angle), math.sin(angle)
+    # rotate by -angle, reflect y -> -y, rotate by +angle == reflection matrix
+    refl = np.array([[c * c - s * s, 2 * s * c], [2 * s * c, s * s - c * c]])
+    return p @ refl.T + origin
+
+
+def apply_symmetry_op(points, op: str, angle: float | None = None):
+    """symmetry_phase_bestaxis.py:79-93 semantics."""
+    p = _xy(points).copy()
+    if op == "identity":
+        return p
+    if op == "reflect_x":
+        p[:, 1] = -p[:, 1]
+        return p
+    if op == "reflect_y":
+        p[:, 0] = -p[:, 0]
+        return p
+    if op == "rot_pi":
+        return -p
+    if op == "reflect_angle":
+        if angle is None:
+            raise ValueError("angle must be provided for reflect_angle")
+        return reflect_across_line(p, angle, origin=p.mean(axis=0))
+    raise ValueError(f"Unknown op {op}")
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def nearest_distances(a, b, chunk: int = 1024):
+    """min_j |a_i - b_j| for each i (blocked)."""
+    n = a.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    ap = jnp.pad(a, ((0, npad - n), (0, 0)))
+
+    def body(i, out):
+        blk = jax.lax.dynamic_slice_in_dim(ap, i * chunk, chunk, axis=0)
+        d2 = jnp.sum((blk[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(out, jnp.sqrt(jnp.min(d2, axis=1)), i * chunk, axis=0)
+
+    out = jnp.zeros(npad, dtype=a.dtype)
+    out = jax.lax.fori_loop(0, npad // chunk, body, out)
+    return out[:n]
+
+
+def preservation_fraction(points, op: str, tol: float = 0.05, angle: float | None = None):
+    """Fraction of points whose op-image is within tol of some point."""
+    p = _xy(points)
+    q = apply_symmetry_op(p, op, angle)
+    d = np.asarray(nearest_distances(jnp.asarray(q), jnp.asarray(p)))
+    return float((d <= tol).mean()), d
+
+
+@jax.jit
+def _reflect_batch(p, angles, origin):
+    """Reflect p (N,2) about lines through origin at each angle -> (A,N,2)."""
+    q = p - origin
+    c2 = jnp.cos(2.0 * angles)[:, None]
+    s2 = jnp.sin(2.0 * angles)[:, None]
+    x, y = q[:, 0][None, :], q[:, 1][None, :]
+    xr = c2 * x + s2 * y
+    yr = s2 * x - c2 * y
+    return jnp.stack([xr, yr], axis=-1) + origin
+
+
+def _score_angles(points, angles, tol: float):
+    """Preserved fraction for each reflection angle (vmapped NN queries)."""
+    p = jnp.asarray(_xy(points))
+    origin = p.mean(axis=0)
+    refl = _reflect_batch(p, jnp.asarray(angles), origin)
+
+    def frac(q):
+        d = nearest_distances(q, p)
+        return jnp.mean((d <= tol).astype(p.dtype))
+
+    return np.asarray(jax.lax.map(frac, refl))
+
+
+def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 361,
+                         refine: bool = True):
+    """Coarse 0..pi scan + bounded refine of the joint preservation score.
+
+    Returns dict(angle, frac_a, frac_b, scan_angles, scan_score).
+    Score = frac_a + frac_b, maximized (symmetry_phase_bestaxis.py:153-199).
+    """
+    angles = np.linspace(0, np.pi, n_angles)
+    fa = _score_angles(points_a, angles, tol)
+    fb = _score_angles(points_b, angles, tol)
+    score = fa + fb
+    best = float(angles[np.argmax(score)])
+
+    if refine:
+        from scipy.optimize import minimize_scalar
+
+        def neg(a):
+            sa = _score_angles(points_a, np.array([a]), tol)[0]
+            sb = _score_angles(points_b, np.array([a]), tol)[0]
+            return -(sa + sb)
+
+        lo = max(0.0, best - math.pi / 36)
+        hi = min(math.pi, best + math.pi / 36)
+        res = minimize_scalar(neg, bounds=(lo, hi), method="bounded",
+                              options={"xatol": 1e-4})
+        if res.success:
+            best = float(res.x)
+
+    frac_a, _ = preservation_fraction(points_a, "reflect_angle", tol, angle=best)
+    frac_b, _ = preservation_fraction(points_b, "reflect_angle", tol, angle=best)
+    return {"angle": best, "frac_a": frac_a, "frac_b": frac_b,
+            "scan_angles": angles, "scan_score": score}
+
+
+def symmetry_report(c_aligned, m_points, matches=None, tol: float = 0.05):
+    """Full op table + best-axis row (symmetry_phase_bestaxis.py:118-211)."""
+    rows = []
+    c = _xy(c_aligned)
+    m = _xy(m_points)
+    for op in ("identity", "reflect_x", "reflect_y", "rot_pi"):
+        fc, dc = preservation_fraction(c, op, tol)
+        fm, dm = preservation_fraction(m, op, tol)
+        row = {
+            "op": op, "angle_deg": None,
+            "preserved_construct_frac": fc, "preserved_mandel_frac": fm,
+            "mean_distC": float(dc.mean()), "mean_distM": float(dm.mean()),
+        }
+        if matches is not None:
+            c_op = apply_symmetry_op(c, op)
+            m_op = apply_symmetry_op(m, op)[np.asarray(matches, dtype=int)]
+            d_cross = np.linalg.norm(c_op - m_op, axis=1)
+            row["cross_preserved_frac"] = float((d_cross <= tol).mean())
+        rows.append(row)
+
+    best = best_reflection_axis(c, m, tol)
+    row = {
+        "op": "reflect_best_angle", "angle_deg": float(np.degrees(best["angle"])),
+        "preserved_construct_frac": best["frac_a"],
+        "preserved_mandel_frac": best["frac_b"],
+    }
+    if matches is not None:
+        c_ref = reflect_across_line(c, best["angle"], origin=c.mean(axis=0))
+        m_ref = reflect_across_line(m, best["angle"], origin=m.mean(axis=0))[np.asarray(matches, dtype=int)]
+        row["cross_preserved_frac"] = float((np.linalg.norm(c_ref - m_ref, axis=1) <= tol).mean())
+    rows.append(row)
+    return rows, best

@@ -1,0 +1,192 @@
+"""Empirical semivariograms, cross-variograms, model fits, detrending (T4-T8).
+
+Reference behavior (reimplemented TPU-first):
+  * grid-field semivariogram: subsample <=15k pixels, all-pairs binned mean
+    of 0.5*(dV)² — variograms_construct_mandelbrot.py:178-252
+  * cross-semivariogram with two independent location subsamples — :254-315
+  * pdist-based point/field variograms + range-at-90% estimator —
+    Iterative_Variogram_Laplacian.py:53-100
+  * exponential model fit by 200-round coordinate search —
+    variograms_construct_mandelbrotv2.py:206-235
+  * total-degree-2 polynomial detrend — variograms_construct_mandelbrotv2.py:179-204
+
+DELIBERATE CHANGE vs reference: the reference caps each bin at
+max_pairs_per_bin pairs chosen by RNG in chunk order — a nondeterministic,
+order-biased subsample that exists only to bound CPU cost. Here every pair
+is used (deterministic, unbiased, cheap on TPU); expected values agree, the
+reference's cap noise does not reproduce. Recorded per SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "chunk", "upper"))
+def _binned_sq_diff(c1, v1, c2, v2, edges, nbins: int, chunk: int, upper: bool):
+    """Per-bin (sum, count) of (v1_i - v2_j)² over pairs, blocked over i.
+
+    upper=True restricts to j > i (same-set semivariogram, no diagonal);
+    upper=False uses all (i, j) pairs (cross-variogram).
+    """
+    n1 = c1.shape[0]
+    npad = ((n1 + chunk - 1) // chunk) * chunk
+    c1p = jnp.pad(c1, ((0, npad - n1), (0, 0)))
+    v1p = jnp.pad(v1, (0, npad - n1))
+    n2 = c2.shape[0]
+    cols = jnp.arange(n2)
+
+    def body(i, acc):
+        sums, counts = acc
+        blk_c = jax.lax.dynamic_slice_in_dim(c1p, i * chunk, chunk, axis=0)
+        blk_v = jax.lax.dynamic_slice_in_dim(v1p, i * chunk, chunk)
+        ridx = i * chunk + jnp.arange(chunk)
+        d = jnp.sqrt(jnp.sum((blk_c[:, None, :] - c2[None, :, :]) ** 2, axis=-1))
+        dv2 = (blk_v[:, None] - v2[None, :]) ** 2
+        valid = jnp.broadcast_to(ridx[:, None] < n1, d.shape)
+        if upper:
+            valid = valid & (cols[None, :] > ridx[:, None])
+        b = jnp.searchsorted(edges, d.ravel(), side="right") - 1
+        ok = valid.ravel() & (b >= 0) & (b < nbins) & (d.ravel() >= edges[0])
+        b = jnp.where(ok, b, nbins)
+        sums = sums.at[b].add(jnp.where(ok, dv2.ravel(), 0.0))
+        counts = counts.at[b].add(ok.astype(sums.dtype))
+        return sums, counts
+
+    init = (jnp.zeros(nbins + 1, dtype=v1.dtype), jnp.zeros(nbins + 1, dtype=v1.dtype))
+    sums, counts = jax.lax.fori_loop(0, npad // chunk, body, init)
+    return sums[:-1], counts[:-1]
+
+
+def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
+                       chunk: int = 1024):
+    """Isotropic empirical semivariogram of a grid field.
+
+    Matches variograms_construct_mandelbrot.py:178-252 up to the documented
+    removal of the per-bin pair cap. Returns (r_centers, gamma, counts).
+    """
+    field = np.asarray(field)
+    coords = np.column_stack([np.asarray(gx).ravel(), np.asarray(gy).ravel()])
+    vals = field.ravel()
+    r = rng if rng is not None else np.random
+    m = min(m_target, coords.shape[0])
+    idx = r.choice(coords.shape[0], size=m, replace=False)
+    c = jnp.asarray(coords[idx])
+    v = jnp.asarray(vals[idx])
+    edges = jnp.asarray(np.asarray(r_bins, dtype=float))
+    nbins = len(r_bins) - 1
+    sums, counts = _binned_sq_diff(c, v, c, v, edges, nbins, chunk, upper=True)
+    sums, counts = np.asarray(sums), np.asarray(counts)
+    gamma = np.zeros(nbins)
+    nz = counts > 0
+    gamma[nz] = 0.5 * sums[nz] / counts[nz]
+    r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
+    return r_centers, gamma, counts
+
+
+def cross_semivariogram(field1, field2, gx, gy, r_bins, m_target: int = 15000,
+                        rng=None, chunk: int = 1024):
+    """Cross-semivariogram with independent location subsamples (:254-315)."""
+    coords = np.column_stack([np.asarray(gx).ravel(), np.asarray(gy).ravel()])
+    v1 = np.asarray(field1).ravel()
+    v2 = np.asarray(field2).ravel()
+    r = rng if rng is not None else np.random
+    m = min(m_target, coords.shape[0])
+    i1 = r.choice(coords.shape[0], size=m, replace=False)
+    i2 = r.choice(coords.shape[0], size=m, replace=False)
+    edges = jnp.asarray(np.asarray(r_bins, dtype=float))
+    nbins = len(r_bins) - 1
+    sums, counts = _binned_sq_diff(
+        jnp.asarray(coords[i1]), jnp.asarray(v1[i1]),
+        jnp.asarray(coords[i2]), jnp.asarray(v2[i2]),
+        edges, nbins, chunk, upper=False,
+    )
+    sums, counts = np.asarray(sums), np.asarray(counts)
+    gamma = np.zeros(nbins)
+    nz = counts > 0
+    gamma[nz] = 0.5 * sums[nz] / counts[nz]
+    r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
+    return r_centers, gamma, counts
+
+
+def point_variogram(locs, values=None, max_dist=None, nbins: int = 50):
+    """pdist-style variogram (Iterative_Variogram_Laplacian.py:53-87).
+
+    values=None uses squared pairwise distances as the 'field difference'
+    (the reference's coords-only variant). Returns (centers, gamma, counts).
+    """
+    locs = np.asarray(locs, dtype=float)
+    n = len(locs)
+    i, j = np.triu_indices(n, k=1)
+    d = np.linalg.norm(locs[i] - locs[j], axis=1)
+    sq = d**2 if values is None else (np.asarray(values)[i] - np.asarray(values)[j]) ** 2
+    if max_dist is None:
+        max_dist = 0.5 * d.max() if d.size else 1.0
+    bins = np.linspace(0, max_dist, nbins + 1)
+    centers = 0.5 * (bins[:-1] + bins[1:])
+    gamma = np.full(nbins, np.nan)
+    counts = np.zeros(nbins, dtype=int)
+    which = np.digitize(d, bins) - 1
+    for k in range(nbins):
+        m = which == k
+        if m.any():
+            gamma[k] = 0.5 * np.mean(sq[m])
+            counts[k] = m.sum()
+    return centers, gamma, counts
+
+
+def variogram_range(lags, gamma, pct: float = 0.9):
+    """First lag where gamma >= pct*max (Iterative_Variogram_Laplacian.py:88-100)."""
+    finite = np.isfinite(gamma)
+    if not finite.any():
+        return None
+    thr = pct * np.nanmax(gamma)
+    for lag, g in zip(lags, gamma):
+        if np.isfinite(g) and g >= thr:
+            return lag
+    return lags[-1]
+
+
+def fit_exponential_variogram(r, gamma, rounds: int = 200):
+    """nugget + sill*(1-exp(-r/a)) by coordinate search (v2:206-235)."""
+    r = np.asarray(r, dtype=float)
+    g_in = np.asarray(gamma, dtype=float)
+    m = np.isfinite(r) & np.isfinite(g_in) & (r > 0)
+    if m.sum() < 5:
+        return {"nugget": np.nan, "sill": np.nan, "a": np.nan, "model": None}
+    r, g = r[m], g_in[m]
+    params = np.array([max(0.0, g.min()), max(1e-9, g.max() - g.min()), 0.5])
+
+    def model(p, rr):
+        return p[0] + p[1] * (1.0 - np.exp(-rr / max(1e-6, p[2])))
+
+    def loss(p):
+        return np.sum((g - model(p, r)) ** 2)
+
+    for _ in range(rounds):
+        for j in range(3):
+            step = 0.05 * (1.0 if j < 2 else max(0.1, params[2]))
+            for s in (+1, -1):
+                cand = params.copy()
+                cand[j] += s * step
+                if loss(cand) < loss(params):
+                    params = cand
+    nug, sil, a = params
+    return {"nugget": float(nug), "sill": float(sil), "a": float(a),
+            "model": lambda rr: nug + sil * (1.0 - np.exp(-rr / max(1e-6, a)))}
+
+
+def detrend_poly2d(field, gx, gy, deg: int = 2):
+    """Total-degree-deg polynomial detrend (v2:179-204). Returns (resid, fit)."""
+    field = np.asarray(field)
+    x = np.asarray(gx).ravel()
+    y = np.asarray(gy).ravel()
+    powers = [(i, j) for i in range(deg + 1) for j in range(deg + 1 - i)]
+    phi = np.column_stack([(x**i) * (y**j) for (i, j) in powers])
+    coef, *_ = np.linalg.lstsq(phi, field.ravel(), rcond=None)
+    fit = (phi @ coef).reshape(field.shape)
+    return field - fit, fit

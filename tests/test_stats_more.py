@@ -1,0 +1,214 @@
+"""Variograms, multifractal, embeddings, symmetry, laws, field correlations."""
+
+import numpy as np
+import pytest
+
+from cmtci.stats import embeddings, fields, laws, multifractal, symmetry, variogram
+
+
+class TestVariogram:
+    def test_constant_field_gamma_zero(self, rng):
+        gx, gy = np.meshgrid(np.linspace(0, 1, 20), np.linspace(0, 1, 20))
+        f = np.full((20, 20), 3.7)
+        r_bins = np.linspace(0, 1.0, 11)
+        _, gamma, counts = variogram.grid_semivariogram(f, gx, gy, r_bins, rng=rng)
+        assert counts.sum() > 0
+        np.testing.assert_allclose(gamma, 0.0, atol=1e-20)
+
+    def test_matches_uncapped_bruteforce(self, rng):
+        gx, gy = np.meshgrid(np.linspace(0, 1, 12), np.linspace(0, 1, 12))
+        f = rng.normal(size=(12, 12))
+        r_bins = np.linspace(0, 0.8, 9)
+        rc, gamma, counts = variogram.grid_semivariogram(
+            f, gx, gy, r_bins, m_target=144, rng=np.random.RandomState(0)
+        )
+        coords = np.column_stack([gx.ravel(), gy.ravel()])
+        vals = f.ravel()
+        i, j = np.triu_indices(len(coords), k=1)
+        d = np.linalg.norm(coords[i] - coords[j], axis=1)
+        dv2 = (vals[i] - vals[j]) ** 2
+        for k in range(8):
+            m = (d >= r_bins[k]) & (d < r_bins[k + 1])
+            if m.any():
+                assert gamma[k] == pytest.approx(0.5 * dv2[m].mean(), rel=1e-10)
+                assert counts[k] == m.sum()
+
+    def test_cross_variogram_identical_fields(self, rng):
+        gx, gy = np.meshgrid(np.linspace(0, 1, 15), np.linspace(0, 1, 15))
+        f = rng.normal(size=(15, 15))
+        r_bins = np.linspace(0, 0.8, 9)
+        rc, g12, _ = variogram.cross_semivariogram(
+            f, f, gx, gy, r_bins, m_target=225, rng=np.random.RandomState(1)
+        )
+        assert np.all(np.isfinite(g12[1:]))
+
+    def test_point_variogram_reference_loop(self, rng):
+        locs = rng.uniform(size=(60, 2))
+        vals = rng.normal(size=60)
+        c, g, n = variogram.point_variogram(locs, vals, max_dist=0.7, nbins=10)
+        # reference loop
+        from scipy.spatial.distance import pdist
+
+        i, j = np.triu_indices(60, k=1)
+        d = np.linalg.norm(locs[i] - locs[j], axis=1)
+        sq = (vals[i] - vals[j]) ** 2
+        bins = np.linspace(0, 0.7, 11)
+        for k in range(10):
+            m = (d >= bins[k]) & (d < bins[k + 1])
+            if m.any():
+                assert g[k] == pytest.approx(0.5 * sq[m].mean(), rel=1e-12)
+
+    def test_range_estimator(self):
+        lags = np.linspace(0.05, 1.0, 20)
+        gamma = 1.0 - np.exp(-lags / 0.2)
+        a = variogram.variogram_range(lags, gamma, pct=0.9)
+        assert 0.3 < a < 0.7  # 90% of max of this curve
+
+    def test_exponential_fit_recovers(self, rng):
+        r = np.linspace(0.02, 2.0, 40)
+        g = 0.1 + 0.8 * (1 - np.exp(-r / 0.4)) + 0.002 * rng.normal(size=40)
+        fit = variogram.fit_exponential_variogram(r, g)
+        # the reference's fixed-step (0.05) coordinate search is crude:
+        # parameters land within ~0.15 of truth, and the fitted curve is close
+        assert fit["a"] == pytest.approx(0.4, abs=0.2)
+        assert fit["sill"] + fit["nugget"] == pytest.approx(0.9, abs=0.1)
+        resid = g - fit["model"](r)
+        assert np.abs(resid).mean() < 0.02
+
+    def test_detrend_removes_quadratic(self, rng):
+        gx, gy = np.meshgrid(np.linspace(-1, 1, 25), np.linspace(-1, 1, 25))
+        trend = 1 + 2 * gx - 0.5 * gy + 0.3 * gx * gy + gx**2
+        noise = 0.01 * rng.normal(size=gx.shape)
+        resid, fit = variogram.detrend_poly2d(trend + noise, gx, gy, deg=2)
+        assert np.abs(resid).max() < 0.05
+
+
+class TestMultifractal:
+    def test_uniform_square_dq_two(self, rng):
+        pts = rng.uniform(size=(30000, 2))
+        # scales where boxes are well-populated (the reference's default
+        # 0.002 lower scale undersamples 30k points and biases D(q) low)
+        scales = np.logspace(np.log10(0.04), np.log10(0.5), 8)
+        res = multifractal.multifractal_spectrum(pts, scales=scales)
+        q = res["q"]
+        dq = res["Dq"]
+        m = (q >= -2) & (q <= 2) & np.isfinite(dq)
+        assert np.nanmean(dq[m]) == pytest.approx(2.0, abs=0.25)
+
+    def test_line_dq_one(self, rng):
+        t = rng.uniform(size=20000)
+        pts = np.column_stack([t, 0.5 * t])
+        res = multifractal.multifractal_spectrum(pts)
+        m = (res["q"] >= 0) & np.isfinite(res["Dq"])
+        assert np.nanmean(res["Dq"][m]) == pytest.approx(1.0, abs=0.2)
+
+    def test_falpha_legendre_identity(self, rng):
+        pts = rng.uniform(size=(5000, 2))
+        res = multifractal.multifractal_spectrum(pts)
+        np.testing.assert_allclose(
+            res["f_alpha"], res["q"] * res["alpha"] - res["tau"], rtol=1e-12
+        )
+
+
+class TestEmbeddings:
+    def test_identical_clouds_zero_distance(self, rng):
+        pts = rng.normal(size=(300, 2))
+        va, _, _ = embeddings.diffusion_map(pts, k=10, n_eigs=6)
+        vb, _, _ = embeddings.diffusion_map(pts.copy(), k=10, n_eigs=6)
+        assert embeddings.embedding_spectral_distance(va, vb) == pytest.approx(0.0, abs=1e-10)
+
+    def test_top_eigenvalue_near_one(self, rng):
+        pts = rng.normal(size=(400, 2))
+        vals, vecs, sigma = embeddings.diffusion_map(pts, k=15, n_eigs=6)
+        assert sigma > 0
+        assert vals[0] == pytest.approx(1.0, abs=0.2)  # symmetrized Markov
+        assert np.all(np.diff(vals) <= 1e-12)
+
+    def test_knn_matches_ckdtree(self, rng):
+        from scipy.spatial import cKDTree
+
+        pts = rng.normal(size=(500, 2))
+        import jax.numpy as jnp
+
+        d, idx = embeddings._knn(jnp.asarray(pts), 8)
+        dref, iref = cKDTree(pts).query(pts, k=9)
+        np.testing.assert_allclose(np.sort(np.asarray(d), axis=1), dref[:, 1:], rtol=1e-10)
+
+
+class TestSymmetry:
+    def test_reflection_is_involution(self, rng):
+        pts = rng.normal(size=(100, 2))
+        r1 = symmetry.reflect_across_line(pts, 0.7, origin=np.array([0.1, -0.2]))
+        r2 = symmetry.reflect_across_line(r1, 0.7, origin=np.array([0.1, -0.2]))
+        np.testing.assert_allclose(r2, pts, atol=1e-12)
+
+    def test_xaxis_symmetric_cloud(self, rng):
+        t = rng.uniform(0, np.pi, 500)
+        pts = np.concatenate([
+            np.column_stack([np.cos(t), np.sin(t)]),
+            np.column_stack([np.cos(t), -np.sin(t)]),
+        ])
+        frac, _ = symmetry.preservation_fraction(pts, "reflect_x", tol=1e-9)
+        assert frac == 1.0
+
+    def test_best_axis_finds_symmetry(self, rng):
+        # ellipse rotated by 30 degrees: best reflection axis at 30 or 120 deg
+        t = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+        e = np.column_stack([2 * np.cos(t), 0.5 * np.sin(t)])
+        ang = np.pi / 6
+        rot = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        pts = e @ rot.T
+        res = symmetry.best_reflection_axis(pts, pts, tol=0.02)
+        got = res["angle"] % (np.pi / 2)
+        assert min(abs(got - ang % (np.pi / 2)), abs(got - ang % (np.pi / 2) - np.pi / 2)) < 0.03
+        assert res["frac_a"] > 0.95
+
+
+class TestLaws:
+    def test_uniform_law_wins_for_uniform_g(self, rng):
+        g = rng.uniform(0, 0.5, 5000)
+        out = laws.compare_reference_laws(g)
+        assert out["ks_uniform_0_gmax"] < out["ks_exponential"]
+        assert out["ks_uniform_0_gmax"] < 0.03
+
+    def test_exponential_law_wins_for_exp_g(self, rng):
+        g = rng.exponential(0.1, 5000)
+        out = laws.compare_reference_laws(g)
+        assert out["ks_exponential"] < out["ks_uniform_0_gmax"]
+
+    def test_too_few_points_returns_none(self):
+        assert laws.compare_reference_laws(np.ones(10)) is None
+
+    def test_summarize_g(self):
+        g = np.array([0.0, 0.0, 1.0, 2.0])
+        s = laws.summarize_g(g)
+        assert s["escaped"] == 2
+        assert s["g_mean"] == pytest.approx(1.5)
+
+
+class TestFields:
+    def test_laplacian_of_harmonic_small(self):
+        xs = np.linspace(0, 1, 50)
+        gx, gy = np.meshgrid(xs, xs)
+        u = gx**2 - gy**2  # harmonic
+        h = xs[1] - xs[0]
+        lap = np.asarray(fields.laplacian5(u, h))
+        assert np.abs(lap[2:-2, 2:-2]).max() < 1e-8
+
+    def test_local_correlation_matches_bruteforce(self, rng):
+        from scipy.stats import pearsonr
+
+        u1 = rng.normal(size=(30, 30))
+        u2 = 0.5 * u1 + rng.normal(size=(30, 30))
+        win = 5
+        got = fields.local_correlation(u1, u2, win=win)
+        for iy, ix in [(7, 9), (15, 15), (20, 8)]:
+            a = u1[iy - win : iy + win, ix - win : ix + win].ravel()
+            b = u2[iy - win : iy + win, ix - win : ix + win].ravel()
+            ref = pearsonr(a, b)[0]
+            assert got[iy, ix] == pytest.approx(ref, rel=1e-9)
+        assert np.isnan(got[0, 0])
+
+    def test_pearson_global(self, rng):
+        a = rng.normal(size=(20, 20))
+        assert fields.pearson_global(a, a) == pytest.approx(1.0)
