@@ -1,0 +1,257 @@
+"""Fused Pallas TPU escape-time kernel with per-tile early exit.
+
+The reference's hottest loop is the pure-Python per-pixel dwell grid
+(mandelbrot_boundary_sample.py:22-39, res² = 4e6 pixels x <=500 iterations).
+Here each (TH, TW) tile runs entirely in VMEM: the complex grid is
+synthesized on-core from the tile's program_id (no HBM input traffic at
+all), orbit state lives in VMEM scratch refs, and a `lax.while_loop` with a
+scalar-only carry runs Python-unrolled chunks of `inner` iterations,
+exiting as soon as every lane in the tile has escaped — far-field tiles
+stop after one chunk. Escaped lanes are NOT frozen: IEEE inf/nan
+propagation keeps `inside`/`hit` predicates false after escape, so the
+latched outputs stay exact while the inner loop needs no freeze selects.
+
+Tuning (measured on TPU v5e, 2048² grid, max_iter=500, chained timing to
+amortize the ~29 ms relay roundtrip): tile=(32,256), inner=32 -> ~800
+Mpix/s; larger tiles lose to coarser early-exit granularity.
+
+Heads (static `kind`):
+  * "dwell"  — first n (0-based) with |z_{n+1}|² > 4, else max_iter
+  * "green"  — g = log|z_k| * 2^-k at first escape (|z| > escape_r), else 0
+    (variograms_construct_mandelbrot.py:148-166 normalization)
+  * "de"     — standard distance estimator (variograms_construct_mandelbrot.py:61-88)
+
+float32 is the perf path (the analysis/parity path is the float64 XLA
+kernel in kernels/mandelbrot.py); dwell counts are integer-exact except for
+orbits within f32 noise of the escape boundary (~0.2% of pixels).
+
+The kernel is traced with x64 disabled (Mosaic's layout inference rejects
+the stray 64-bit scalars x64 mode introduces); on non-TPU backends it runs
+in interpreter mode so tests exercise identical semantics on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = (32, 256)
+DEFAULT_INNER = 32
+
+
+def _tile_coords(params_ref, th: int, tw: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    cr = params_ref[0] + (cols + jnp.float32(tw) * j.astype(jnp.float32)) * params_ref[2]
+    ci = params_ref[1] + (rows + jnp.float32(th) * i.astype(jnp.float32)) * params_ref[3]
+    return cr, ci
+
+
+def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
+                  max_iter: int, inner: int):
+    th, tw = out_ref.shape
+    cr, ci = _tile_coords(params_ref, th, tw)
+    zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    act_ref[:] = jnp.ones((th, tw), jnp.float32)
+    out_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    n_chunks = (max_iter + inner - 1) // inner
+
+    def body(itf):
+        zr = zr_ref[:]
+        zi = zi_ref[:]
+        act = act_ref[:]
+        dwell = out_ref[:]
+        base = itf * jnp.float32(inner)
+        for n in range(inner):
+            zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            inside = zr * zr + zi * zi <= 4.0  # inf/nan -> False, latches act
+            act = act * jnp.where(inside, 1.0, 0.0)
+            # count only the first max_iter iterations (the chunked loop may
+            # overrun to the next `inner` multiple)
+            sv = jnp.where(base + jnp.float32(n) < jnp.float32(max_iter), 1.0, 0.0)
+            dwell = dwell + act * sv
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        act_ref[:] = act
+        out_ref[:] = dwell
+        return itf + 1.0
+
+    def cond(itf):
+        return jnp.logical_and(itf < jnp.float32(n_chunks), jnp.max(act_ref[:]) > 0.5)
+
+    jax.lax.while_loop(cond, body, jnp.float32(0.0))
+
+
+def _green_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, *,
+                  max_iter: int, inner: int, escape_r: float):
+    th, tw = out_ref.shape
+    cr, ci = _tile_coords(params_ref, th, tw)
+    zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    esc_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    out_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    r2 = jnp.float32(escape_r * escape_r)
+    n_chunks = (max_iter + inner - 1) // inner
+
+    def body(itf):
+        zr = zr_ref[:]
+        zi = zi_ref[:]
+        escf = esc_ref[:]
+        g = out_ref[:]
+        base = itf * jnp.float32(inner)
+        for n in range(inner):
+            zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            a2 = zr * zr + zi * zi
+            sv = (base + jnp.float32(n)) < jnp.float32(max_iter)
+            hit = (a2 > r2) & (escf < 0.5) & sv
+            val = 0.5 * jnp.log(jnp.maximum(a2, 1e-30)) * jnp.exp2(-(base + jnp.float32(n + 1)))
+            # where (not arithmetic accumulate): a2 can be inf/nan after
+            # escape and 0*nan would poison g
+            g = jnp.where(hit, jnp.maximum(val, 0.0), g)
+            escf = jnp.maximum(escf, jnp.where(hit, 1.0, 0.0))
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        esc_ref[:] = escf
+        out_ref[:] = g
+        return itf + 1.0
+
+    def cond(itf):
+        return jnp.logical_and(itf < jnp.float32(n_chunks), jnp.min(esc_ref[:]) < 0.5)
+
+    jax.lax.while_loop(cond, body, jnp.float32(0.0))
+
+
+def _de_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, dzr_ref, dzi_ref,
+               lzr_ref, lzi_ref, ldr_ref, ldi_ref, *,
+               max_iter: int, inner: int, escape_r: float):
+    th, tw = out_ref.shape
+    cr, ci = _tile_coords(params_ref, th, tw)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    one = jnp.ones((th, tw), jnp.float32)
+    zr_ref[:] = zero
+    zi_ref[:] = zero
+    esc_ref[:] = zero
+    dzr_ref[:] = one
+    dzi_ref[:] = zero
+    lzr_ref[:] = zero
+    lzi_ref[:] = zero
+    ldr_ref[:] = one
+    ldi_ref[:] = zero
+    r2 = jnp.float32(escape_r * escape_r)
+    n_chunks = (max_iter + inner - 1) // inner
+
+    def body(itf):
+        zr = zr_ref[:]
+        zi = zi_ref[:]
+        esc = esc_ref[:] > 0.5
+        dzr = dzr_ref[:]
+        dzi = dzi_ref[:]
+        lzr = lzr_ref[:]
+        lzi = lzi_ref[:]
+        ldr = ldr_ref[:]
+        ldi = ldi_ref[:]
+        base = itf * jnp.float32(inner)
+        for n in range(inner):
+            tr, ti = 2.0 * zr, 2.0 * zi
+            dzr, dzi = tr * dzr - ti * dzi + 1.0, tr * dzi + ti * dzr
+            zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            hit = (zr * zr + zi * zi > r2) & ~esc & ((base + jnp.float32(n)) < jnp.float32(max_iter))
+            lzr = jnp.where(hit, zr, lzr)
+            lzi = jnp.where(hit, zi, lzi)
+            ldr = jnp.where(hit, dzr, ldr)
+            ldi = jnp.where(hit, dzi, ldi)
+            esc = esc | hit
+            # freeze dz/z: f32 overflows ~1e38 would nan the latched selects'
+            # unused branch, which is fine, but freezing keeps the early-exit
+            # reduction cheap and mirrors the latched f64 semantics
+            zr = jnp.where(esc, 0.0, zr)
+            zi = jnp.where(esc, 0.0, zi)
+            dzr = jnp.where(esc, 1.0, dzr)
+            dzi = jnp.where(esc, 0.0, dzi)
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        esc_ref[:] = jnp.where(esc, 1.0, 0.0)
+        dzr_ref[:] = dzr
+        dzi_ref[:] = dzi
+        lzr_ref[:] = lzr
+        lzi_ref[:] = lzi
+        ldr_ref[:] = ldr
+        ldi_ref[:] = ldi
+        return itf + 1.0
+
+    def cond(itf):
+        return jnp.logical_and(itf < jnp.float32(n_chunks), jnp.min(esc_ref[:]) < 0.5)
+
+    jax.lax.while_loop(cond, body, jnp.float32(0.0))
+
+    esc = esc_ref[:] > 0.5
+    lzr = lzr_ref[:]
+    lzi = lzi_ref[:]
+    ldr = ldr_ref[:]
+    ldi = ldi_ref[:]
+    az = jnp.sqrt(lzr * lzr + lzi * lzi)
+    pr = 2.0 * (lzr * ldr - lzi * ldi)
+    pi_ = 2.0 * (lzr * ldi + lzi * ldr)
+    num = jnp.log(jnp.maximum(az, 1.0)) * az
+    den = jnp.maximum(jnp.sqrt(pr * pr + pi_ * pi_), jnp.float32(1e-14))
+    out_ref[:] = jnp.where(esc, num / den, jnp.float32(0.0))
+
+
+_KERNELS = {
+    "dwell": (_dwell_kernel, 3, False),
+    "green": (_green_kernel, 3, True),
+    "de": (_de_kernel, 9, True),
+}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nx", "ny", "max_iter", "kind", "escape_r", "tile", "inner", "interpret"),
+)
+def _field(params, nx, ny, max_iter, kind, escape_r, tile, inner, interpret):
+    th, tw = tile
+    kernel_fn, n_scratch, takes_r = _KERNELS[kind]
+    kw = dict(max_iter=max_iter, inner=inner)
+    if takes_r:
+        kw["escape_r"] = escape_r
+    return pl.pallas_call(
+        functools.partial(kernel_fn, **kw),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        grid=(ny // th, nx // tw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32) for _ in range(n_scratch)],
+        interpret=interpret,
+    )(params)
+
+
+def mandelbrot_field_pallas(
+    domain, nx: int, ny: int, max_iter: int = 500, kind: str = "dwell",
+    escape_r: float = 4.0, tile: tuple = DEFAULT_TILE, inner: int = DEFAULT_INNER,
+):
+    """Field over an np.linspace-style grid (ny, nx), computed tile-by-tile.
+
+    domain = (xmin, xmax, ymin, ymax); layout matches complex_grid()'s
+    meshgrid(xs, ys, 'xy'). ny, nx must be tile multiples. "dwell" returns
+    iteration counts as f32 (max_iter where not escaped).
+    """
+    th, tw = tile
+    if ny % th or nx % tw:
+        raise ValueError(f"grid ({ny}x{nx}) must be a multiple of tile {tile}")
+    if kind not in _KERNELS:
+        raise ValueError(f"unknown kind '{kind}'")
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    # trace under x64-disabled: Mosaic rejects 64-bit scalars from x64 mode
+    with jax.enable_x64(False):
+        params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
+        return _field(params, nx, ny, max_iter, kind, escape_r, (th, tw), inner, interpret)
