@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""cmtci benchmark: escape-time grid throughput on the BASELINE config.
+
+Config (BASELINE.json #1): res=2000, max_iter=500, domain (-2.1,0.9)x(-1.5,1.5)
+— the reference's mandelbrot_boundary_sample.py hot loop.
+
+Baseline: the reference's pure-Python per-pixel dwell loop measured on this
+machine's CPU (2026-08-16, every-16th-pixel subsample of the same grid,
+identical escape statistics): 0.0158 Mpix/s.
+
+Timing: the TPU here sits behind an RPC relay with ~29 ms roundtrip, so the
+kernel is executed in a data-dependent chain of REPS grids inside one jit
+and timed end-to-end (conservative: includes one roundtrip + final
+checksum fetch).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CPU_MPIX_S = 0.0158  # measured; see module docstring
+
+DOM = (-2.1, 0.9, -1.5, 1.5)
+RES = 2000
+MAX_ITER = 500
+REPS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import cmtci  # noqa: F401  (enables x64; perf path overrides locally)
+    from cmtci.kernels.mandelbrot_pallas import (
+        DEFAULT_INNER, DEFAULT_TILE, _field,
+    )
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+
+    # res=2000 is not a lane multiple; compute 2048 columns at the 2000-grid
+    # spacing and crop (coordinates of the first 2000 columns are identical).
+    nx_pad = 2048
+    ny = RES  # 2000 rows = 62.5 tiles of 32 -> pad rows too
+    ny_pad = 2048
+    dx = (DOM[1] - DOM[0]) / (RES - 1)
+    dy = (DOM[3] - DOM[2]) / (RES - 1)
+
+    with jax.enable_x64(False):
+        params = jnp.asarray([DOM[0], DOM[2], dx, dy], dtype=jnp.float32)
+
+        def one(p):
+            return _field(p, nx_pad, ny_pad, MAX_ITER, "dwell", 4.0,
+                          DEFAULT_TILE, DEFAULT_INNER, not on_tpu)
+
+        @jax.jit
+        def chained(p):
+            total = jnp.float32(0.0)
+            for _ in range(REPS):
+                out = one(p)
+                total = total + jnp.sum(out[:RES, :RES])
+                p = p + jnp.float32(1e-12) * total / (jnp.abs(total) + 1.0)
+            return total
+
+        # warmup/compile
+        float(chained(params))
+        best = float("inf")
+        for r in range(3):
+            p = params + jnp.float32(1e-9 * (r + 1))
+            t0 = time.time()
+            float(chained(p))
+            best = min(best, time.time() - t0)
+
+    per_grid = best / REPS
+    mpix_s = RES * RES / per_grid / 1e6
+    print(json.dumps({
+        "metric": "escape_grid_res2000_mi500_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cmtci.kernels import companion
+from cmtci.kernels import mandelbrot as mb
+from cmtci.parallel import sharded
+from cmtci.transport import histogram as hg
+
+DOMAIN = (-2.25, 1.25, -1.75, 1.75)
+
+
+def test_mesh_has_8_devices():
+    mesh = sharded.device_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_dwell_matches_single_device():
+    mesh = sharded.device_mesh()
+    got = np.asarray(sharded.sharded_dwell_grid(DOMAIN, 64, 64, 50, mesh))
+    cr, ci = mb.complex_grid(DOMAIN, 64, 64, dtype=jnp.float32)
+    ref = np.asarray(mb.dwell_grid(np.asarray(cr), np.asarray(ci), max_iter=50))
+    assert (got == ref).mean() > 0.99
+
+
+def test_sharded_eigensweep_matches_lapack():
+    ns = [5, 8, 11, 14, 17, 20, 23, 26, 29, 32]  # 10 polys over 8 devices
+    zr, zi, valid = sharded.sharded_eigensweep(ns)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    from scipy.optimize import linear_sum_assignment
+
+    for b, n in enumerate(ns):
+        ref = np.linalg.eigvals(companion.companion_matrix(companion.family_top_row("lucas_all_ones", n)))
+        got = z[b][np.asarray(valid)[b]]
+        cost = np.abs(got[:, None] - ref[None, :])
+        r, c = linear_sum_assignment(cost)
+        assert cost[r, c].max() < 1e-8
+
+
+def test_sharded_histogram_matches_numpy(rng):
+    mesh = sharded.device_mesh()
+    x = rng.uniform(-3, 2, 4096)
+    y = rng.uniform(-2, 2, 4096)
+    got = np.asarray(sharded.sharded_histogram(jnp.asarray(x), jnp.asarray(y), 32, DOMAIN, mesh))
+    ref = np.asarray(hg.histogram2d(x, y, 32, DOMAIN))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_dryrun_multichip_entrypoint():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # single-chip jittable forward step
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out["dwell"].shape == (256, 256)
+    assert float(out["hist"].sum()) > 0
+    # full multi-chip dry run on the virtual mesh
+    mod.dryrun_multichip(8)
