@@ -1,0 +1,236 @@
+"""cmtci command-line driver — one CLI replacing the reference's 33 scripts.
+
+Subcommands mirror the reference catalog (SURVEY.md §2.5, README.md:208-299
+there): boundary, lucas-boundary, construct-boundary, curvature, stage1,
+tracker, tci, equipotential, variograms, spectral, multifractal,
+embeddings, symmetry, spatial-stats, report, coupling, uniformize-fem,
+uniformize-green, bench.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--out", default="outputs/run", help="output prefix/dir")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cmtci", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("boundary", help="Mandelbrot dwell grid + isocontour boundary")
+    p.add_argument("--xlim", nargs=2, type=float, default=[-2.1, 0.9])
+    p.add_argument("--ylim", nargs=2, type=float, default=[-1.5, 1.5])
+    p.add_argument("--res", type=int, default=2000)
+    p.add_argument("--max-iter", type=int, default=500)
+    p.add_argument("--level", type=float, default=0.96)
+    _add_common(p)
+
+    p = sub.add_parser("lucas-boundary", help="Lucas cloud -> alpha-shape boundary npy")
+    p.add_argument("--n-min", type=int, default=2)
+    p.add_argument("--n-max", type=int, default=100)
+    p.add_argument("--alpha", type=float, default=4.5)
+    p.add_argument("--n-boundary", type=int, default=2000)
+    _add_common(p)
+
+    p = sub.add_parser("construct-boundary", help="alpha-shape boundary of a point CSV")
+    p.add_argument("--input-csv", required=True)
+    p.add_argument("--alpha", type=float, default=65.0)
+    p.add_argument("--target-n", type=int, default=1500)
+    _add_common(p)
+
+    p = sub.add_parser("curvature", help="local-polynomial curvature of a boundary CSV")
+    p.add_argument("--input-csv", required=True)
+    p.add_argument("--neighbors", type=int, default=7)
+    p.add_argument("--closed", type=lambda s: s.lower() in ("1", "true", "yes"), default=True)
+    _add_common(p)
+
+    p = sub.add_parser("stage1", help="stage-1 cleaning pipeline (file bus)")
+    p.add_argument("--max-n", type=int, default=40)
+    p.add_argument("--boundary-samples", type=int, default=600)
+    _add_common(p)
+
+    p = sub.add_parser("tracker", help="GI assumption tracker (Appendix A)")
+    p.add_argument("--sigma-bins", type=float, default=1.0)
+    p.add_argument("--t-fixed", type=int, default=-1)
+    p.add_argument("--bins-start", type=int, default=64)
+    p.add_argument("--bins-max", type=int, default=1024)
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--domain", type=str, default="-2.2:1.2:-1.6:1.6")
+    p.add_argument("--parity", action="store_true", help="bitwise oracle-parity mode")
+    _add_common(p)
+
+    p = sub.add_parser("tci", help="TCI flow pipeline (v002_fixed main)")
+    _add_common(p)
+
+    p = sub.add_parser("equipotential", help="Green-function statistics + family comparison")
+    p.add_argument("--n-min", type=int, default=2)
+    p.add_argument("--n-max", type=int, default=200)
+    p.add_argument("--max-iter", type=int, default=20000)
+    p.add_argument("--skip-per-n", action="store_true")
+    _add_common(p)
+
+    p = sub.add_parser("variograms", help="potentials + semivariograms + cross")
+    p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--detrend", action="store_true")
+    p.add_argument("--fit-model", action="store_true")
+    _add_common(p)
+
+    for name in ("spectral", "multifractal", "embeddings", "symmetry",
+                 "spatial-stats", "report", "coupling"):
+        p = sub.add_parser(name, help=f"{name} analysis over the stage-1 file bus")
+        p.add_argument("--busdir", default="out_clean", help="stage-1 file-bus directory")
+        _add_common(p)
+
+    p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
+    p.add_argument("--levels", type=int, default=1, help="number of refinement levels")
+    _add_common(p)
+
+    p = sub.add_parser("uniformize-green", help="v40 boundary-integral Riemann map")
+    p.add_argument("--lucas-npy", default=None, help="lucas_points.npy (else generated)")
+    p.add_argument("--n-bdy", type=int, default=2000)
+    p.add_argument("--interior-n", type=int, default=20000)
+    _add_common(p)
+
+    args = ap.parse_args(argv)
+    return _dispatch(args)
+
+
+def _load_bus(busdir):
+    from cmtci.io.loaders import load_matches, load_points
+
+    c = load_points(f"{busdir}/construct_points.csv")
+    m = load_points(f"{busdir}/mandel_boundary_sample.csv")
+    ca = load_points(f"{busdir}/construct_aligned.csv")
+    try:
+        matches = load_matches(f"{busdir}/matches_indices.csv", len(ca))
+    except Exception:
+        matches = None
+    return c, m, ca, matches
+
+
+def _dispatch(args):
+    cmd = args.cmd
+    if cmd == "boundary":
+        from cmtci.pipelines.boundary import BoundaryConfig, run_boundary
+
+        cfg = BoundaryConfig(tuple(args.xlim), tuple(args.ylim), args.res,
+                             args.max_iter, args.level)
+        path, _ = run_boundary(cfg, args.out)
+        print(f"boundary: {len(path)} vertices -> {args.out}_boundary.csv")
+    elif cmd == "lucas-boundary":
+        from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
+
+        cfg = LucasBoundaryConfig(args.n_min, args.n_max, args.alpha, args.n_boundary)
+        xy = export_lucas_boundary(cfg, f"{args.out}_lucas_points.npy")
+        print(f"lucas boundary: {xy.shape} -> {args.out}_lucas_points.npy")
+    elif cmd == "construct-boundary":
+        from cmtci.io.loaders import load_points
+        from cmtci.pipelines.lucas_boundary import ConstructBoundaryConfig, construct_boundary
+
+        pts = load_points(args.input_csv)
+        b, closed = construct_boundary(pts, ConstructBoundaryConfig(args.alpha, args.target_n), args.out)
+        print(f"construct boundary: {len(b)} pts closed={closed}")
+    elif cmd == "curvature":
+        from cmtci.io.loaders import load_points
+        from cmtci.pipelines.curvature import CurvatureConfig, run_curvature
+
+        pts = load_points(args.input_csv)
+        _, _, _, _, summary = run_curvature(pts, CurvatureConfig(args.neighbors, args.closed), args.out)
+        print(json.dumps(summary))
+    elif cmd == "stage1":
+        from cmtci.pipelines.stage1 import Stage1Config, run_stage1
+
+        out = run_stage1(Stage1Config(max_n=args.max_n, boundary_samples=args.boundary_samples), args.out)
+        print(f"stage1: C={out['C'].shape} M={out['M'].shape} -> {args.out}/")
+    elif cmd == "tracker":
+        from cmtci.pipelines.tracker import TrackerConfig, run_tracker, write_outputs
+
+        domain = tuple(float(x) for x in args.domain.split(":"))
+        cfg = TrackerConfig(seed=args.seed, domain=domain, alpha=args.alpha,
+                            bins_start=args.bins_start, bins_max=args.bins_max,
+                            sigma_bins=args.sigma_bins, t_fixed=args.t_fixed,
+                            parity=args.parity)
+        rows, meta = run_tracker(cfg)
+        csv_path, json_path = write_outputs(rows, meta, args.out)
+        print(f"tracker: {len(rows)} stages -> {csv_path}")
+    elif cmd == "tci":
+        from cmtci.pipelines.analysis import TCIConfig, run_tci
+
+        out, kls, _ = run_tci(TCIConfig(), f"{args.out}_tci_results.json")
+        print(json.dumps(out))
+    elif cmd == "equipotential":
+        from cmtci.pipelines.equipotential import EquipotentialConfig, run_equipotential
+
+        cfg = EquipotentialConfig(n_min=args.n_min, n_max=args.n_max, max_iter=args.max_iter)
+        out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n)
+        print(json.dumps(out["summary"]))
+    elif cmd == "variograms":
+        from cmtci.pipelines.variograms import VariogramConfig, run_variograms
+
+        cfg = VariogramConfig(grid_nx=args.grid, grid_ny=args.grid,
+                              detrend=args.detrend, fit_model=args.fit_model)
+        out = run_variograms(cfg, f"{args.out}_variograms.csv")
+        print(f"variograms: {out['n_construct']} C pts, {out['n_boundary']} M pts")
+    elif cmd in ("spectral", "multifractal", "embeddings", "symmetry",
+                 "spatial-stats", "report", "coupling"):
+        c, m, ca, matches = _load_bus(args.busdir)
+        from cmtci.pipelines import analysis
+
+        if cmd == "spectral":
+            from cmtci.pipelines.spectral import SpectralConfig, run_spectral
+
+            out = run_spectral(c, m, SpectralConfig(), args.out)
+            print(json.dumps(out["power_slopes_bootstrap"]))
+        elif cmd == "multifractal":
+            analysis.run_multifractal(c, m, out_prefix=args.out)
+            print("multifractal done")
+        elif cmd == "embeddings":
+            out = analysis.run_embeddings(c, m, out_prefix=args.out)
+            print(f"spectral distance: {out['spectral_distance']}")
+        elif cmd == "symmetry":
+            out = analysis.run_symmetry(ca, m, matches, out_prefix=args.out)
+            print(json.dumps(out["rows"][-1]))
+        elif cmd == "spatial-stats":
+            out = analysis.run_spatial_stats(ca, m, out_prefix=args.out)
+            print(f"hausdorff={out['hausdorff']:.4f}")
+        elif cmd == "report":
+            row = analysis.run_report(c, m, ca, matches, args.out)
+            print(json.dumps(row))
+        elif cmd == "coupling":
+            from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+            rows, _ = run_coupling(c, m, matches, CouplingConfig(), args.out)
+            print(json.dumps(rows[-1]))
+    elif cmd == "uniformize-fem":
+        from cmtci.pipelines.uniformize_fem import (
+            REFINEMENT_LEVELS, FEMUniformizeConfig, run_fem_uniformization,
+        )
+
+        cfg = FEMUniformizeConfig()
+        results = run_fem_uniformization(cfg, args.out, REFINEMENT_LEVELS[: args.levels])
+        print(json.dumps({"levels": len(results), "K_median_L0": results[0]["all"]["K_median"]}))
+    elif cmd == "uniformize-green":
+        from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
+        from cmtci.pipelines.uniformize_green import GreenUniformizeConfig, run_green_uniformization
+
+        if args.lucas_npy:
+            pts = np.load(args.lucas_npy)
+        else:
+            pts = export_lucas_boundary(LucasBoundaryConfig())
+        cfg = GreenUniformizeConfig(n_bdy=args.n_bdy, interior_n=args.interior_n)
+        out = run_green_uniformization(pts, cfg, args.out, verbose=True)
+        print(json.dumps({k: v for k, v in out["diagnostics"].items()
+                          if k.startswith(("bdy_mod", "inverse_err"))}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

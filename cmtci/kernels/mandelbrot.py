@@ -208,6 +208,49 @@ def green_potential(cr, ci, max_iter: int = 20000, escape_r: float = 2.0):
     return g, kk, phi_r, phi_i
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def de_field_stage1(cr, ci, max_iter: int = 200, bailout: float = 1e6):
+    """Stage-1 distance estimator (construct_stage1_clean.py:50-58).
+
+    Scalar-loop semantics: return |z|*log|z| / max(|dz|, 1e-16) at the FIRST
+    |z| > bailout (both z and dz latched there), else 0. Note: no factor 2
+    in the denominator, unlike the other DE variants.
+    """
+    zr = jnp.zeros_like(cr)
+    zi = jnp.zeros_like(ci)
+    dzr = jnp.ones_like(cr)
+    dzi = jnp.zeros_like(ci)
+    esc = jnp.zeros(cr.shape, dtype=bool)
+    lzr = jnp.zeros_like(cr)
+    lzi = jnp.zeros_like(ci)
+    ldr = jnp.ones_like(cr)
+    ldi = jnp.zeros_like(ci)
+
+    def body(_, s):
+        zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi = s
+        tr, ti = 2.0 * zr, 2.0 * zi
+        dzr, dzi = tr * dzr - ti * dzi + 1.0, tr * dzi + ti * dzr
+        zr, zi = _zsq_add_c(zr, zi, cr, ci)
+        hit = ~esc & (jnp.hypot(zr, zi) > bailout)
+        lzr = jnp.where(hit, zr, lzr)
+        lzi = jnp.where(hit, zi, lzi)
+        ldr = jnp.where(hit, dzr, ldr)
+        ldi = jnp.where(hit, dzi, ldi)
+        esc = esc | hit
+        zr = jnp.where(esc, 0.0, zr)
+        zi = jnp.where(esc, 0.0, zi)
+        dzr = jnp.where(esc, 1.0, dzr)
+        dzi = jnp.where(esc, 0.0, dzi)
+        return zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi
+
+    out = jax.lax.fori_loop(0, max_iter, body, (zr, zi, dzr, dzi, esc, lzr, lzi, ldr, ldi))
+    _, _, _, _, esc, lzr, lzi, ldr, ldi = out
+    az = jnp.hypot(lzr, lzi)
+    adz = jnp.maximum(jnp.hypot(ldr, ldi), 1e-16)
+    d = jnp.where(esc, az * jnp.log(jnp.maximum(az, 1e-300)) / adz, 0.0)
+    return esc, d
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "normalization"))
 def escape_potential_grid(
     cr, ci, max_iter: int = 500, escape_r: float = 4.0, normalization: str = "two_pow_n"

@@ -85,7 +85,8 @@ def beltrami_full(points, triangles, phi, valid_vertex, eps_fz: float = 1e-15,
     f_z = 0.5 * ((ux + vy) + 1j * (vx - uy))
     f_zb = 0.5 * ((ux - vy) + 1j * (vx + uy))
     ok = ok & (np.abs(f_z) >= eps_fz)
-    mu = np.where(ok, f_zb / np.where(np.abs(f_z) == 0, 1.0, f_z), np.nan)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mu = np.where(ok, f_zb / np.where(np.abs(f_z) == 0, 1.0, f_z), np.nan)
     amu = np.abs(mu)
     ok = ok & np.isfinite(amu) & (amu < mu_cap)
     ks = np.where(ok, (1.0 + amu) / (1.0 - np.where(ok, amu, 0.0)), np.nan)

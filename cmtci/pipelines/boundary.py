@@ -1,0 +1,67 @@
+"""Mandelbrot boundary pipeline (BASELINE config 1, call stack SURVEY §3.1).
+
+Reference: mandelbrot_boundary_sample.py — dwell grid (res², max_iter),
+isocontour at level_frac*max_iter, longest path, CSV + meta outputs.
+
+The dwell grid runs on the Pallas TPU kernel when a TPU is present (f32,
+tile-padded then cropped), else the f64 XLA kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from cmtci.geometry import contour
+from cmtci.io import writers
+from cmtci.kernels import mandelbrot as mb
+
+
+@dataclass
+class BoundaryConfig:
+    xlim: tuple = (-2.1, 0.9)
+    ylim: tuple = (-1.5, 1.5)
+    res: int = 2000
+    max_iter: int = 500
+    level: float = 0.96
+    backend: str = "auto"  # "pallas" | "xla" | "auto"
+
+
+def compute_dwell(cfg: BoundaryConfig) -> np.ndarray:
+    domain = (*cfg.xlim, *cfg.ylim)
+    use_pallas = cfg.backend == "pallas" or (
+        cfg.backend == "auto" and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        from cmtci.kernels.mandelbrot_pallas import DEFAULT_TILE, mandelbrot_field_pallas
+
+        th, tw = DEFAULT_TILE
+        ny = ((cfg.res + th - 1) // th) * th
+        nx = ((cfg.res + tw - 1) // tw) * tw
+        # pad grid at the 'res' spacing, then crop: first res rows/cols match
+        xmax_pad = cfg.xlim[0] + (cfg.xlim[1] - cfg.xlim[0]) * (nx - 1) / (cfg.res - 1)
+        ymax_pad = cfg.ylim[0] + (cfg.ylim[1] - cfg.ylim[0]) * (ny - 1) / (cfg.res - 1)
+        dom_pad = (cfg.xlim[0], xmax_pad, cfg.ylim[0], ymax_pad)
+        z = mandelbrot_field_pallas(dom_pad, nx, ny, max_iter=cfg.max_iter, kind="dwell")
+        return np.asarray(z)[: cfg.res, : cfg.res]
+    cr, ci = mb.complex_grid(domain, cfg.res, cfg.res)
+    return np.asarray(mb.dwell_grid(cr, ci, max_iter=cfg.max_iter)).astype(float)
+
+
+def run_boundary(cfg: BoundaryConfig, output_prefix: str | None = None):
+    """Returns (contour_vertices, dwell_grid); optionally writes the file bus."""
+    xs = np.linspace(cfg.xlim[0], cfg.xlim[1], cfg.res)
+    ys = np.linspace(cfg.ylim[0], cfg.ylim[1], cfg.res)
+    z = compute_dwell(cfg)
+    path = contour.extract_contour(xs, ys, z, cfg.level * cfg.max_iter)
+    if path is None or path.shape[0] < 50:
+        raise RuntimeError("Failed to extract a usable contour; adjust level/res.")
+    if output_prefix:
+        writers.write_xy_csv(f"{output_prefix}_boundary.csv", path)
+        writers.write_meta_txt(f"{output_prefix}_meta.txt", {
+            "xlim": list(cfg.xlim), "ylim": list(cfg.ylim), "res": cfg.res,
+            "max_iter": cfg.max_iter, "level": cfg.level,
+        })
+    return path, z

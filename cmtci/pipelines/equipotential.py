@@ -1,0 +1,106 @@
+"""Green-function statistics pipeline (P3, call stack SURVEY §3.5).
+
+Reference: lucas_equipotential_test_v3.py:363-448 — aggregate cloud g_M
+stats, reference-law comparison, per-n and cumulative convergence rows,
+4-family comparison.
+
+TPU-first: batch_potential's per-point scalar loop (the reference's hot
+path at :153-162) is the batched green_potential kernel; the cumulative
+stats (quadratic total work in the reference, :310-327) reuse per-n g
+values — mathematically identical because g is a per-point quantity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cmtci.io import writers
+from cmtci.kernels import companion, mandelbrot as mb
+from cmtci.stats import laws
+
+
+@dataclass
+class EquipotentialConfig:
+    n_min: int = 2
+    n_max: int = 200
+    max_iter: int = 20000
+    escape_radius: float = 2.0
+    eig_tol: float = 1e-12
+    families: tuple = (
+        "lucas_all_ones",
+        "pell_like_all_twos",
+        "sparser_gap_1_0_1_then_ones",
+        "padovan_like_0_1_then_ones",
+    )
+    run_family_comparison: bool = True
+    cloud_backend: str = "aberth"
+
+
+def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float):
+    """(g, it, phi) for a complex cloud via the batched Green kernel."""
+    g, k, pr, pi = mb.green_potential(cloud.real, cloud.imag, max_iter=max_iter,
+                                      escape_r=escape_radius)
+    return np.asarray(g), np.asarray(k), np.asarray(pr) + 1j * np.asarray(pi)
+
+
+def per_n_stats(cfg: EquipotentialConfig, family: str | None = None):
+    """Per-n escaped fraction and g stats (lucas_equipotential_test_v3.py:294-308)."""
+    fam = family or "lucas_all_ones"
+    rows = []
+    for n in range(cfg.n_min, cfg.n_max + 1):
+        inv = companion.inverse_cloud([n], fam, tol=cfg.eig_tol, backend=cfg.cloud_backend)
+        g, _, _ = batch_potential(inv, cfg.max_iter, cfg.escape_radius)
+        rows.append({"n": n, **laws.summarize_g(g)})
+    return rows
+
+
+def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None):
+    """Cumulative-N rows (:310-327) computed incrementally (g is per-point)."""
+    fam = family or "lucas_all_ones"
+    rows = []
+    g_acc = []
+    for n in range(cfg.n_min, cfg.n_max + 1):
+        inv = companion.inverse_cloud([n], fam, tol=cfg.eig_tol, backend=cfg.cloud_backend)
+        g, _, _ = batch_potential(inv, cfg.max_iter, cfg.escape_radius)
+        g_acc.append(g)
+        rows.append({"N": n, **laws.summarize_g(np.concatenate(g_acc))})
+    return rows
+
+
+def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
+                      with_per_n: bool = True):
+    """Full driver. Returns dict of results; writes CSV/NPY if out_dir."""
+    ns = list(range(cfg.n_min, cfg.n_max + 1))
+    c_inv = companion.inverse_cloud(ns, "lucas_all_ones", tol=cfg.eig_tol,
+                                    backend=cfg.cloud_backend)
+    g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius)
+    out = {
+        "summary": laws.summarize_g(g),
+        "laws": laws.compare_reference_laws(g[g > 0]),
+    }
+    if with_per_n:
+        out["per_n"] = per_n_stats(cfg)
+        out["cumulative"] = cumulative_stats(cfg)
+    if cfg.run_family_comparison:
+        fam_rows = []
+        for fam in cfg.families:
+            c_fam = companion.inverse_cloud(ns, fam, tol=cfg.eig_tol,
+                                            backend=cfg.cloud_backend)
+            g_fam, _, _ = batch_potential(c_fam, cfg.max_iter, cfg.escape_radius)
+            s = laws.summarize_g(g_fam)
+            s["family"] = fam
+            fam_rows.append(s)
+        out["family_summary"] = fam_rows
+    if out_dir:
+        np.save(f"{out_dir}/C_lucas.npy", c_inv)
+        np.save(f"{out_dir}/g_lucas.npy", g)
+        np.save(f"{out_dir}/it_lucas.npy", it)
+        np.save(f"{out_dir}/phi_lucas.npy", phi)
+        if with_per_n:
+            writers.write_dict_rows_csv(f"{out_dir}/per_n_stats.csv", out["per_n"])
+            writers.write_dict_rows_csv(f"{out_dir}/cumulative_stats.csv", out["cumulative"])
+        if cfg.run_family_comparison:
+            writers.write_dict_rows_csv(f"{out_dir}/family_summary.csv", out["family_summary"])
+    return out

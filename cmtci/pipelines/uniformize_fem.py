@@ -1,0 +1,153 @@
+"""FEM quasiconformal uniformization pipeline (P1, call stack SURVEY §3.2).
+
+Reference: lucas_to_cardioid_v18...py run_experiment (:841-973) + main
+(:1068-1125): per refinement level, mesh the Lucas alpha-shape domain and
+the cardioid, θ-iterate both to the disk, rotation-align, invert UV on the
+cardioid chart, and report Beltrami K / angle distortion / CR defects /
+boundary-distance K bins / interior delta sweeps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cmtci.geometry import alpha_shape, mesh as meshing
+from cmtci.geometry.cardioid import cardioid_polygon
+from cmtci.geometry.interp import invert_uv_to_z
+from cmtci.io import writers
+from cmtci.kernels import companion
+from cmtci.maps import fem, qc
+
+REFINEMENT_LEVELS = (
+    dict(name="L0", h_L=0.08, h_C=0.06, boundary_h=0.04),
+    dict(name="L1", h_L=0.05, h_C=0.04, boundary_h=0.025),
+    dict(name="L2", h_L=0.035, h_C=0.03, boundary_h=0.015),
+    dict(name="L3", h_L=0.025, h_C=0.02, boundary_h=0.010),
+)
+
+
+@dataclass
+class FEMUniformizeConfig:
+    n_min: int = 2
+    n_max: int = 100
+    alpha: float = 4.5
+    theta_iters: int = 6
+    theta_relax: float = 0.7
+    theta_smooth: int = 7
+    delta_sweep_factors: tuple = (2.0, 4.0, 6.0)
+    cardioid_n: int = 401
+    levels: tuple = REFINEMENT_LEVELS
+    solver: str = "spsolve"  # or "cg"
+    cloud_backend: str = "aberth"
+    feedback: bool = True  # intended θ feedback (the reference's is dead code)
+
+
+def run_level(cfg: FEMUniformizeConfig, h_l: float, h_c: float, boundary_h: float,
+              tag: str, poly_l=None):
+    """One refinement level (v18 run_experiment semantics)."""
+    if poly_l is None:
+        inv = companion.inverse_cloud(list(range(cfg.n_min, cfg.n_max + 1)),
+                                      backend=cfg.cloud_backend)
+        poly_l = alpha_shape.alpha_shape_polygon(inv, cfg.alpha)
+    poly_c = cardioid_polygon(cfg.cardioid_n)
+
+    p_l, t_l = meshing.polygon_to_mesh(poly_l, h=h_l, boundary_h=boundary_h, seed=0)
+    p_c, t_c = meshing.polygon_to_mesh(poly_c, h=h_c, boundary_h=boundary_h, seed=0)
+
+    kw = dict(iters=cfg.theta_iters, relax=cfg.theta_relax, smooth=cfg.theta_smooth,
+              feedback=cfg.feedback, method=cfg.solver)
+    u_l, v_l, c_l, r_l, per_l = fem.theta_iteration(p_l, t_l, poly_l, **kw)
+    u_c, v_c, c_c, r_c, per_c = fem.theta_iteration(p_c, t_c, poly_c, **kw)
+
+    # boundary rotation alignment after normalization (v18:857-872)
+    b_l, _, _ = fem.boundary_order_by_arclength(p_l, t_l, poly_l)
+    b_c, _, _ = fem.boundary_order_by_arclength(p_c, t_c, poly_c)
+    w_lb = u_l[b_l] + 1j * v_l[b_l]
+    w_cb = u_c[b_c] + 1j * v_c[b_c]
+    m = min(len(w_lb), len(w_cb))
+    rot = fem.optimal_rotation(w_lb[:m], w_cb[:m])
+    w_l = (u_l + 1j * v_l) * rot
+    uv_l = np.column_stack([w_l.real, w_l.imag])
+
+    abs_cr_l, rel_cr_l = qc.cr_defect_metrics(p_l, t_l, uv_l[:, 0], uv_l[:, 1])
+    abs_cr_c, rel_cr_c = qc.cr_defect_metrics(p_c, t_c, u_c, v_c)
+
+    # invert Lucas uv through the cardioid chart (v18:881-891)
+    uv_c = np.column_stack([u_c, v_c])
+    z_c = p_c[:, 0] + 1j * p_c[:, 1]
+    _, idx = np.unique(np.round(uv_c, 12), axis=0, return_index=True)
+    phi_nodes, ok_nodes, _ = invert_uv_to_z(uv_l, uv_c[idx], z_c[idx])
+    valid = ok_nodes & np.isfinite(phi_nodes.real) & np.isfinite(phi_nodes.imag)
+
+    mus, ks, used = qc.beltrami_mu_k(p_l, t_l, phi_nodes, valid)
+    ang = qc.angle_distortion(p_l, t_l, phi_nodes, valid)
+
+    def med(x):
+        return float(np.median(x)) if len(x) else float("nan")
+
+    d_all = poly_l.exterior_distance(meshing.tri_centroids(p_l, t_l))
+    mask_ref = d_all >= 2.0 * h_l
+    bins = []
+    if mask_ref.any() and len(ks):
+        _, ks_full, used_full = qc.beltrami_full(p_l, t_l, phi_nodes, valid)
+        x = d_all[mask_ref]
+        y = ks_full[mask_ref]
+        good = np.isfinite(y)
+        if good.any():
+            q = np.quantile(x[good], [0, 0.25, 0.5, 0.75, 1.0])
+            bins = qc.binned_median(x[good], y[good], q)
+
+    sweep = []
+    for fac in cfg.delta_sweep_factors:
+        delta = fac * h_l
+        interior = d_all >= delta
+        mus_i, ks_i, used_i = qc.beltrami_mu_k(p_l, t_l[interior], phi_nodes, valid)
+        ang_i = qc.angle_distortion(p_l, t_l[interior], phi_nodes, valid)
+        sweep.append(dict(
+            delta_factor=float(fac), delta=float(delta), used_tris=int(used_i),
+            mu_L2=float(np.sqrt(np.mean(np.abs(mus_i) ** 2))) if len(mus_i) else float("nan"),
+            K_median=med(ks_i), angle_median=med(ang_i),
+        ))
+
+    return dict(
+        tag=tag, h_L=h_l, h_C=h_c, boundary_h=boundary_h,
+        valid_frac=float(np.mean(valid)), rot=rot,
+        period_mismatch=dict(lucas=float(per_l), cardioid=float(per_c)),
+        all=dict(used_tris=int(used),
+                 mu_L2=float(np.sqrt(np.mean(np.abs(mus) ** 2))) if len(mus) else float("nan"),
+                 K_median=med(ks), angle_median=med(ang)),
+        cr=dict(
+            lucas=dict(abs_med=med(abs_cr_l), abs_p90=float(np.quantile(abs_cr_l, 0.9)),
+                       rel_med=med(rel_cr_l), rel_p90=float(np.quantile(rel_cr_l, 0.9)),
+                       tris=int(len(abs_cr_l))),
+            cardioid=dict(abs_med=med(abs_cr_c), abs_p90=float(np.quantile(abs_cr_c, 0.9)),
+                          rel_med=med(rel_cr_c), rel_p90=float(np.quantile(rel_cr_c, 0.9)),
+                          tris=int(len(abs_cr_c))),
+        ),
+        K_bins_d2h=bins, sweep=sweep,
+    )
+
+
+def run_fem_uniformization(cfg: FEMUniformizeConfig, out_dir: str | None = None,
+                           levels: tuple | None = None):
+    """All refinement levels; results.json + results_compact.csv like v18."""
+    inv = companion.inverse_cloud(list(range(cfg.n_min, cfg.n_max + 1)),
+                                  backend=cfg.cloud_backend)
+    poly_l = alpha_shape.alpha_shape_polygon(inv, cfg.alpha)
+    results = []
+    for lvl in (levels or cfg.levels):
+        results.append(run_level(cfg, lvl["h_L"], lvl["h_C"], lvl["boundary_h"],
+                                 lvl["name"], poly_l=poly_l))
+    if out_dir:
+        writers.write_json(f"{out_dir}/results.json", results)
+        rows = [{
+            "tag": r["tag"], "h_L": r["h_L"], "valid_frac": r["valid_frac"],
+            "K_median": r["all"]["K_median"], "mu_L2": r["all"]["mu_L2"],
+            "angle_median": r["all"]["angle_median"],
+            "cr_rel_med_lucas": r["cr"]["lucas"]["rel_med"],
+            "period_mis_lucas": r["period_mismatch"]["lucas"],
+        } for r in results]
+        writers.write_dict_rows_csv(f"{out_dir}/results_compact.csv", rows)
+    return results

@@ -1,0 +1,114 @@
+"""Boundary-integral Riemann-map pipeline (P2, call stack SURVEY §3.3).
+
+Reference: lucas_to_cardioid_v40_reference.py main (:476-671): lucas
+boundary points -> alpha polygon -> fit Riemann map -> 20k interior samples
+-> Phi / f -> radii clamp -> exact disk->cardioid map -> inverse check ->
+one-row diagnostics CSV + radii histogram CSV + NPZ map state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cmtci.geometry import alpha_shape
+from cmtci.geometry.cardioid import cardioid_to_disk, disk_to_cardioid
+from cmtci.geometry.polygon import sample_interior_points, slightly_inside
+from cmtci.io import writers
+from cmtci.maps import riemann
+
+
+@dataclass
+class GreenUniformizeConfig:
+    alpha: float = 4.5
+    n_bdy: int = 2000
+    gauss_n: int = 16
+    ridge: float = 1e-8
+    target_r_clamp: float = 0.995
+    inward_eps: float = 1e-3
+    interior_n: int = 20000
+    interior_seed: int = 0
+    interior_max_tries: int = 2_000_000
+    enable_jitter: bool = True
+    do_inverse_check: bool = True
+
+
+def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
+                             out_dir: str | None = None, verbose: bool = False):
+    """Returns dict with the map, samples, and the v40 diagnostics row."""
+    pts = np.ascontiguousarray(np.asarray(lucas_points_xy, dtype=float))
+    pts = np.unique(pts, axis=0)
+    if cfg.enable_jitter:
+        rng = np.random.default_rng(0)
+        pts = pts + 1e-12 * rng.standard_normal(pts.shape)
+
+    poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
+    rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
+                                 inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
+                                 verbose=verbose)
+
+    z_int, tries = sample_interior_points(poly_l, cfg.interior_n, cfg.interior_seed,
+                                          cfg.interior_max_tries)
+    re_phi = rm.phi(z_int).real
+    w_raw = rm.f(z_int)
+    rad_raw = np.abs(w_raw)
+    finite = np.isfinite(rad_raw)
+    rad_f = rad_raw[finite]
+
+    # clamp to the disk (v40:140-147, vectorized)
+    r = np.abs(w_raw)
+    scale = np.where(np.isfinite(r) & (r > cfg.target_r_clamp),
+                     cfg.target_r_clamp / np.where(r == 0, 1.0, r), 1.0)
+    w = np.where(np.isfinite(r), w_raw * scale, np.nan + 1j * np.nan)
+    rad = np.abs(w)
+    mapped = disk_to_cardioid(w)
+
+    err = np.array([])
+    if cfg.do_inverse_check:
+        err = np.abs(cardioid_to_disk(mapped) - w)
+        err = err[np.isfinite(err)]
+
+    z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
+    mod_bdy = np.abs(rm.f(z_bdy_in))
+    resid = rm.boundary_residual()
+    g_in = rm.g_real(z_bdy_in)
+
+    row = dict(
+        version="cmtci_green_uniformization",
+        N_BDY=cfg.n_bdy, PATH_GAUSS_N=cfg.gauss_n, RIDGE_LAMBDA=cfg.ridge,
+        INWARD_EPS=cfg.inward_eps, INTERIOR_N=int(len(z_int)),
+        a_real=float(rm.a.real), a_imag=float(rm.a.imag), g_shift=float(rm.g_shift),
+        bdy_mod_median=float(np.median(mod_bdy)),
+        bdy_mod_p90=float(np.quantile(mod_bdy, 0.90)),
+        bdy_mod_min=float(mod_bdy.min()), bdy_mod_max=float(mod_bdy.max()),
+        bdy_resid_median=float(np.median(resid)),
+        bdy_resid_p90_abs=float(np.quantile(np.abs(resid), 0.90)),
+        bdy_resid_max_abs=float(np.max(np.abs(resid))),
+        g_bdy_in_min=float(g_in.min()), g_bdy_in_median=float(np.median(g_in)),
+        g_bdy_in_max=float(g_in.max()),
+        RePhi_int_min=float(re_phi.min()), RePhi_int_median=float(np.median(re_phi)),
+        RePhi_int_max=float(re_phi.max()),
+        rad_raw_median=float(np.median(rad_f)), rad_raw_p90=float(np.quantile(rad_f, 0.90)),
+        rad_raw_max=float(rad_f.max()),
+        rad_clamped_median=float(np.nanmedian(rad)),
+        rad_clamped_p90=float(np.nanquantile(rad, 0.90)),
+        rad_clamped_max=float(np.nanmax(rad)),
+    )
+    if len(err):
+        row.update(inverse_err_median=float(np.median(err)),
+                   inverse_err_p90=float(np.quantile(err, 0.90)),
+                   inverse_err_max=float(err.max()))
+
+    if out_dir:
+        writers.write_dict_rows_csv(f"{out_dir}/diagnostics.csv", [row])
+        writers.write_hist_csv(f"{out_dir}/radii_hist_w_raw.csv", rad_f, bins=80,
+                               range_=(0.0, 1.05))
+        writers.ensure_dir(f"{out_dir}/map_state.npz")
+        np.savez(f"{out_dir}/map_state.npz", lucas_interior=z_int,
+                 disk_points_raw=w_raw, disk_points=w, cardioid_points=mapped,
+                 rmL_a=rm.a, rmL_sigma=rm.sigma, rmL_C=rm.c,
+                 rmL_g_shift=rm.g_shift, rmL_bdy=rm.bdy_z, rmL_ds=rm.ds,
+                 inverse_err=err)
+    return {"map": rm, "interior": z_int, "disk": w, "cardioid": mapped,
+            "diagnostics": row}

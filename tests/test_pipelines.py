@@ -1,0 +1,168 @@
+"""End-to-end pipeline tests at reduced scale (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmtci.pipelines import analysis
+from cmtci.pipelines.boundary import BoundaryConfig, run_boundary
+from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+from cmtci.pipelines.curvature import CurvatureConfig, run_curvature
+from cmtci.pipelines.equipotential import EquipotentialConfig, run_equipotential
+from cmtci.pipelines.lucas_boundary import (
+    ConstructBoundaryConfig, LucasBoundaryConfig, construct_boundary,
+    export_lucas_boundary,
+)
+from cmtci.pipelines.spectral import SpectralConfig, run_spectral
+from cmtci.pipelines.stage1 import Stage1Config, run_stage1
+from cmtci.pipelines.uniformize_fem import FEMUniformizeConfig, run_level
+from cmtci.pipelines.uniformize_green import GreenUniformizeConfig, run_green_uniformization
+from cmtci.pipelines.variograms import VariogramConfig, run_variograms
+
+
+@pytest.fixture(scope="module")
+def bus(tmp_path_factory):
+    """Small stage-1 file bus shared by analysis pipelines."""
+    out = run_stage1(Stage1Config(max_n=25, nx=80, ny=60, boundary_samples=300,
+                                  matcher="greedy"), None)
+    return out
+
+
+def test_boundary_pipeline(tmp_path):
+    cfg = BoundaryConfig(res=300, max_iter=120, backend="xla")
+    path, z = run_boundary(cfg, str(tmp_path / "mandel"))
+    assert path.shape[0] > 100
+    assert (tmp_path / "mandel_boundary.csv").exists()
+    header = open(tmp_path / "mandel_boundary.csv").readline().strip()
+    assert header == "x,y"
+    # boundary points sit near the dwell transition: all within the domain
+    assert path[:, 0].min() >= cfg.xlim[0] and path[:, 0].max() <= cfg.xlim[1]
+
+
+def test_lucas_boundary_and_curvature(tmp_path):
+    xy = export_lucas_boundary(
+        LucasBoundaryConfig(n_min=2, n_max=40, n_boundary=400),
+        str(tmp_path / "lucas_points.npy"),
+    )
+    assert xy.shape == (400, 2)
+    kappa, ks, speed, aux, summary = run_curvature(
+        xy, CurvatureConfig(neighbors=7, closed=True), str(tmp_path / "curv")
+    )
+    assert summary["n"] == 400
+    assert np.isfinite(kappa).all()
+    csv_header = open(tmp_path / "curv_curvature.csv").readline().strip()
+    assert csv_header == "idx,x,y,curvature,kappa_signed,speed,xprime,yprime,x2,y2"
+
+
+def test_construct_boundary_from_cloud(bus):
+    b, closed = construct_boundary(bus["C"], ConstructBoundaryConfig(alpha=20.0, target_n=300))
+    assert b.shape == (300, 2)
+
+
+def test_stage1_writes_bus(tmp_path, bus):
+    out = run_stage1(Stage1Config(max_n=15, nx=60, ny=40, boundary_samples=150,
+                                  matcher="greedy"), str(tmp_path))
+    for f in ("construct_points.csv", "mandel_boundary_sample.csv",
+              "construct_aligned.csv", "matches_indices.csv"):
+        assert (tmp_path / f).exists()
+    assert len(out["matches"]) == len(out["C"])
+
+
+def test_equipotential_small(tmp_path):
+    cfg = EquipotentialConfig(n_min=2, n_max=30, max_iter=500,
+                              run_family_comparison=True)
+    out = run_equipotential(cfg, None, with_per_n=False)
+    assert 0.3 < out["summary"]["escaped_frac"] < 1.0
+    assert out["laws"] is not None
+    assert len(out["family_summary"]) == 4
+
+
+def test_variograms_small(tmp_path):
+    cfg = VariogramConfig(n_list=(30, 60), boundary_grid=120, boundary_max_iter=150,
+                          grid_nx=64, grid_ny=64, potential_max_iter=150,
+                          m_target=2000, fit_model=True)
+    out = run_variograms(cfg, str(tmp_path / "v.csv"))
+    assert np.isfinite(out["gamma_construct"][1:]).all()
+    assert (tmp_path / "v.csv").exists()
+    assert out["fit_construct"]["a"] > 0
+
+
+def test_spectral_pipeline(bus, tmp_path):
+    out = run_spectral(bus["C"], bus["M"], SpectralConfig(n_bootstrap=50),
+                       str(tmp_path / "spec"))
+    assert len(out["modes"]) == 10
+    # percentile-bootstrap CIs are finite and ordered (they can exclude the
+    # point estimate on short noisy ranges)
+    for r in out["power_slopes_bootstrap"]:
+        assert np.isfinite(r["slope"]) and r["ci_lo"] <= r["ci_hi"]
+
+
+def test_analysis_pipelines(bus, tmp_path):
+    mfout = analysis.run_multifractal(bus["C"], bus["M"],
+                                      scales=np.logspace(np.log10(0.05), np.log10(0.5), 8))
+    assert np.isfinite(mfout["construct"]["Dq"]).any()
+
+    embout = analysis.run_embeddings(bus["C"], bus["M"], k_nn=10, n_eigs=5)
+    assert embout["spectral_distance"] >= 0
+
+    symout = analysis.run_symmetry(bus["C_aligned"], bus["M"], bus["matches"], tol=0.1)
+    assert symout["rows"][-1]["op"] == "reflect_best_angle"
+
+    stats = analysis.run_spatial_stats(bus["C_aligned"], bus["M"], r_max=0.8, dr=0.1)
+    assert stats["hausdorff"] > 0
+
+    row = analysis.run_report(bus["C"], bus["M"], bus["C_aligned"], bus["matches"],
+                              str(tmp_path / "rep"))
+    assert "hausdorff" in row and "match_median" in row
+
+
+def test_tci_pipeline_small():
+    from cmtci.pipelines.analysis import TCIConfig, run_tci
+
+    cfg = TCIConfig(construct_ns=(20, 40, 60), mandelbrot_grid=150,
+                    mandelbrot_samples=2000, grid_bins=32, t_steps=10)
+    out, kls, traj = run_tci(cfg)
+    assert out["KL_final"] < out["KL_initial"]
+    assert np.all(np.diff(kls) <= 1e-12)
+    assert np.isfinite(out["Hausdorff_before"])
+
+
+def test_coupling_pipeline(bus):
+    cfg = CouplingConfig(n_iter=2, grid_res=60, max_iter_mb=80, win_local_corr=6)
+    rows, c_new = run_coupling(bus["C_aligned"], bus["M"], bus["matches"], cfg)
+    assert len(rows) == 2
+    # nudging moves the cloud toward the matches: mean distance decreases
+    assert rows[1]["d_mean"] < rows[0]["d_mean"]
+
+
+def test_fem_uniformization_level():
+    cfg = FEMUniformizeConfig(n_min=2, n_max=30, theta_iters=3)
+    res = run_level(cfg, h_l=0.12, h_c=0.1, boundary_h=0.08, tag="test")
+    assert res["valid_frac"] > 0.5
+    assert res["all"]["K_median"] >= 1.0
+    assert np.isfinite(res["cr"]["cardioid"]["rel_med"])
+    assert len(res["sweep"]) == 3
+
+
+def test_green_uniformization_small(tmp_path):
+    xy = export_lucas_boundary(LucasBoundaryConfig(n_min=2, n_max=30, n_boundary=300))
+    cfg = GreenUniformizeConfig(n_bdy=300, interior_n=1500)
+    out = run_green_uniformization(xy, cfg, str(tmp_path))
+    d = out["diagnostics"]
+    # v40 self-check contracts
+    assert abs(d["bdy_mod_median"] - 1.0) < 0.02
+    assert d["inverse_err_median"] < 1e-10
+    assert d["rad_clamped_max"] <= 0.995 + 1e-9
+    assert (tmp_path / "diagnostics.csv").exists()
+    assert (tmp_path / "map_state.npz").exists()
+
+
+def test_cli_entrypoints(tmp_path):
+    from cmtci.cli import main
+
+    rc = main(["boundary", "--res", "200", "--max-iter", "80",
+               "--out", str(tmp_path / "b")])
+    assert rc == 0
+    assert (tmp_path / "b_boundary.csv").exists()
