@@ -129,7 +129,8 @@ def fit_slope_bootstrap(freqs, spectrum, fmin: float, fmax: float,
     slope, _, r2 = _ols_slope_r2(x, y)
     slopes = np.asarray(_bootstrap_slopes(jnp.asarray(x), jnp.asarray(y),
                                           jax.random.PRNGKey(seed), int(n_bootstrap)))
-    lo, hi = np.percentile(slopes, [2.5, 97.5])
+    # a resample can draw all-identical x on very short ranges -> nan slope
+    lo, hi = np.nanpercentile(slopes, [2.5, 97.5])
     return float(slope), float(r2), (float(lo), float(hi))
 
 
