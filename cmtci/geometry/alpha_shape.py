@@ -162,40 +162,87 @@ def trace_boundary(points: np.ndarray, edges, min_len: int = 5):
     raise RuntimeError("No usable boundary component found. Adjust alpha.")
 
 
-def alpha_shape_polygon(points, alpha: float) -> Polygon:
-    """Largest closed alpha-shape loop as a Polygon (replaces alphashape lib).
+def directed_boundary_loops(pts: np.ndarray, kept: np.ndarray):
+    """Closed boundary walks of the kept-triangle region, region-on-left.
 
-    Accepts complex or (N,2) points (lucas_to_cardioid_v18...py:209-219).
-    Loops are ranked by enclosed area (the alphashape library returns the
-    largest-area polygon of a MultiPolygon).
+    Orients every kept triangle CCW, takes directed edges whose reverse is
+    absent (region boundary), and decomposes them into closed walks. At
+    pinch junctions the next edge is chosen by the leftmost-turn rule, which
+    traces each face boundary consistently — robust where the naive
+    degree-2 chain walk (construct_boundary_alpha_spyder_v2.py:87-101)
+    breaks, e.g. the thin alpha band around a curve's point set.
+    """
+    p0, p1, p2 = pts[kept[:, 0]], pts[kept[:, 1]], pts[kept[:, 2]]
+    signed = (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1]) - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
+    tris = kept.copy()
+    cw = signed < 0
+    tris[cw] = tris[cw][:, [0, 2, 1]]
+    d_edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
+    edge_set = {(int(a), int(b)) for a, b in d_edges}
+    boundary = [(a, b) for (a, b) in edge_set if (b, a) not in edge_set]
+    out_edges = defaultdict(list)
+    for a, b in boundary:
+        out_edges[a].append(b)
+
+    used = set()
+    loops = []
+    for start in boundary:
+        if start in used:
+            continue
+        walk = [start[0], start[1]]
+        used.add(start)
+        prev, curr = start
+        for _ in range(len(boundary) + 5):
+            cands = [b for b in out_edges[curr] if (curr, b) not in used]
+            if not cands:
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # leftmost turn: smallest CCW angle from the incoming direction
+                d_in = pts[curr] - pts[prev]
+                ang_in = np.arctan2(d_in[1], d_in[0])
+                def turn(b):
+                    d = pts[b] - pts[curr]
+                    return (np.arctan2(d[1], d[0]) - ang_in) % (2 * np.pi)
+                nxt = min(cands, key=turn)
+            used.add((curr, nxt))
+            walk.append(nxt)
+            prev, curr = curr, nxt
+            if curr == start[0]:
+                break
+        if walk[0] == walk[-1] and len(walk) > 3:
+            loops.append(walk[:-1])
+    return loops
+
+
+def alpha_shape_polygon(points, alpha: float) -> Polygon:
+    """Largest alpha-shape region's outer boundary (replaces alphashape lib).
+
+    Accepts complex or (N,2) points (lucas_to_cardioid_v18...py:209-219,
+    lucas_to_cardioid_v40_reference.py:85-93). CCW outer walks have positive
+    signed area; the largest is the outer boundary of the largest region
+    (the alphashape library returns the largest-area polygon of a
+    MultiPolygon).
     """
     pts = np.asarray(points)
     if np.iscomplexobj(pts):
         pts = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
     pts = np.asarray(pts, dtype=float)
     _, kept = alpha_complex(pts, alpha)
-    edges = boundary_edges_of(kept)
-    if len(edges) == 0:
-        raise RuntimeError("Alpha-shape produced no boundary edges; adjust alpha.")
-    comps, _ = _components(edges)
-    edge_list = np.asarray(edges)
-    best_poly, best_area = None, -1.0
-    for comp in comps:
-        mask = np.array([e[0] in comp for e in edge_list])
-        local = defaultdict(list)
-        for i, j in edge_list[mask]:
-            local[int(i)].append(int(j))
-            local[int(j)].append(int(i))
-        ordered, is_closed = _trace(local, comp)
-        if not is_closed or len(ordered) < 4:
+    if len(kept) == 0:
+        raise RuntimeError("Alpha-shape kept no triangles; adjust alpha.")
+    loops = directed_boundary_loops(pts, kept)
+    best_poly, best_area = None, 0.0
+    for loop in loops:
+        if len(loop) < 3:
             continue
-        ring = pts[ordered[:-1]] if ordered[0] == ordered[-1] else pts[ordered]
         try:
-            poly = Polygon(ring)
+            poly = Polygon(pts[loop])
         except ValueError:
             continue
-        if poly.area > best_area:
-            best_area, best_poly = poly.area, poly
+        if poly.signed_area > best_area:  # CCW outer boundaries only
+            best_area, best_poly = poly.signed_area, poly
     if best_poly is None:
-        raise RuntimeError("Alpha shape yielded no closed loop; adjust alpha.")
+        raise RuntimeError("Alpha shape yielded no closed outer loop; adjust alpha.")
     return best_poly

@@ -54,10 +54,10 @@ def contour_segments(xs, ys, z, level: float):
         tr = (level - vb) / (vc - vb)
         tt = (level - vd) / (vc - vd)
         tl = (level - va) / (vd - va)
-    bot = np.column_stack([x0 + tb * (x1 - x0), y0 + 0 * tb])
-    rgt = np.column_stack([x1 + 0 * tr, y0 + tr * (y1 - y0)])
-    top = np.column_stack([x0 + tt * (x1 - x0), y1 + 0 * tt])
-    lft = np.column_stack([x0 + 0 * tl, y0 + tl * (y1 - y0)])
+        bot = np.column_stack([x0 + tb * (x1 - x0), y0 + 0 * tb])
+        rgt = np.column_stack([x1 + 0 * tr, y0 + tr * (y1 - y0)])
+        top = np.column_stack([x0 + tt * (x1 - x0), y1 + 0 * tt])
+        lft = np.column_stack([x0 + 0 * tl, y0 + tl * (y1 - y0)])
 
     # segment lookup: per case, list of (edge1, edge2) pairs; edges 0=bot,1=rgt,2=top,3=lft
     table = {

@@ -323,6 +323,33 @@ def smooth5(g):
 # ---------------------------------------------------------------------------
 
 
+def de_field_tci_numpy(c: np.ndarray, max_iter: int = 250, escape_r: float = 250.0,
+                       eps: float = 1e-12):
+    """Host-numpy TCI DE with the reference's exact op order and IEEE overflow.
+
+    Used by parity runs: XLA's FMA contraction can flip a borderline pixel's
+    escape iteration on large grids, which derails the shared RNG stream of
+    oracle reproductions. Bitwise-identical to
+    tci_construct_mandelbrot_v002_fixed.py:35-47.
+    """
+    z = np.zeros_like(c)
+    dz = np.ones_like(c)
+    esc = np.zeros(c.shape, bool)
+    last = np.zeros_like(c)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for _ in range(max_iter):
+            dz = 2 * z * dz + 1
+            z = z * z + c
+            mask = (np.abs(z) > escape_r) & (~esc)
+            esc |= mask
+            last[mask] = z[mask]
+    d = np.zeros(c.shape)
+    z_, dz_ = last[esc], dz[esc]
+    with np.errstate(over="ignore", invalid="ignore"):
+        d[esc] = np.log(np.abs(z_)) * np.abs(z_) / np.maximum(np.abs(2 * z_ * dz_), eps)
+    return esc, np.nan_to_num(d, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def sample_boundary_quantile(
     domain,
     grid_n: int,
@@ -332,15 +359,21 @@ def sample_boundary_quantile(
     eps: float = 1e-12,
     rng: np.random.RandomState | None = None,
     dtype=jnp.float64,
+    impl: str = "jax",
 ):
     """TCI boundary sampler (tci_construct_mandelbrot_v002_fixed.py:49-59).
 
     Keep escaped points with d <= 25%-quantile of escaped d, then subsample
     to n_samples with numpy RNG (pass np.random to share the reference's
-    global-seed stream for bitwise parity runs).
+    global-seed stream for bitwise parity runs; impl="numpy" additionally
+    pins the orbit arithmetic to numpy's, immune to XLA FMA contraction).
     """
     cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
-    esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
+    if impl == "numpy":
+        esc, d = de_field_tci_numpy(np.asarray(cr) + 1j * np.asarray(ci),
+                                    max_iter=max_iter, escape_r=escape_r, eps=eps)
+    else:
+        esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
     esc = np.asarray(esc)
     d = np.asarray(d)
     if not esc.any():

@@ -121,7 +121,7 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
         c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
         m_cloud = mandelbrot.sample_boundary_quantile(
             cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
-            eps=cfg.eps, rng=rng,
+            eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else "jax",
         )
 
         m_match, c_sub = entropic_argmax_match(

@@ -21,6 +21,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _solve3(m, b):
+    """Batched 3x3 linear solve by cofactor expansion. m: (N,3,3), b: (N,3)."""
+    a00, a01, a02 = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    a10, a11, a12 = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    a20, a21, a22 = m[:, 2, 0], m[:, 2, 1], m[:, 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    x0 = (c00 * b[:, 0] + c10 * b[:, 1] + c20 * b[:, 2]) / det
+    x1 = (c01 * b[:, 0] + c11 * b[:, 1] + c21 * b[:, 2]) / det
+    x2 = (c02 * b[:, 0] + c12 * b[:, 1] + c22 * b[:, 2]) / det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def _window_indices(n: int, m: int, closed: bool):
     offs = np.arange(-m, m + 1)
     idx = np.arange(n)[:, None] + offs[None, :]
@@ -43,8 +64,10 @@ def _localpoly_core(xy_win, m: int):
     ata = jnp.einsum("nwi,nwj->nij", a, a)
     atx = jnp.einsum("nwi,nw->ni", a, xy_win[..., 0])
     aty = jnp.einsum("nwi,nw->ni", a, xy_win[..., 1])
-    cx = jnp.linalg.solve(ata, atx[..., None])[..., 0]
-    cy = jnp.linalg.solve(ata, aty[..., None])[..., 0]
+    # closed-form batched 3x3 solve (Cramer): TPU XLA has no f64 LU, and the
+    # elementwise form is faster than a batched linalg.solve anyway
+    cx = _solve3(ata, atx)
+    cy = _solve3(ata, aty)
 
     x1, x2 = cx[:, 1], 2.0 * cx[:, 2]
     y1, y2 = cy[:, 1], 2.0 * cy[:, 2]
