@@ -368,11 +368,17 @@ def sample_boundary_quantile(
     global-seed stream for bitwise parity runs; impl="numpy" additionally
     pins the orbit arithmetic to numpy's, immune to XLA FMA contraction).
     """
-    cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
     if impl == "numpy":
-        esc, d = de_field_tci_numpy(np.asarray(cr) + 1j * np.asarray(ci),
-                                    max_iter=max_iter, escape_r=escape_r, eps=eps)
+        # exact reference grid: np.linspace differs from jnp.linspace at the
+        # ulp level, which can flip borderline escape classifications
+        xs = np.linspace(domain[0], domain[1], grid_n)
+        ys = np.linspace(domain[2], domain[3], grid_n)
+        crn, cin = np.meshgrid(xs, ys)
+        esc, d = de_field_tci_numpy(crn + 1j * cin, max_iter=max_iter,
+                                    escape_r=escape_r, eps=eps)
+        cr, ci = crn, cin
     else:
+        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
         esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
     esc = np.asarray(esc)
     d = np.asarray(d)

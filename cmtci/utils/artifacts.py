@@ -1,0 +1,74 @@
+"""Per-stage artifact store keyed by config hash (checkpoint/resume, SURVEY §5.4).
+
+The reference checkpoints only at file-bus granularity (each script reloads
+its predecessors' CSVs; v18 skips regenerating lucas_points.npy if present).
+Here any pipeline stage can be wrapped in `cached(...)`: the result is
+stored as an .npz keyed by a stable hash of the config dict, so reruns with
+identical parameters resume instantly and parameter changes invalidate
+automatically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+
+def config_key(config: dict) -> str:
+    """Stable short hash of a JSON-serializable config dict."""
+    blob = json.dumps(config, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
+           enabled: bool = True):
+    """Run fn() -> dict[str, array] with npz caching keyed by (stage, config)."""
+    if not enabled:
+        return fn()
+    key = config_key({"stage": stage, **config})
+    path = os.path.join(cache_dir, f"{stage}_{key}.npz")
+    if os.path.exists(path):
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    out = fn()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
+    os.replace(tmp, path)
+    return out
+
+
+class StageTimer:
+    """Per-stage wall timing with optional jax.profiler traces (SURVEY §5.1)."""
+
+    def __init__(self, trace_dir: str | None = None):
+        self.times: dict = {}
+        self.trace_dir = trace_dir
+
+    def stage(self, name: str):
+        import contextlib
+        import time
+
+        timer = self
+
+        @contextlib.contextmanager
+        def _cm():
+            ctx = None
+            if timer.trace_dir:
+                import jax
+
+                ctx = jax.profiler.trace(timer.trace_dir)
+                ctx.__enter__()
+            t0 = time.time()
+            try:
+                yield
+            finally:
+                timer.times[name] = timer.times.get(name, 0.0) + time.time() - t0
+                if ctx is not None:
+                    ctx.__exit__(None, None, None)
+
+        return _cm()
