@@ -37,3 +37,24 @@ def procrustes_align_no_scale(xc, yc, convention: str = "fixed", return_transfor
     if return_transform:
         return out, r, y.mean(0) - x.mean(0) @ r
     return out
+
+
+def procrustes_align_weighted(x, y, plan):
+    """Transport-plan-weighted Procrustes (MandelBoundary.py intent).
+
+    Weighted means by the plan marginals, cross-covariance C = X0^T G Y0,
+    rotation R = U V^T from svd(C), aligned = X0 R + mean_Y. (The reference
+    file is checked in with stripped newlines — SURVEY §0 — its intent is
+    this weighted variant.) Returns (aligned (N,2), R).
+    """
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    g = np.asarray(plan, dtype=float)
+    x_mean = np.average(x, axis=0, weights=g.sum(1))
+    y_mean = np.average(y, axis=0, weights=g.sum(0))
+    x0 = x - x_mean
+    y0 = y - y_mean
+    c = x0.T @ g @ y0
+    u, _, vt = np.linalg.svd(c)
+    r = u @ vt
+    return x0 @ r + y_mean, r

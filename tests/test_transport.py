@@ -118,6 +118,17 @@ class TestProcrustes:
         got = procrustes.procrustes_align_no_scale(x, y, convention="reference")
         np.testing.assert_array_equal(got, ref(x, y))
 
+    def test_weighted_procrustes_identity_plan(self, rng):
+        # with a permutation plan and exact correspondence, the weighted
+        # variant recovers the rotation like the unweighted one
+        x = rng.normal(size=(100, 2))
+        th = 0.5
+        rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        y = x @ rot.T + np.array([0.2, -0.1])
+        plan = np.eye(100) / 100
+        aligned, r = procrustes.procrustes_align_weighted(x, y, plan)
+        np.testing.assert_allclose(aligned, y, atol=1e-10)
+
     def test_idempotent(self, rng):
         x = rng.normal(size=200) + 1j * rng.normal(size=200)
         y = rng.normal(size=200) + 1j * rng.normal(size=200)
