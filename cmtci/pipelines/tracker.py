@@ -67,6 +67,9 @@ class TrackerConfig:
     # execution
     parity: bool = False  # LAPACK cloud + scipy matcher for bitwise oracle runs
     family: str = "lucas_all_ones"
+    field_dtype: str = "float64"  # "float32" for the TPU fast path (f64 is
+    # emulated and slow on v5e; f32 changes the DE overflow threshold but the
+    # escaped&overflowed selection is statistically unchanged)
 
 
 @dataclass
@@ -119,9 +122,12 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
         ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
 
         c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
+        import jax.numpy as jnp
+
         m_cloud = mandelbrot.sample_boundary_quantile(
             cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
             eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else "jax",
+            dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
         )
 
         m_match, c_sub = entropic_argmax_match(
