@@ -22,8 +22,6 @@ IS imposed per boundary node (`feedback=True`, the clear intent);
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,7 @@ values — mathematically identical because g is a per-point quantity.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

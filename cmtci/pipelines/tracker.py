@@ -27,6 +27,7 @@ import time
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from cmtci.kernels import companion, mandelbrot
@@ -122,8 +123,6 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
         ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
 
         c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
-        import jax.numpy as jnp
-
         m_cloud = mandelbrot.sample_boundary_quantile(
             cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
             eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else "jax",
