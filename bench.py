@@ -29,8 +29,29 @@ MAX_ITER = 500
 REPS = 10
 
 
+def _tpu_responsive(timeout_s: float = 150.0) -> bool:
+    """Probe the TPU in a subprocess (the relay can wedge indefinitely)."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))"
+    try:
+        out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                             capture_output=True, text=True)
+        return out.returncode == 0 and "1024" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    probe_ok = _tpu_responsive()
+    if not probe_ok:
+        # wedged/absent accelerator: fall back to CPU so the benchmark still
+        # reports a measurement instead of hanging
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     import cmtci  # noqa: F401  (enables x64; perf path overrides locally)
@@ -38,7 +59,7 @@ def main():
         DEFAULT_INNER, DEFAULT_TILE, _field,
     )
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = probe_ok and jax.default_backend() in ("tpu", "axon")
 
     # res=2000 is not a lane multiple; compute 2048 columns at the 2000-grid
     # spacing and crop (coordinates of the first 2000 columns are identical).
@@ -51,14 +72,28 @@ def main():
     with jax.enable_x64(False):
         params = jnp.asarray([DOM[0], DOM[2], dx, dy], dtype=jnp.float32)
 
-        def one(p):
-            return _field(p, nx_pad, ny_pad, MAX_ITER, "dwell", 4.0,
-                          DEFAULT_TILE, DEFAULT_INNER, not on_tpu)
+        if on_tpu:
+            def one(p):
+                return _field(p, nx_pad, ny_pad, MAX_ITER, "dwell", 4.0,
+                              DEFAULT_TILE, DEFAULT_INNER, False)
+            reps = REPS
+        else:
+            # CPU fallback: XLA fori-loop dwell (interpreted Pallas would
+            # take hours); one grid per chained call
+            from cmtci.parallel.sharded import _dwell_local
+
+            def one(p):
+                cols = jnp.arange(nx_pad, dtype=jnp.float32)
+                rows = jnp.arange(ny_pad, dtype=jnp.float32)
+                cr = jnp.broadcast_to(p[0] + cols[None, :] * p[2], (ny_pad, nx_pad))
+                ci = jnp.broadcast_to(p[1] + rows[:, None] * p[3], (ny_pad, nx_pad))
+                return _dwell_local(cr, ci, MAX_ITER)
+            reps = 1
 
         @jax.jit
         def chained(p):
             total = jnp.float32(0.0)
-            for _ in range(REPS):
+            for _ in range(reps):
                 out = one(p)
                 total = total + jnp.sum(out[:RES, :RES])
                 p = p + jnp.float32(1e-12) * total / (jnp.abs(total) + 1.0)
@@ -73,7 +108,7 @@ def main():
             float(chained(p))
             best = min(best, time.time() - t0)
 
-    per_grid = best / REPS
+    per_grid = best / reps
     mpix_s = RES * RES / per_grid / 1e6
     print(json.dumps({
         "metric": "escape_grid_res2000_mi500_throughput",
