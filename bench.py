@@ -29,27 +29,31 @@ MAX_ITER = 500
 REPS = 10
 
 
-def _tpu_responsive(timeout_s: float = 150.0) -> bool:
-    """Probe the TPU in a subprocess (the relay can wedge indefinitely)."""
+def main():
+    """Try the TPU benchmark in a subprocess (the relay can wedge or take
+    minutes to initialize); fall back to an in-process CPU measurement."""
     import subprocess
     import sys
 
-    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))"
-    try:
-        out = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                             capture_output=True, text=True)
-        return out.returncode == 0 and "1024" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    if "--_child" not in sys.argv:
+        try:
+            out = subprocess.run([sys.executable, __file__, "--_child"],
+                                 timeout=1500, capture_output=True, text=True)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+        except subprocess.TimeoutExpired:
+            pass
+        _run(on_tpu=False)
+        return
+    _run(on_tpu=True)
 
 
-def main():
+def _run(on_tpu: bool):
     import jax
 
-    probe_ok = _tpu_responsive()
-    if not probe_ok:
-        # wedged/absent accelerator: fall back to CPU so the benchmark still
-        # reports a measurement instead of hanging
+    if not on_tpu:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
@@ -59,7 +63,7 @@ def main():
         DEFAULT_INNER, DEFAULT_TILE, _field,
     )
 
-    on_tpu = probe_ok and jax.default_backend() in ("tpu", "axon")
+    on_tpu = on_tpu and jax.default_backend() in ("tpu", "axon")
 
     # res=2000 is not a lane multiple; compute 2048 columns at the 2000-grid
     # spacing and crop (coordinates of the first 2000 columns are identical).
