@@ -45,25 +45,42 @@ def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float):
     return np.asarray(g), np.asarray(k), np.asarray(pr) + 1j * np.asarray(pi)
 
 
-def per_n_stats(cfg: EquipotentialConfig, family: str | None = None):
+def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None):
+    """g for every n's inverse-eigenvalue cloud in ONE batched solve.
+
+    The reference recomputes the potential per n (and per cumulative prefix,
+    O(N²) total work, lucas_equipotential_test_v3.py:294-327); g is a
+    per-point quantity, so one padded batch suffices. Returns list of
+    (n, g_array).
+    """
+    fam = family or "lucas_all_ones"
+    ns = list(range(cfg.n_min, cfg.n_max + 1))
+    clouds = [companion.inverse_cloud([n], fam, tol=cfg.eig_tol,
+                                      backend=cfg.cloud_backend) for n in ns]
+    flat = np.concatenate(clouds)
+    g, _, _ = batch_potential(flat, cfg.max_iter, cfg.escape_radius)
+    out = []
+    off = 0
+    for n, c in zip(ns, clouds):
+        out.append((n, g[off : off + len(c)]))
+        off += len(c)
+    return out
+
+
+def per_n_stats(cfg: EquipotentialConfig, family: str | None = None,
+                per_n_g=None):
     """Per-n escaped fraction and g stats (lucas_equipotential_test_v3.py:294-308)."""
-    fam = family or "lucas_all_ones"
-    rows = []
-    for n in range(cfg.n_min, cfg.n_max + 1):
-        inv = companion.inverse_cloud([n], fam, tol=cfg.eig_tol, backend=cfg.cloud_backend)
-        g, _, _ = batch_potential(inv, cfg.max_iter, cfg.escape_radius)
-        rows.append({"n": n, **laws.summarize_g(g)})
-    return rows
+    per_n_g = per_n_g or _per_n_potentials(cfg, family)
+    return [{"n": n, **laws.summarize_g(g)} for n, g in per_n_g]
 
 
-def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None):
-    """Cumulative-N rows (:310-327) computed incrementally (g is per-point)."""
-    fam = family or "lucas_all_ones"
+def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None,
+                     per_n_g=None):
+    """Cumulative-N rows (:310-327) from the same single batched solve."""
+    per_n_g = per_n_g or _per_n_potentials(cfg, family)
     rows = []
     g_acc = []
-    for n in range(cfg.n_min, cfg.n_max + 1):
-        inv = companion.inverse_cloud([n], fam, tol=cfg.eig_tol, backend=cfg.cloud_backend)
-        g, _, _ = batch_potential(inv, cfg.max_iter, cfg.escape_radius)
+    for n, g in per_n_g:
         g_acc.append(g)
         rows.append({"N": n, **laws.summarize_g(np.concatenate(g_acc))})
     return rows
@@ -81,8 +98,9 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
         "laws": laws.compare_reference_laws(g[g > 0]),
     }
     if with_per_n:
-        out["per_n"] = per_n_stats(cfg)
-        out["cumulative"] = cumulative_stats(cfg)
+        per_n_g = _per_n_potentials(cfg)
+        out["per_n"] = per_n_stats(cfg, per_n_g=per_n_g)
+        out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
     if cfg.run_family_comparison:
         fam_rows = []
         for fam in cfg.families:
