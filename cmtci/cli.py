@@ -22,6 +22,9 @@ def _add_common(p):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cmtci", description=__doc__)
+    ap.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                    help="force a jax backend (f64 analysis pipelines are fastest "
+                         "on cpu; the f32 perf kernels on tpu)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("boundary", help="Mandelbrot dwell grid + isocontour boundary")
@@ -100,6 +103,10 @@ def main(argv=None):
     _add_common(p)
 
     args = ap.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu" if args.platform == "cpu" else None)
     return _dispatch(args)
 
 
