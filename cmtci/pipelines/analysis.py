@@ -101,15 +101,27 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
     m_match, c_trim = entropic_argmax_match(c_pts, m_pts, cfg.sinkhorn_eps, rng)
     c_aligned = procrustes_align_no_scale(c_trim, m_match, convention="reference")
 
-    n = min(len(c_aligned), len(m_pts))
-    c_sub = rng.choice(c_aligned, n, replace=False)
-    m_sub = rng.choice(m_pts, n, replace=False)
-    h0 = ps.hausdorff(c_sub, m_sub)
-    curv_corr = float(np.corrcoef(
-        curv.pca_eccentricity(c_sub, cfg.curvature_k),
-        curv.pca_eccentricity(m_sub, cfg.curvature_k),
-    )[0, 1])
-    dspec = sp.spectral_distance(c_aligned, m_pts, cfg.spectral_k, cfg.spectral_sigma)
+    # defensive metrics like the reference (tci_..._v002_fixed.py:129-145:
+    # failures fall back to NaN; its spectral distance over the FULL 25000-pt
+    # cloud MemoryErrors on typical machines, so large clouds yield NaN
+    # deterministically here instead of grinding on a 25000² eigensolve)
+    try:
+        n = min(len(c_aligned), len(m_pts))
+        c_sub = rng.choice(c_aligned, n, replace=False)
+        m_sub = rng.choice(m_pts, n, replace=False)
+        h0 = ps.hausdorff(c_sub, m_sub)
+        curv_corr = float(np.corrcoef(
+            curv.pca_eccentricity(c_sub, cfg.curvature_k),
+            curv.pca_eccentricity(m_sub, cfg.curvature_k),
+        )[0, 1])
+    except Exception:
+        h0, curv_corr = float("nan"), float("nan")
+    try:
+        if max(len(c_aligned), len(m_pts)) > 8000:
+            raise MemoryError("dense kernel spectrum would exceed memory")
+        dspec = sp.spectral_distance(c_aligned, m_pts, cfg.spectral_k, cfg.spectral_sigma)
+    except Exception:
+        dspec = float("nan")
 
     p_m = np.asarray(hg.to_prob(m_pts, cfg.grid_bins, cfg.domain, cfg.eps))
     x_c = np.asarray(hg.to_prob(c_aligned, cfg.grid_bins, cfg.domain, cfg.eps))
