@@ -106,7 +106,11 @@ def main(argv=None):
     if args.platform != "auto":
         import jax
 
-        jax.config.update("jax_platforms", "cpu" if args.platform == "cpu" else None)
+        # "tpu,axon": first available TPU-like platform wins; errors at first
+        # use if neither exists (a forced backend must not fall back silently)
+        jax.config.update(
+            "jax_platforms", "cpu" if args.platform == "cpu" else "tpu,axon"
+        )
     return _dispatch(args)
 
 

@@ -199,13 +199,16 @@ def directed_boundary_loops(pts: np.ndarray, kept: np.ndarray):
             if len(cands) == 1:
                 nxt = cands[0]
             else:
-                # leftmost turn: smallest CCW angle from the incoming direction
+                # face-traversal rule: first outgoing edge rotating CLOCKWISE
+                # from the reversed incoming direction (keeps the same face;
+                # measuring CCW from the incoming direction jumps faces at
+                # sharp pinches)
                 d_in = pts[curr] - pts[prev]
-                ang_in = np.arctan2(d_in[1], d_in[0])
-                def turn(b):
+                ang_rev = np.arctan2(d_in[1], d_in[0]) + np.pi
+                def cw_turn(b):
                     d = pts[b] - pts[curr]
-                    return (np.arctan2(d[1], d[0]) - ang_in) % (2 * np.pi)
-                nxt = min(cands, key=turn)
+                    return (ang_rev - np.arctan2(d[1], d[0])) % (2 * np.pi)
+                nxt = min(cands, key=cw_turn)
             used.add((curr, nxt))
             walk.append(nxt)
             prev, curr = curr, nxt

@@ -22,11 +22,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from cmtci.io.writers import ensure_dir  # noqa: E402
 
 
-def _xy(pts):
-    pts = np.asarray(pts)
-    if np.iscomplexobj(pts):
-        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
-    return pts
+from cmtci.utils.arrays import as_xy as _xy  # shared (N,2) coercion
 
 
 def plot_alignment(c, m, c_aligned, path, title="Construct vs Mandelbrot (aligned)"):

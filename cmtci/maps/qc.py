@@ -24,7 +24,9 @@ def triangle_gradients(points, triangles, values):
     x3, y3 = p[t[:, 2], 0], p[t[:, 2], 1]
     f1, f2, f3 = values[t[:, 0]], values[t[:, 1]], values[t[:, 2]]
     det = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
-    det_safe = np.where(np.abs(det) < 1e-30, np.sign(det) * 1e-30 + 1e-30, det)
+    # the reference's guard (sign(det)*1e-30 + 1e-30, v18:803) is exactly 0
+    # for tiny negative det; clamp magnitude with preserved sign instead
+    det_safe = np.where(np.abs(det) < 1e-30, np.where(det < 0, -1e-30, 1e-30), det)
     dfdx = (f1 * (y2 - y3) + f2 * (y3 - y1) + f3 * (y1 - y2)) / det_safe
     dfdy = (f1 * (x3 - x2) + f2 * (x1 - x3) + f3 * (x2 - x1)) / det_safe
     return np.column_stack([dfdx, dfdy])

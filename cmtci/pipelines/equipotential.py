@@ -55,8 +55,16 @@ def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None):
     """
     fam = family or "lucas_all_ones"
     ns = list(range(cfg.n_min, cfg.n_max + 1))
-    clouds = [companion.inverse_cloud([n], fam, tol=cfg.eig_tol,
-                                      backend=cfg.cloud_backend) for n in ns]
+    if cfg.cloud_backend == "aberth":
+        # one padded Aberth batch for ALL n (per-n inverse_cloud calls would
+        # trigger a distinct-shape jit compile for each of the ~199 degrees)
+        zr, zi, valid = companion.eigvals_batched(ns, fam)
+        lam = np.asarray(zr) + 1j * np.asarray(zi)
+        keep = np.asarray(valid) & (np.abs(lam) > cfg.eig_tol)
+        clouds = [1.0 / lam[b][keep[b]] for b in range(len(ns))]
+    else:
+        clouds = [companion.inverse_cloud([n], fam, tol=cfg.eig_tol,
+                                          backend=cfg.cloud_backend) for n in ns]
     flat = np.concatenate(clouds)
     g, _, _ = batch_potential(flat, cfg.max_iter, cfg.escape_radius)
     out = []

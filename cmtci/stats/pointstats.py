@@ -18,11 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _xy(pts):
-    pts = np.asarray(pts)
-    if np.iscomplexobj(pts):
-        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
-    return np.asarray(pts, dtype=float)
+from cmtci.utils.arrays import as_xy as _xy  # shared (N,2) coercion
 
 
 @functools.partial(jax.jit, static_argnames=("nbins", "chunk"))

@@ -24,11 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _xy(pts):
-    pts = np.asarray(pts)
-    if np.iscomplexobj(pts):
-        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
-    return np.asarray(pts, dtype=float)
+from cmtci.utils.arrays import as_xy as _xy  # shared (N,2) coercion
 
 
 def order_points_by_angle(points):
@@ -69,10 +65,15 @@ def power_spectrum(points):
 
 
 def reconstruct_low_modes(fft_coeffs, n_modes: int):
-    """Low-mode IFFT reconstruction (spatial_stats_phase4.py:62-67)."""
+    """Low-mode IFFT reconstruction (spatial_stats_phase4.py:62-67).
+
+    n_modes=1 keeps only the DC coefficient (the reference's slice
+    coeffs[-0:] would silently copy everything).
+    """
     coeffs = np.zeros_like(fft_coeffs, dtype=complex)
     coeffs[:n_modes] = fft_coeffs[:n_modes]
-    coeffs[-n_modes + 1 :] = fft_coeffs[-n_modes + 1 :]
+    if n_modes > 1:
+        coeffs[-n_modes + 1 :] = fft_coeffs[-n_modes + 1 :]
     return np.fft.ifft(coeffs)
 
 

@@ -22,11 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _xy(c):
-    c = np.asarray(c)
-    if np.iscomplexobj(c):
-        return np.column_stack([c.real.ravel(), c.imag.ravel()])
-    return c
+from cmtci.utils.arrays import as_xy as _xy  # shared (N,2) coercion
 
 
 @jax.jit
@@ -74,10 +70,12 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
     y = np.asarray(y)
     r = rng if rng is not None else np.random
     n, m = len(x), len(y)
+    # complex 1-D inputs go through r.choice directly (the reference's exact
+    # RNG stream); (N,2) arrays are subsampled by index (choice needs 1-D)
     if n > m:
-        x = r.choice(x, m, replace=False)
+        x = r.choice(x, m, replace=False) if x.ndim == 1 else x[r.choice(n, m, replace=False)]
     if m > n:
-        y = r.choice(y, n, replace=False)
+        y = r.choice(y, n, replace=False) if y.ndim == 1 else y[r.choice(m, n, replace=False)]
     ax, by = _xy(x), _xy(y)
     if backend == "numpy":
         from scipy.spatial.distance import cdist
@@ -87,12 +85,29 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
         k = np.nan_to_num(np.exp(-d / eps))
         match = np.argmax(k, axis=1)
     else:
-        d = _pairwise_dist(jnp.asarray(ax), jnp.asarray(by))
-        mean = jnp.mean(d)
+        mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
         match = np.asarray(
             _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
         )
     return y[match], x
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _blocked_mean_dist(a, b, chunk: int = 2048):
+    """Mean pairwise distance accumulated per block (no full N×M matrix)."""
+    n = a.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    ap = jnp.pad(a, ((0, npad - n), (0, 0)))
+
+    def body(i, acc):
+        rows = jax.lax.dynamic_slice_in_dim(ap, i * chunk, chunk, axis=0)
+        d = _pairwise_dist(rows, b)
+        idx = i * chunk + jnp.arange(chunk)
+        d = jnp.where((idx < n)[:, None], d, 0.0)
+        return acc + jnp.sum(d)
+
+    total = jax.lax.fori_loop(0, npad // chunk, body, jnp.zeros((), a.dtype))
+    return total / (n * b.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
