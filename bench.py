@@ -26,7 +26,7 @@ REFERENCE_CPU_MPIX_S = 0.0158  # measured; see module docstring
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000
 MAX_ITER = 500
-REPS = 10
+REPS = 50  # amortizes the ~30 ms relay roundtrip (device-side per-grid time is ~1.7 ms)
 
 
 def main():

@@ -57,10 +57,20 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
                   max_iter: int, inner: int):
     th, tw = out_ref.shape
     cr, ci = _tile_coords(params_ref, th, tw)
+    # analytic interior: the main cardioid q(q + x - 1/4) <= y²/4 and the
+    # period-2 bulb (x+1)² + y² <= 1/16 provably never escape, so those lanes
+    # start inactive with dwell = max_iter — interior-dominated tiles exit
+    # after one chunk instead of iterating to max_iter. Exact: a pixel would
+    # need dwell < max_iter while sitting within f32 noise of the cardioid,
+    # but the dwell<max_iter band is bounded away from it.
+    q = (cr - 0.25) * (cr - 0.25) + ci * ci
+    in_cardioid = q * (q + (cr - 0.25)) <= 0.25 * ci * ci
+    in_bulb = (cr + 1.0) * (cr + 1.0) + ci * ci <= 0.0625
+    interior = in_cardioid | in_bulb
     zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
     zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
-    act_ref[:] = jnp.ones((th, tw), jnp.float32)
-    out_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    act_ref[:] = jnp.where(interior, 0.0, 1.0)
+    out_ref[:] = jnp.where(interior, jnp.float32(max_iter), 0.0)
     n_chunks = (max_iter + inner - 1) // inner
 
     def body(itf):
