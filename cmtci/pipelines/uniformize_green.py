@@ -32,18 +32,29 @@ class GreenUniformizeConfig:
     interior_max_tries: int = 2_000_000
     enable_jitter: bool = True
     do_inverse_check: bool = True
+    # "alpha" reproduces v40 (unique+jitter destroys the input ordering, then
+    # the alpha shape recovers a polygon — fragmentary for smooth boundary
+    # polylines: for the default lucas_points.npy it selects a 0.04-area lump
+    # of the domain, and faithfully so). "ordered" treats the input as an
+    # ordered closed boundary and maps the FULL domain.
+    polygon_source: str = "alpha"
 
 
 def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                              out_dir: str | None = None, verbose: bool = False):
     """Returns dict with the map, samples, and the v40 diagnostics row."""
     pts = np.ascontiguousarray(np.asarray(lucas_points_xy, dtype=float))
-    pts = np.unique(pts, axis=0)
-    if cfg.enable_jitter:
-        rng = np.random.default_rng(0)
-        pts = pts + 1e-12 * rng.standard_normal(pts.shape)
+    if cfg.polygon_source == "ordered":
+        from cmtci.geometry.polygon import Polygon
+        from cmtci.geometry.resample import enforce_ccw
 
-    poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
+        poly_l = Polygon(enforce_ccw(pts))
+    else:
+        pts = np.unique(pts, axis=0)
+        if cfg.enable_jitter:
+            rng = np.random.default_rng(0)
+            pts = pts + 1e-12 * rng.standard_normal(pts.shape)
+        poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
     rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
                                  inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
                                  verbose=verbose)
