@@ -44,6 +44,16 @@ def test_inverse_cloud_matches_reference_semantics():
     assert _match_error(got, ref) < 1e-8
 
 
+def test_pell_family_large_degree():
+    # dominant root near 3 (far from the unit-circle init): convergence must
+    # still reach LAPACK agreement at high degree
+    n = 500
+    zr, zi, valid = companion.eigvals_batched([n], "pell_like_all_twos")
+    got = (np.asarray(zr) + 1j * np.asarray(zi))[0][np.asarray(valid)[0]]
+    ref = np.linalg.eigvals(companion.companion_matrix(companion.family_top_row("pell_like_all_twos", n)))
+    assert _match_error(got, ref) < 1e-8
+
+
 def test_large_degree_converges():
     # Degrees at the tracker's top end (v3_T25_sigma3_dense row 4: n<=1220).
     ns = [300]
