@@ -53,8 +53,8 @@ def _tile_coords(params_ref, th: int, tw: int):
     return cr, ci
 
 
-def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
-                  max_iter: int, inner: int):
+def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
+                  max_iter: int, inner: int, periodicity: bool = False):
     th, tw = out_ref.shape
     cr, ci = _tile_coords(params_ref, th, tw)
     # analytic interior: the main cardioid q(q + x - 1/4) <= y²/4 and the
@@ -72,6 +72,16 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
     act_ref[:] = jnp.where(interior, 0.0, 1.0)
     out_ref[:] = jnp.where(interior, jnp.float32(max_iter), 0.0)
     n_chunks = (max_iter + inner - 1) // inner
+    if periodicity:
+        # Brent cycle detection for interior lanes outside the cardioid/bulb:
+        # exact f32 orbit equality with a power-of-2-scheduled checkpoint
+        # implies a genuine f32 cycle, hence dwell = max_iter exactly. Pays
+        # ~40% per-iteration overhead; a win only at high max_iter where
+        # filament/bulb lanes would otherwise pin their tiles to max_iter.
+        cycr_ref, cyci_ref, cyc_ref = refs
+        cycr_ref[:] = jnp.full((th, tw), jnp.float32(1e30))
+        cyci_ref[:] = jnp.zeros((th, tw), jnp.float32)
+        cyc_ref[:] = jnp.zeros((th, tw), jnp.float32)
 
     def body(itf):
         zr = zr_ref[:]
@@ -79,14 +89,29 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
         act = act_ref[:]
         dwell = out_ref[:]
         base = itf * jnp.float32(inner)
+        if periodicity:
+            zcr = cycr_ref[:]
+            zci = cyci_ref[:]
+            cyc = cyc_ref[:]
         for n in range(inner):
             zr, zi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
             inside = zr * zr + zi * zi <= 4.0  # inf/nan -> False, latches act
             act = act * jnp.where(inside, 1.0, 0.0)
+            if periodicity:
+                hit = jnp.where((zr == zcr) & (zi == zci), 1.0, 0.0)
+                cyc = jnp.maximum(cyc, hit * act)
+                act = act * (1.0 - hit)
             # count only the first max_iter iterations (the chunked loop may
             # overrun to the next `inner` multiple)
             sv = jnp.where(base + jnp.float32(n) < jnp.float32(max_iter), 1.0, 0.0)
             dwell = dwell + act * sv
+        if periodicity:
+            k = itf + 1.0
+            lg = jnp.log2(jnp.maximum(k, 1.0))
+            upd = jnp.where(jnp.floor(lg) == lg, 1.0, 0.0)
+            cycr_ref[:] = zcr * (1.0 - upd) + zr * upd
+            cyci_ref[:] = zci * (1.0 - upd) + zi * upd
+            cyc_ref[:] = cyc
         zr_ref[:] = zr
         zi_ref[:] = zi
         act_ref[:] = act
@@ -97,6 +122,8 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *,
         return jnp.logical_and(itf < jnp.float32(n_chunks), jnp.max(act_ref[:]) > 0.5)
 
     jax.lax.while_loop(cond, body, jnp.float32(0.0))
+    if periodicity:
+        out_ref[:] = jnp.where(cyc_ref[:] > 0.5, jnp.float32(max_iter), out_ref[:])
 
 
 def _green_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, *,
@@ -223,12 +250,17 @@ _KERNELS = {
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nx", "ny", "max_iter", "kind", "escape_r", "tile", "inner", "interpret"),
+    static_argnames=("nx", "ny", "max_iter", "kind", "escape_r", "tile", "inner",
+                     "interpret", "periodicity"),
 )
-def _field(params, nx, ny, max_iter, kind, escape_r, tile, inner, interpret):
+def _field(params, nx, ny, max_iter, kind, escape_r, tile, inner, interpret,
+           periodicity: bool = False):
     th, tw = tile
     kernel_fn, n_scratch, takes_r = _KERNELS[kind]
     kw = dict(max_iter=max_iter, inner=inner)
+    if kind == "dwell" and periodicity:
+        kw["periodicity"] = True
+        n_scratch = 6
     if takes_r:
         kw["escape_r"] = escape_r
     return pl.pallas_call(
@@ -245,6 +277,7 @@ def _field(params, nx, ny, max_iter, kind, escape_r, tile, inner, interpret):
 def mandelbrot_field_pallas(
     domain, nx: int, ny: int, max_iter: int = 500, kind: str = "dwell",
     escape_r: float = 4.0, tile: tuple = DEFAULT_TILE, inner: int = DEFAULT_INNER,
+    periodicity: bool = False,
 ):
     """Field over an np.linspace-style grid (ny, nx), computed tile-by-tile.
 
@@ -264,4 +297,5 @@ def mandelbrot_field_pallas(
     # trace under x64-disabled: Mosaic rejects 64-bit scalars from x64 mode
     with jax.enable_x64(False):
         params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
-        return _field(params, nx, ny, max_iter, kind, escape_r, (th, tw), inner, interpret)
+        return _field(params, nx, ny, max_iter, kind, escape_r, (th, tw), inner,
+                      interpret, periodicity)
