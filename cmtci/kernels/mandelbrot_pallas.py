@@ -60,12 +60,14 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
     # analytic interior: the main cardioid q(q + x - 1/4) <= y²/4 and the
     # period-2 bulb (x+1)² + y² <= 1/16 provably never escape, so those lanes
     # start inactive with dwell = max_iter — interior-dominated tiles exit
-    # after one chunk instead of iterating to max_iter. Exact: a pixel would
-    # need dwell < max_iter while sitting within f32 noise of the cardioid,
-    # but the dwell<max_iter band is bounded away from it.
+    # after one chunk instead of iterating to max_iter. The 1e-5 safety
+    # margin keeps the f32-evaluated tests strictly INSIDE the true sets
+    # (f32 eval error ~1e-7): near-parabolic exterior pixels with finite
+    # dwell ~1/sqrt(distance) can never be misclassified, at any max_iter;
+    # the excluded interior sliver just iterates normally.
     q = (cr - 0.25) * (cr - 0.25) + ci * ci
-    in_cardioid = q * (q + (cr - 0.25)) <= 0.25 * ci * ci
-    in_bulb = (cr + 1.0) * (cr + 1.0) + ci * ci <= 0.0625
+    in_cardioid = q * (q + (cr - 0.25)) <= 0.25 * ci * ci - 1e-5
+    in_bulb = (cr + 1.0) * (cr + 1.0) + ci * ci <= 0.0625 - 1e-5
     interior = in_cardioid | in_bulb
     zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
     zi_ref[:] = jnp.zeros((th, tw), jnp.float32)

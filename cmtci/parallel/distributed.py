@@ -13,30 +13,32 @@ so they ride ICI within a slice and DCN across slices without code changes.
 
 from __future__ import annotations
 
-import os
-
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> bool:
-    """Initialize jax.distributed if running multi-process.
+               process_id: int | None = None,
+               require: bool = False) -> bool:
+    """Initialize jax.distributed; returns True if multi-process init ran.
 
-    With no arguments, uses the standard JAX env autodetection
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID or the TPU
-    pod metadata). Returns True if distributed mode was initialized.
+    With no arguments, jax's own autodetection runs (TPU-pod GCE metadata,
+    JAX_COORDINATOR_ADDRESS, Slurm/MPI launchers, ...). On a plain
+    single-host machine autodetection fails — that is swallowed and False is
+    returned unless `require=True` or any argument was passed explicitly.
     """
     import jax
 
-    explicit = coordinator_address is not None
-    env = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not explicit and not env:
-        return False  # single-process run; nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    return True
+    explicit = any(v is not None for v in (coordinator_address, num_processes, process_id))
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except Exception:
+        if require or explicit:
+            raise
+        return False  # single-host run
 
 
 def process_info() -> dict:

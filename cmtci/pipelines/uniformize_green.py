@@ -43,6 +43,8 @@ class GreenUniformizeConfig:
 def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                              out_dir: str | None = None, verbose: bool = False):
     """Returns dict with the map, samples, and the v40 diagnostics row."""
+    if cfg.polygon_source not in ("alpha", "ordered"):
+        raise ValueError(f"unknown polygon_source '{cfg.polygon_source}'")
     pts = np.ascontiguousarray(np.asarray(lucas_points_xy, dtype=float))
     if cfg.polygon_source == "ordered":
         from cmtci.geometry.polygon import Polygon
