@@ -140,6 +140,63 @@ def sharded_histogram(points_r, points_i, bins: int, domain, mesh: Mesh):
     return run(points_r, points_i)
 
 
+def sharded_semivariogram(coords, values, r_edges, mesh: Mesh, chunk: int = 512):
+    """All-pairs semivariogram with the i-rows sharded over the mesh.
+
+    Each device bins its row block against the full (replicated) point set
+    with a global j > i mask, then per-bin (sum, count) partials are
+    psum-reduced — the multi-chip form of stats.variogram.grid_semivariogram
+    (exactly equal to it; no pair caps). Returns (gamma, counts).
+    """
+    coords = np.asarray(coords, dtype=float)
+    values = np.asarray(values, dtype=float)
+    n = len(coords)
+    n_dev = mesh.devices.size
+    n_pad = ((n + n_dev * chunk - 1) // (n_dev * chunk)) * (n_dev * chunk)
+    cp = np.pad(coords, ((0, n_pad - n), (0, 0)))
+    vp = np.pad(values, (0, n_pad - n))
+    edges = jnp.asarray(np.asarray(r_edges, dtype=float))
+    nbins = len(r_edges) - 1
+    rows_per = n_pad // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None, None), P(None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(c_loc, v_loc, c_all, v_all):
+        dev = jax.lax.axis_index("data")
+        row0 = dev * rows_per
+        cols = jnp.arange(n_pad)
+
+        def body(i, acc):
+            sums, counts = acc
+            blk_c = jax.lax.dynamic_slice_in_dim(c_loc, i * chunk, chunk, axis=0)
+            blk_v = jax.lax.dynamic_slice_in_dim(v_loc, i * chunk, chunk)
+            gidx = row0 + i * chunk + jnp.arange(chunk)
+            d = jnp.sqrt(jnp.sum((blk_c[:, None, :] - c_all[None, :, :]) ** 2, axis=-1))
+            dv2 = (blk_v[:, None] - v_all[None, :]) ** 2
+            valid = (gidx[:, None] < n) & (cols[None, :] > gidx[:, None]) & (cols[None, :] < n)
+            b = jnp.searchsorted(edges, d.ravel(), side="right") - 1
+            ok = valid.ravel() & (b >= 0) & (b < nbins) & (d.ravel() >= edges[0])
+            b = jnp.where(ok, b, nbins)
+            sums = sums.at[b].add(jnp.where(ok, dv2.ravel(), 0.0))
+            counts = counts.at[b].add(ok.astype(sums.dtype))
+            return sums, counts
+
+        init = (jnp.zeros(nbins + 1), jnp.zeros(nbins + 1))
+        sums, counts = jax.lax.fori_loop(0, rows_per // chunk, body, init)
+        return jax.lax.psum(sums[:-1], "data"), jax.lax.psum(counts[:-1], "data")
+
+    sums, counts = run(jnp.asarray(cp), jnp.asarray(vp), jnp.asarray(cp), jnp.asarray(vp))
+    sums, counts = np.asarray(sums), np.asarray(counts)
+    gamma = np.zeros(nbins)
+    nz = counts > 0
+    gamma[nz] = 0.5 * sums[nz] / counts[nz]
+    return gamma, counts
+
+
 def analysis_step(ns, domain, grid_n: int, bins: int, max_iter: int, mesh: Mesh,
                   alpha: float = 0.1, gi_steps: int = 5, eps: float = 1e-12):
     """Full sharded analysis step (the dry-run "training step").

@@ -49,6 +49,22 @@ def test_sharded_histogram_matches_numpy(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_sharded_semivariogram_matches_single_device(rng):
+    from cmtci.stats import variogram as vg
+
+    mesh = sharded.device_mesh()
+    gx, gy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+    f = rng.normal(size=(16, 16))
+    r_bins = np.linspace(0, 0.9, 10)
+    # single-device reference with no subsampling (m_target = all points)
+    coords = np.column_stack([gx.ravel(), gy.ravel()])
+    _, g_ref, c_ref = vg.grid_semivariogram(f, gx, gy, r_bins, m_target=256,
+                                            rng=np.random.RandomState(0))
+    g, c = sharded.sharded_semivariogram(coords, f.ravel(), r_bins, mesh, chunk=16)
+    np.testing.assert_array_equal(c, c_ref)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-12)
+
+
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     import os
