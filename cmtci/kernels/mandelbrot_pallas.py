@@ -57,18 +57,13 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
                   max_iter: int, inner: int, periodicity: bool = False):
     th, tw = out_ref.shape
     cr, ci = _tile_coords(params_ref, th, tw)
-    # analytic interior: the main cardioid q(q + x - 1/4) <= y²/4 and the
-    # period-2 bulb (x+1)² + y² <= 1/16 provably never escape, so those lanes
-    # start inactive with dwell = max_iter — interior-dominated tiles exit
-    # after one chunk instead of iterating to max_iter. The 1e-5 safety
-    # margin keeps the f32-evaluated tests strictly INSIDE the true sets
-    # (f32 eval error ~1e-7): near-parabolic exterior pixels with finite
-    # dwell ~1/sqrt(distance) can never be misclassified, at any max_iter;
-    # the excluded interior sliver just iterates normally.
-    q = (cr - 0.25) * (cr - 0.25) + ci * ci
-    in_cardioid = q * (q + (cr - 0.25)) <= 0.25 * ci * ci - 1e-5
-    in_bulb = (cr + 1.0) * (cr + 1.0) + ci * ci <= 0.0625 - 1e-5
-    interior = in_cardioid | in_bulb
+    # analytic interior (see _interior_mask): those lanes start inactive with
+    # dwell = max_iter, so interior-dominated tiles exit after one chunk.
+    # The 1e-5 safety margin keeps the f32-evaluated tests strictly INSIDE
+    # the true sets (f32 eval error ~1e-7): near-parabolic exterior pixels
+    # with finite dwell ~1/sqrt(distance) can never be misclassified, at any
+    # max_iter; the excluded interior sliver just iterates normally.
+    interior = _interior_mask(cr, ci)
     zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
     zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
     act_ref[:] = jnp.where(interior, 0.0, 1.0)
@@ -128,13 +123,24 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
         out_ref[:] = jnp.where(cyc_ref[:] > 0.5, jnp.float32(max_iter), out_ref[:])
 
 
+def _interior_mask(cr, ci):
+    """Analytic never-escapes test (cardioid + period-2 bulb, 1e-5 margin)."""
+    q = (cr - 0.25) * (cr - 0.25) + ci * ci
+    in_cardioid = q * (q + (cr - 0.25)) <= 0.25 * ci * ci - 1e-5
+    in_bulb = (cr + 1.0) * (cr + 1.0) + ci * ci <= 0.0625 - 1e-5
+    return in_cardioid | in_bulb
+
+
 def _green_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, *,
                   max_iter: int, inner: int, escape_r: float):
     th, tw = out_ref.shape
     cr, ci = _tile_coords(params_ref, th, tw)
     zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
     zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
-    esc_ref[:] = jnp.zeros((th, tw), jnp.float32)
+    # analytically-interior lanes never escape: marking them "escaped" with
+    # the zero-initialized latches leaves g = 0, the exact non-escape output,
+    # and lets interior tiles exit after one chunk
+    esc_ref[:] = jnp.where(_interior_mask(cr, ci), 1.0, 0.0)
     out_ref[:] = jnp.zeros((th, tw), jnp.float32)
     r2 = jnp.float32(escape_r * escape_r)
     n_chunks = (max_iter + inner - 1) // inner
@@ -176,7 +182,9 @@ def _de_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, dzr_ref, dzi_ref,
     one = jnp.ones((th, tw), jnp.float32)
     zr_ref[:] = zero
     zi_ref[:] = zero
-    esc_ref[:] = zero
+    # interior lanes marked escaped with zero latches -> d = 0 exactly (the
+    # reference's non-escape output), interior tiles exit after one chunk
+    esc_ref[:] = jnp.where(_interior_mask(cr, ci), 1.0, 0.0)
     dzr_ref[:] = one
     dzi_ref[:] = zero
     lzr_ref[:] = zero
