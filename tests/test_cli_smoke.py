@@ -1,0 +1,34 @@
+"""CLI dispatch smoke tests (fast configs)."""
+
+import json
+import os
+
+import numpy as np
+
+from cmtci.cli import main
+
+
+def test_boundary_curvature_stage1_report_chain(tmp_path):
+    out = str(tmp_path)
+    assert main(["boundary", "--res", "200", "--max-iter", "80", "--out", f"{out}/m"]) == 0
+    assert main(["curvature", "--input-csv", f"{out}/m_boundary.csv",
+                 "--neighbors", "5", "--out", f"{out}/c"]) == 0
+    assert main(["stage1", "--max-n", "12", "--boundary-samples", "80",
+                 "--out", f"{out}/bus"]) == 0
+    for f in ("construct_points.csv", "mandel_boundary_sample.csv",
+              "construct_aligned.csv", "matches_indices.csv"):
+        assert os.path.exists(f"{out}/bus/{f}")
+    assert main(["report", "--busdir", f"{out}/bus", "--out", f"{out}/rep"]) == 0
+    assert os.path.exists(f"{out}/rep_phase5_summary.csv")
+
+
+def test_tracker_cli(tmp_path):
+    out = str(tmp_path / "trk")
+    assert main(["tracker", "--sigma-bins", "2.0", "--t-fixed", "3",
+                 "--bins-start", "16", "--bins-max", "16", "--out", out]) == 0
+    import csv
+
+    rows = list(csv.DictReader(open(out + ".csv")))
+    assert len(rows) == 1 and rows[0]["bins"] == "16"
+    meta = json.load(open(out + ".json"))
+    assert meta["rows"][0]["T_n"] == 3

@@ -46,6 +46,24 @@ def test_fixed_t_stage1_vs_oracle(mode):
     assert r.mass_outside_domain_M == 0.0
 
 
+def test_tpu_path_stage2_statistical():
+    """Aberth cloud + blocked matcher at stage-2 scale (n<=480, 690² grid).
+
+    The TPU-first path diverges from the oracle's RNG stream only through
+    f64 rounding; metrics must stay within the tracker's seed-to-seed
+    spread (~±35%, see VALIDATION.md) — use 5% here.
+    """
+    ref = _ref_rows("v3_T25_sigma3_dense.csv")[1]
+    cfg = TrackerConfig(sigma_bins=3.0, t_fixed=25, bins_start=64, bins_max=512,
+                        construct_max_growth=1.6, mandelbrot_samples_growth=1.6,
+                        mandelbrot_samples_max=300000, parity=False)
+    rows, _ = run_tracker(cfg, max_stages=2)
+    r = rows[1]
+    assert r.bins == 128 and r.n_construct_pts == 6000
+    for k in ("delta_n", "tv_PC_PM", "overlap_mass_PC_PM"):
+        assert float(getattr(r, k)) == pytest.approx(float(ref[k]), rel=0.05), k
+
+
 def test_adaptive_stage1_vs_oracle():
     ref = _ref_rows("v3_adaptive.csv")[0]
     cfg = TrackerConfig(sigma_bins=1.0, t_fixed=-1, bins_start=64, bins_max=512, parity=True)
