@@ -137,6 +137,12 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
     }
     if out_json:
         writers.write_json(out_json, out)
+        from cmtci.io import plots
+
+        prefix = out_json.rsplit(".", 1)[0]
+        plots.plot_kl_descent(kls, f"{prefix}_KL_descent.png")
+        plots.plot_field(traj[-1], cfg.domain, f"{prefix}_XT_final.png",
+                         title="Final histogram X_T")
     return out, kls, traj
 
 

@@ -60,6 +60,9 @@ def run_boundary(cfg: BoundaryConfig, output_prefix: str | None = None):
         raise RuntimeError("Failed to extract a usable contour; adjust level/res.")
     if output_prefix:
         writers.write_xy_csv(f"{output_prefix}_boundary.csv", path)
+        from cmtci.io import plots
+
+        plots.plot_boundary_overlay(path, path, f"{output_prefix}_boundary.png")
         writers.write_meta_txt(f"{output_prefix}_meta.txt", {
             "xlim": list(cfg.xlim), "ylim": list(cfg.ylim), "res": cfg.res,
             "max_iter": cfg.max_iter, "level": cfg.level,

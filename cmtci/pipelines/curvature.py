@@ -37,6 +37,9 @@ def run_curvature(points_xy, cfg: CurvatureConfig, output_prefix: str | None = N
     )
     if output_prefix:
         writers.write_curvature_csv(f"{output_prefix}_curvature.csv", p, kappa, ks, speed, aux)
+        from cmtci.io import plots
+
+        plots.plot_curvature(p, kappa, output_prefix)
         writers.ensure_dir(f"{output_prefix}_summary.txt")
         with open(f"{output_prefix}_summary.txt", "w") as f:
             f.write("Local-Polynomial Curvature Summary\n")
