@@ -12,8 +12,10 @@ propagation keeps `inside`/`hit` predicates false after escape, so the
 latched outputs stay exact while the inner loop needs no freeze selects.
 
 Tuning (measured on TPU v5e, 2048² grid, max_iter=500, chained timing to
-amortize the ~29 ms relay roundtrip): tile=(32,256), inner=32 -> ~800
-Mpix/s; larger tiles lose to coarser early-exit granularity.
+amortize the ~30 ms relay roundtrip): tile=(32,256), inner=32, analytic
+interior early-out -> ~1.7 ms/grid (~2400 Mpix/s device-side) for the dwell
+head; larger tiles lose to coarser early-exit granularity. Green/DE heads:
+1151 / 751 Mpix/s.
 
 Heads (static `kind`):
   * "dwell"  — first n (0-based) with |z_{n+1}|² > 4, else max_iter
