@@ -139,6 +139,36 @@ def point_variogram(locs, values=None, max_dist=None, nbins: int = 50):
     return centers, gamma, counts
 
 
+def cross_variogram_from_matches(c, m, construct_idx, mandel_idx, nbins: int = 50,
+                                 max_dist=None):
+    """Matched-pair cross-variogram (Variogram-Mandelbrot-Construct.py:155-178).
+
+    Lag = |C[ci] - M[mi]| per matched pair; semivariance = 0.5*mean(|d|²) per
+    lag bin (the reference's matched-pair cross-plot statistic).
+    Returns (centers, gamma, counts).
+    """
+    construct_idx = np.asarray(construct_idx, dtype=int)
+    mandel_idx = np.asarray(mandel_idx, dtype=int)
+    if len(construct_idx) == 0:
+        return np.array([]), np.array([]), np.array([])
+    diffs = np.asarray(c)[construct_idx] - np.asarray(m)[mandel_idx]
+    mags = np.linalg.norm(diffs, axis=1)
+    sq = np.sum(diffs**2, axis=1)
+    if max_dist is None:
+        max_dist = mags.max() if mags.size else 1.0
+    bins = np.linspace(0.0, max_dist, nbins + 1)
+    centers = 0.5 * (bins[:-1] + bins[1:])
+    gamma = np.full(nbins, np.nan)
+    counts = np.zeros(nbins, dtype=int)
+    inds = np.digitize(mags, bins) - 1
+    for k in range(nbins):
+        mask = inds == k
+        if mask.any():
+            gamma[k] = 0.5 * np.mean(sq[mask])
+            counts[k] = mask.sum()
+    return centers, gamma, counts
+
+
 def variogram_range(lags, gamma, pct: float = 0.9):
     """First lag where gamma >= pct*max (Iterative_Variogram_Laplacian.py:88-100)."""
     finite = np.isfinite(gamma)

@@ -58,6 +58,22 @@ class TestVariogram:
             if m.any():
                 assert g[k] == pytest.approx(0.5 * sq[m].mean(), rel=1e-12)
 
+    def test_cross_variogram_from_matches(self, rng):
+        c = rng.normal(size=(80, 2))
+        m = rng.normal(size=(60, 2))
+        ci = np.arange(80)
+        mi = rng.integers(0, 60, 80)
+        centers, gamma, counts = variogram.cross_variogram_from_matches(c, m, ci, mi, nbins=8)
+        assert counts.sum() > 0
+        # faithful check on one bin
+        mags = np.linalg.norm(c[ci] - m[mi], axis=1)
+        sq = np.sum((c[ci] - m[mi]) ** 2, axis=1)
+        bins = np.linspace(0.0, mags.max(), 9)
+        k = 3
+        mask = (np.digitize(mags, bins) - 1) == k
+        if mask.any():
+            assert gamma[k] == pytest.approx(0.5 * sq[mask].mean(), rel=1e-12)
+
     def test_range_estimator(self):
         lags = np.linspace(0.05, 1.0, 20)
         gamma = 1.0 - np.exp(-lags / 0.2)
