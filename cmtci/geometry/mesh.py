@@ -81,14 +81,12 @@ def polygon_to_mesh(
 def boundary_vertices(triangles: np.ndarray) -> np.ndarray:
     """Vertex indices on the mesh boundary (edges used by one triangle).
 
-    Vectorized version of lucas_to_cardioid_v18...py:349-362.
+    Vectorized version of lucas_to_cardioid_v18...py:349-362; shares the
+    once-used-edge extraction with the alpha-shape module.
     """
-    e = np.concatenate(
-        [triangles[:, [0, 1]], triangles[:, [1, 2]], triangles[:, [2, 0]]], axis=0
-    )
-    e = np.sort(e, axis=1)
-    uniq, counts = np.unique(e, axis=0, return_counts=True)
-    return np.unique(uniq[counts == 1])
+    from cmtci.geometry.alpha_shape import boundary_edges_of
+
+    return np.unique(boundary_edges_of(triangles))
 
 
 def tri_centroids(points: np.ndarray, triangles: np.ndarray) -> np.ndarray:

@@ -148,10 +148,12 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
 
 def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
     """phase2 + phase3: g(r), Ripley K, Hausdorff, gradient curvature, box dim."""
-    r_c, g_c = ps.pair_correlation(c_aligned, r_max, dr)
-    r_m, g_m = ps.pair_correlation(m_pts, r_max, dr)
-    _, k_c = ps.ripley_k(c_aligned, r_max, dr)
-    _, k_m = ps.ripley_k(m_pts, r_max, dr)
+    shells_c = ps._shell_counts(c_aligned, r_max, dr)
+    shells_m = ps._shell_counts(m_pts, r_max, dr)
+    r_c, g_c = ps.pair_correlation(c_aligned, r_max, dr, _shells=shells_c)
+    r_m, g_m = ps.pair_correlation(m_pts, r_max, dr, _shells=shells_m)
+    _, k_c = ps.ripley_k(c_aligned, r_max, dr, _shells=shells_c)
+    _, k_m = ps.ripley_k(m_pts, r_max, dr, _shells=shells_m)
     out = {
         "r": r_c, "g_construct": g_c, "g_mandel": g_m,
         "K_construct": k_c, "K_mandel": k_m,

@@ -58,8 +58,8 @@ def run_level(cfg: FEMUniformizeConfig, h_l: float, h_c: float, boundary_h: floa
 
     kw = dict(iters=cfg.theta_iters, relax=cfg.theta_relax, smooth=cfg.theta_smooth,
               feedback=cfg.feedback, method=cfg.solver)
-    u_l, v_l, c_l, r_l, per_l = fem.theta_iteration(p_l, t_l, poly_l, **kw)
-    u_c, v_c, c_c, r_c, per_c = fem.theta_iteration(p_c, t_c, poly_c, **kw)
+    u_l, v_l, _, _, per_l = fem.theta_iteration(p_l, t_l, poly_l, **kw)
+    u_c, v_c, _, _, per_c = fem.theta_iteration(p_c, t_c, poly_c, **kw)
 
     # boundary rotation alignment after normalization (v18:857-872)
     b_l, _, _ = fem.boundary_order_by_arclength(p_l, t_l, poly_l)
@@ -91,7 +91,7 @@ def run_level(cfg: FEMUniformizeConfig, h_l: float, h_c: float, boundary_h: floa
     mask_ref = d_all >= 2.0 * h_l
     bins = []
     if mask_ref.any() and len(ks):
-        _, ks_full, used_full = qc.beltrami_full(p_l, t_l, phi_nodes, valid)
+        _, ks_full, _ = qc.beltrami_full(p_l, t_l, phi_nodes, valid)
         x = d_all[mask_ref]
         y = ks_full[mask_ref]
         good = np.isfinite(y)

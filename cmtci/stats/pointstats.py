@@ -48,8 +48,9 @@ def _pair_hist(xy, r_edges, nbins: int, chunk: int = 1024):
     return acc[:-1]
 
 
-def pair_correlation(points, r_max: float, dr: float):
-    """g(r) per spatial_stats_phase2.py:9-31 (shells [r, r+dr))."""
+def _shell_counts(points, r_max: float, dr: float):
+    """(r_vals, shell counts over [r, r+dr), n, rho): one O(N²) pass shared
+    by g(r) and Ripley K."""
     xy = _xy(points)
     n = len(xy)
     area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
@@ -57,23 +58,26 @@ def pair_correlation(points, r_max: float, dr: float):
     r_vals = np.arange(0, r_max, dr)
     edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]))
     counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
+    return r_vals, counts, n, rho
+
+
+def pair_correlation(points, r_max: float, dr: float, _shells=None):
+    """g(r) per spatial_stats_phase2.py:9-31 (shells [r, r+dr))."""
+    r_vals, counts, n, rho = _shells or _shell_counts(points, r_max, dr)
     norm = 2 * np.pi * r_vals * dr * n * rho
     g = np.where(norm > 0, counts / np.where(norm > 0, norm, 1.0), 0.0)
     return r_vals, g
 
 
-def ripley_k(points, r_max: float, dr: float):
-    """K(r) per spatial_stats_phase2.py:33-47 (cumulative count < r)."""
-    xy = _xy(points)
-    n = len(xy)
-    area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
-    rho = n / area
-    r_vals = np.arange(0, r_max, dr)
-    # histogram then cumulative: count(d < r) for each threshold r
-    edges = jnp.asarray(np.concatenate([[0.0], r_vals]))
-    counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
-    cum = np.cumsum(counts)  # pairs with d < r_vals[k] (upper triangle)
-    return r_vals, (2.0 * cum) / (n * rho)
+def ripley_k(points, r_max: float, dr: float, _shells=None):
+    """K(r) per spatial_stats_phase2.py:33-47 (cumulative count < r).
+
+    count(d < k*dr) = cumulative sum of the shells below k — same histogram
+    as pair_correlation, shifted by one bin.
+    """
+    r_vals, counts, n, rho = _shells or _shell_counts(points, r_max, dr)
+    below = np.concatenate([[0.0], np.cumsum(counts)[:-1]])  # pairs with d < r
+    return r_vals, (2.0 * below) / (n * rho)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
