@@ -121,7 +121,7 @@ def _phi_raw_blocked(zr, zi, br, bi, sigds, ar, ai, c_const, gx, gw, chunk: int 
         ii = (dp_r @ gw) * segi + (dp_i @ gw) * segr
         # real anchor: -log(EPS_POLE) + Σ sigds log|z0-ζ| + C
         lr = jnp.log(jnp.hypot(z0r[:, None] - br, z0i[:, None] - bi) + 1e-300)
-        phi0 = -math.log(EPS_POLE) + lr @ (sigds / 1.0) + c_const
+        phi0 = -math.log(EPS_POLE) + lr @ sigds + c_const
         ir = ir + phi0
         or_ = jax.lax.dynamic_update_slice_in_dim(or_, ir, i * chunk, axis=0)
         oi_ = jax.lax.dynamic_update_slice_in_dim(oi_, ii, i * chunk, axis=0)
