@@ -68,7 +68,6 @@ def _run(on_tpu: bool):
     # res=2000 is not a lane multiple; compute 2048 columns at the 2000-grid
     # spacing and crop (coordinates of the first 2000 columns are identical).
     nx_pad = 2048
-    ny = RES  # 2000 rows = 62.5 tiles of 32 -> pad rows too
     ny_pad = 2048
     dx = (DOM[1] - DOM[0]) / (RES - 1)
     dy = (DOM[3] - DOM[2]) / (RES - 1)
