@@ -184,12 +184,16 @@ def _pairwise_repulsion(z, valid, chunk: int):
     return jax.lax.fori_loop(0, nl_pad // chunk, body, (zero, zero))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "chunk"))
-def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 128):
+@functools.partial(jax.jit, static_argnames=("max_iters", "chunk", "return_info"))
+def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 128,
+                 return_info: bool = False):
     """Batched Aberth–Ehrlich root finder.
 
     a: (B, L+1) ascending coefficients (see poly_coeff_batch); deg: (B,).
     Returns (re, im, valid): (B, L) roots with valid[b, k] = k < deg[b].
+    With return_info=True additionally returns (iterations, converged) —
+    converged is False if any valid lane was still moving more than
+    tol*|root| when max_iters was reached.
     """
     bsz, lp1 = a.shape
     nl = lp1 - 1
@@ -225,9 +229,11 @@ def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 
         done = jnp.all(jnp.where(valid, conv, True))
         return z_new[0], z_new[1], it + 1, done
 
-    zr, zi, _, _ = jax.lax.while_loop(
+    zr, zi, iters, done = jax.lax.while_loop(
         cond, body, (z[0], z[1], jnp.int32(0), jnp.bool_(False))
     )
+    if return_info:
+        return zr, zi, valid, iters, done
     return zr, zi, valid
 
 

@@ -60,3 +60,13 @@ def test_large_degree_converges():
     ref = np.linalg.eigvals(companion.companion_matrix(companion.family_top_row("lucas_all_ones", 300)))
     got = companion.inverse_cloud(ns, backend="aberth")
     assert _match_error(got, 1.0 / ref) < 1e-7
+
+
+def test_aberth_convergence_telemetry():
+    a, deg = companion.poly_coeff_batch([50, 120], "lucas_all_ones")
+    zr, zi, valid, iters, done = companion.aberth_roots(a, deg, return_info=True)
+    assert bool(done)
+    assert 0 < int(iters) < 200
+    # starved iteration budget reports non-convergence instead of lying
+    _, _, _, it2, done2 = companion.aberth_roots(a, deg, max_iters=2, return_info=True)
+    assert not bool(done2) and int(it2) == 2
