@@ -424,6 +424,7 @@ def sample_boundary_quantile(
     rng: np.random.RandomState | None = None,
     dtype=jnp.float64,
     impl: str = "jax",
+    mesh=None,
 ):
     """TCI boundary sampler (tci_construct_mandelbrot_v002_fixed.py:49-59).
 
@@ -431,6 +432,9 @@ def sample_boundary_quantile(
     to n_samples with numpy RNG (pass np.random to share the reference's
     global-seed stream for bitwise parity runs; impl="numpy" additionally
     pins the orbit arithmetic to numpy's, immune to XLA FMA contraction).
+    With impl="jax" and a `mesh`, the DE grid rows are sharded over the
+    devices (elementwise orbits, so bitwise-identical to single-device); the
+    quantile/subsample stays on host to preserve the RNG stream.
     """
     if impl == "numpy":
         # exact reference grid: np.linspace differs from jnp.linspace at the
@@ -441,6 +445,12 @@ def sample_boundary_quantile(
         esc, d = de_field_tci_numpy(crn + 1j * cin, max_iter=max_iter,
                                     escape_r=escape_r, eps=eps)
         cr, ci = crn, cin
+    elif mesh is not None:
+        from cmtci.parallel.sharded import sharded_de_tci_field
+
+        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+        esc, d = sharded_de_tci_field(domain, grid_n, mesh, max_iter=max_iter,
+                                      escape_r=escape_r, eps=eps, dtype=dtype)
     else:
         cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
         esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)

@@ -253,10 +253,104 @@ def _de_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, dzr_ref, dzi_ref,
     out_ref[:] = jnp.where(esc, num / den, jnp.float32(0.0))
 
 
+def _tci_kernel(params_ref, out_ref, zr_ref, zi_ref, esc_ref, dzr_ref, dzi_ref,
+                lzr_ref, lzi_ref, done_ref, *,
+                max_iter: int, inner: int, escape_r: float):
+    """TCI distance estimator (tci_construct_mandelbrot_v002_fixed.py:35-47).
+
+    The reference's non-latched-dz overflow semantics: z is latched at first
+    |z| > escape_r, but dz keeps iterating with the evolving z and overflows
+    to inf for all but the latest escapers, so d == 0 there. Early exit is
+    exact: a lane is "done" when it is analytically interior (d = 0, not
+    escaped) or when it has escaped AND its dz has gone non-finite — from
+    then on d = num/inf = 0 (or nan -> 0) regardless of further iterations,
+    and non-finite dz can never return to finite. Late escapers with still-
+    finite dz keep their tile alive until max_iter, exactly like the f64
+    XLA path. Output encoding: d (>= 0) where escaped, -1.0 where not.
+    """
+    th, tw = out_ref.shape
+    cr, ci = _tile_coords(params_ref, th, tw)
+    zero = jnp.zeros((th, tw), jnp.float32)
+    interior = _interior_mask(cr, ci)
+    zr_ref[:] = zero
+    zi_ref[:] = zero
+    esc_ref[:] = zero
+    dzr_ref[:] = jnp.ones((th, tw), jnp.float32)
+    dzi_ref[:] = zero
+    lzr_ref[:] = zero
+    lzi_ref[:] = zero
+    done_ref[:] = jnp.where(interior, 1.0, 0.0)
+    r2 = jnp.float32(escape_r * escape_r)
+    n_chunks = (max_iter + inner - 1) // inner
+
+    def body(itf):
+        zr = zr_ref[:]
+        zi = zi_ref[:]
+        escf = esc_ref[:]
+        dzr = dzr_ref[:]
+        dzi = dzi_ref[:]
+        lzr = lzr_ref[:]
+        lzi = lzi_ref[:]
+        done = done_ref[:]
+        base = itf * jnp.float32(inner)
+        for n in range(inner):
+            # guard chunk overrun past max_iter: extra steps must not evolve
+            # dz (it feeds d for late escapers) nor latch anything
+            sv = (base + jnp.float32(n)) < jnp.float32(max_iter)
+            tr, ti = 2.0 * zr, 2.0 * zi
+            ndzr, ndzi = tr * dzr - ti * dzi + 1.0, tr * dzi + ti * dzr
+            nzr, nzi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            dzr = jnp.where(sv, ndzr, dzr)
+            dzi = jnp.where(sv, ndzi, dzi)
+            zr = jnp.where(sv, nzr, zr)
+            zi = jnp.where(sv, nzi, zi)
+            a2 = zr * zr + zi * zi
+            hit = (a2 > r2) & (escf < 0.5) & sv  # |z| > R (squared; inf -> True)
+            lzr = jnp.where(hit, zr, lzr)
+            lzi = jnp.where(hit, zi, lzi)
+            escf = jnp.maximum(escf, jnp.where(hit, 1.0, 0.0))
+            # escaped lanes keep iterating z and dz (NOT frozen) — the
+            # reference's overflow-to-inf path; dz non-finite => d pinned at 0
+            dz_dead = jnp.logical_not(jnp.isfinite(dzr) & jnp.isfinite(dzi))
+            done = jnp.maximum(done, jnp.where((escf > 0.5) & dz_dead, 1.0, 0.0))
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        esc_ref[:] = escf
+        dzr_ref[:] = dzr
+        dzi_ref[:] = dzi
+        lzr_ref[:] = lzr
+        lzi_ref[:] = lzi
+        done_ref[:] = done
+        return itf + 1.0
+
+    def cond(itf):
+        return jnp.logical_and(itf < jnp.float32(n_chunks), jnp.min(done_ref[:]) < 0.5)
+
+    jax.lax.while_loop(cond, body, jnp.float32(0.0))
+
+    esc = esc_ref[:] > 0.5
+    lzr = lzr_ref[:]
+    lzi = lzi_ref[:]
+    dzr = dzr_ref[:]
+    dzi = dzi_ref[:]
+    az = jnp.sqrt(lzr * lzr + lzi * lzi)
+    # final (possibly inf/nan) dz with the latched z, like de_field_tci
+    pr = 2.0 * lzr * dzr - 2.0 * lzi * dzi
+    pi_ = 2.0 * lzr * dzi + 2.0 * lzi * dzr
+    den = jnp.maximum(jnp.sqrt(pr * pr + pi_ * pi_), jnp.float32(1e-12))
+    # az >= escape_r where escaped, so log(max(az,1)) == log(az) there; the
+    # max only protects the az == 0 lanes (never escaped), which output -1
+    num = jnp.log(jnp.maximum(az, 1.0)) * az
+    d = num / den
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    out_ref[:] = jnp.where(esc, d, jnp.float32(-1.0))
+
+
 _KERNELS = {
     "dwell": (_dwell_kernel, 3, False),
     "green": (_green_kernel, 3, True),
     "de": (_de_kernel, 9, True),
+    "tci": (_tci_kernel, 8, True),
 }
 
 

@@ -12,8 +12,12 @@ data parallelism over a `jax.sharding.Mesh`:
 
 Everything uses shard_map so each device runs an independent escape loop /
 Aberth iteration (no collectives inside the hot loops; one psum at the
-reduction edge). `analysis_step` is the full "training step" analogue used
-by the driver's multi-chip dry run.
+reduction edge). `tracker_train_step` is the REAL tracker stage
+(sample -> match -> Procrustes -> mollify -> GI-flow) as one jittable
+multi-chip step, used by the driver's dry run; `sharded_argmax_match` /
+`sharded_de_tci_field` / the mesh path of transport.histogram are
+bitwise-identical to their single-device counterparts and are what
+run_tracker(mesh=...) uses.
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from cmtci.kernels import companion
+from cmtci.kernels import mandelbrot as mb
 from cmtci.utils import cplx
 
 
@@ -195,6 +200,273 @@ def sharded_semivariogram(coords, values, r_edges, mesh: Mesh, chunk: int = 512)
     nz = counts > 0
     gamma[nz] = 0.5 * sums[nz] / counts[nz]
     return gamma, counts
+
+
+# ---------------------------------------------------------------------------
+# The real tracker stage, sharded (gi_assumption_tracker_v3.py:212-247)
+# ---------------------------------------------------------------------------
+
+
+def _match_core(rows, b_all, mean, eps):
+    """Per-row kernel argmax — identical math to sinkhorn._argmax_kernel_rows."""
+    from cmtci.transport.sinkhorn import _pairwise_dist
+
+    d = _pairwise_dist(rows, b_all) / mean
+    k = jnp.nan_to_num(jnp.exp(-d / eps))
+    return jnp.argmax(k, axis=1)
+
+
+def sharded_argmax_match(ax, by, eps: float, mesh: Mesh, chunk: int = 2048):
+    """Kernel-argmax OT matcher with the C rows sharded over the mesh.
+
+    The tracker's true multi-chip hot spot (O(n·m) at 37820×150000,
+    gi_assumption_tracker_v3.py:215 / tci_..._v002_fixed.py:62-71): each
+    device matches its row block against the replicated M; the mean-distance
+    normalizer is computed from per-chunk partial sums all_gathered in global
+    chunk order and summed sequentially, so it is bitwise-identical to the
+    single-device blocked matcher (sinkhorn._blocked_mean_dist accumulates
+    the same chunk partials in the same order; extra all-masked pad chunks
+    contribute exact 0.0). No collective touches the O(n·m) work itself.
+
+    Returns int match indices (n,) as a host array.
+    """
+    ax = jnp.asarray(ax)
+    by = jnp.asarray(by)
+    n = ax.shape[0]
+    per = chunk * mesh.devices.size
+    npad = ((n + per - 1) // per) * per
+    ap = jnp.pad(ax, ((0, npad - n), (0, 0)))
+    out = _sharded_argmax_match_dev(ap, by, n, eps, mesh, chunk)
+    return np.asarray(out)[:n]
+
+
+def _sharded_argmax_match_dev(ap, by, n: int, eps, mesh: Mesh, chunk: int):
+    """Device core of sharded_argmax_match (ap pre-padded to chunk*n_dev)."""
+    from cmtci.transport.sinkhorn import _pairwise_dist
+
+    n_dev = mesh.devices.size
+    npad = ap.shape[0]
+    rows_per = npad // n_dev
+    k_loc = rows_per // chunk
+    m = by.shape[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("data", None), P(None, None)),
+        out_specs=P("data"), check_vma=False,
+    )
+    def run(a_loc, b_all):
+        dev = jax.lax.axis_index("data")
+        row0 = dev * rows_per
+
+        def part_body(i, parts):
+            rows = jax.lax.dynamic_slice_in_dim(a_loc, i * chunk, chunk, axis=0)
+            gidx = row0 + i * chunk + jnp.arange(chunk)
+            d = _pairwise_dist(rows, b_all)
+            d = jnp.where((gidx < n)[:, None], d, 0.0)
+            return parts.at[i].set(jnp.sum(d))
+
+        parts = jax.lax.fori_loop(0, k_loc, part_body, jnp.zeros(k_loc, a_loc.dtype))
+        all_parts = jax.lax.all_gather(parts, "data", tiled=True)
+        total = jax.lax.fori_loop(
+            0, n_dev * k_loc, lambda i, acc: acc + all_parts[i],
+            jnp.zeros((), a_loc.dtype),
+        )
+        mean = total / (n * m)
+
+        idx_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+        def match_body(i, out):
+            rows = jax.lax.dynamic_slice_in_dim(a_loc, i * chunk, chunk, axis=0)
+            mt = _match_core(rows, b_all, mean, eps).astype(idx_dtype)
+            return jax.lax.dynamic_update_slice_in_dim(out, mt, i * chunk, axis=0)
+
+        out = jnp.zeros(rows_per, dtype=idx_dtype)
+        return jax.lax.fori_loop(0, k_loc, match_body, out)
+
+    return run(ap, by)
+
+
+def sharded_de_tci_field(domain, grid_n: int, mesh: Mesh, max_iter: int = 250,
+                         escape_r: float = 250.0, eps: float = 1e-12,
+                         dtype=jnp.float64):
+    """(esc, d) of the TCI DE grid with rows sharded over the mesh.
+
+    Coordinates are built once by the single-device complex_grid and
+    row-sharded, so every pixel's orbit arithmetic (elementwise, no
+    cross-pixel reductions) is bitwise-identical to
+    kernels.mandelbrot.de_field_tci. Returns host arrays (grid_n, grid_n).
+    """
+    cr, ci = mb.complex_grid(domain, grid_n, grid_n, dtype=dtype)
+    n_dev = mesh.devices.size
+    ny = cr.shape[0]
+    npad = ((ny + n_dev - 1) // n_dev) * n_dev
+    crp = jnp.pad(cr, ((0, npad - ny), (0, 0)))
+    cip = jnp.pad(ci, ((0, npad - ny), (0, 0)))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("data", None), P("data", None)),
+        out_specs=(P("data", None), P("data", None)), check_vma=False,
+    )
+    def run(cr_loc, ci_loc):
+        esc, d, _, _ = mb.de_field_tci(cr_loc, ci_loc, max_iter=max_iter,
+                                       escape_r=escape_r, eps=eps)
+        return esc, d
+
+    esc, d = run(crp, cip)
+    return np.asarray(esc)[:ny], np.asarray(d)[:ny]
+
+
+def _masked_quantile(vals, mask, q):
+    """np.quantile(vals[mask], q) with linear interpolation, fixed shapes."""
+    v = jnp.sort(jnp.where(mask, vals, jnp.inf))
+    cnt = jnp.sum(mask)
+    pos = q * (cnt - 1).astype(vals.dtype)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(vals.dtype)
+    return v[lo] * (1.0 - frac) + v[hi] * frac
+
+
+def _rotation_align(x0r, x0i, y0r, y0i):
+    """Optimal rotation angle aligning centered x onto centered y (2-D).
+
+    Closed-form orthogonal Procrustes in the proper-rotation case
+    (R = U V^T of svd(X0^T Y0), tci_construct_mandelbrot_v002_fixed.py:73-78
+    "fixed" convention): theta maximizing tr(R^T X0^T Y0).
+    """
+    a = jnp.sum(x0r * y0r + x0i * y0i)
+    b = jnp.sum(x0r * y0i - x0i * y0r)
+    return jnp.arctan2(b, a)
+
+
+def _hist_prob(xr, xi, bins: int, domain, sigma_bins: float, eps, mesh: Mesh):
+    """Point-sharded mollified probability histogram (device, jit-friendly)."""
+    from cmtci.transport.histogram import gaussian_filter_nearest
+
+    n_dev = mesh.devices.size
+    n = xr.shape[0]
+    npad = ((n + n_dev - 1) // n_dev) * n_dev
+    xr = jnp.pad(xr, (0, npad - n), constant_values=domain[1] + 1.0)
+    xi = jnp.pad(xi, (0, npad - n), constant_values=domain[3] + 1.0)
+    h = sharded_histogram(xr, xi, bins, domain, mesh)
+    h = jnp.maximum(h, eps)
+    if sigma_bins and sigma_bins > 0:
+        h = gaussian_filter_nearest(h, float(sigma_bins))
+        h = jnp.maximum(h, eps)
+    return h / h.sum()
+
+
+def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
+                       bins: int, key, max_iter: int = 64, escape_r: float = 250.0,
+                       sinkhorn_eps: float = 0.8, sigma_bins: float = 1.0,
+                       alpha: float = 0.1, t_steps: int = 5, eps: float = 1e-12,
+                       chunk: int = 256, dtype=jnp.float32):
+    """The REAL tracker stage as one jittable multi-chip step.
+
+    Genuine sample -> match -> Procrustes -> mollify -> GI-flow
+    (gi_assumption_tracker_v3.py:212-247), all fixed-shape on device:
+
+      * eigensweep batch-sharded over the mesh (C cloud),
+      * TCI DE grid row-sharded; escaped & d<=q25 selection as a mask;
+        subsample-without-replacement via Gumbel top-k (the jit analogue of
+        the host rng.choice),
+      * kernel-argmax matcher with C rows sharded vs replicated M,
+      * rotation-Procrustes from psum-able moments (closed-form 2x2),
+      * mollified histograms point-sharded + psum, GI-flow on the replicated
+        histograms.
+
+    Returns a dict of scalar diagnostics. Host-RNG bitwise-parity runs go
+    through run_tracker(mesh=...) instead; this is the fixed-shape training
+    step the driver dry-runs over N virtual devices.
+    """
+    from cmtci.transport.giflow import _kl_jit
+
+    # 1. C cloud: batch-sharded eigensweep -> padded inverse cloud
+    zr, zi, valid = sharded_eigensweep(ns, mesh=mesh)
+    ir, ii = cplx.reciprocal((zr, zi))
+    vflat = valid.reshape(-1)
+    cr_pts = jnp.where(vflat, ir.reshape(-1), 0.0).astype(dtype)
+    ci_pts = jnp.where(vflat, ii.reshape(-1), 0.0).astype(dtype)
+
+    # 2. M sample: row-sharded TCI DE grid, quantile band, Gumbel top-k
+    n_dev = mesh.devices.size
+    gpad = ((grid_n + n_dev - 1) // n_dev) * n_dev
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (grid_n - 1)
+    dy = (ymax - ymin) / (grid_n - 1)
+    rows_per = gpad // n_dev
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(),
+        out_specs=(P("data", None), P("data", None)), check_vma=False,
+    )
+    def de_grid():
+        idx = jax.lax.axis_index("data")
+        rows = (idx * rows_per + jnp.arange(rows_per, dtype=dtype))
+        cols = jnp.arange(grid_n, dtype=dtype)
+        cr = jnp.broadcast_to(xmin + cols[None, :] * dx, (rows_per, grid_n)).astype(dtype)
+        ci = jnp.broadcast_to((ymin + rows[:, None] * dy).astype(dtype), (rows_per, grid_n))
+        esc, d, _, _ = mb.de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
+        return esc, d
+
+    esc, d = de_grid()
+    gy = jnp.repeat(jnp.arange(gpad, dtype=dtype), grid_n)
+    gx = jnp.tile(jnp.arange(grid_n, dtype=dtype), gpad)
+    escf = esc.reshape(-1) & (gy < grid_n)
+    df = d.reshape(-1)
+    q = _masked_quantile(df, escf, 0.25)
+    sel = escf & (df <= q)
+
+    k1, k2 = jax.random.split(key)
+    g1 = jax.random.gumbel(k1, sel.shape, dtype=jnp.float32)
+    _, midx = jax.lax.top_k(jnp.where(sel, g1, -jnp.inf), n_samples)
+    mxr = (xmin + gx[midx] * dx).astype(dtype)
+    mxi = (ymin + gy[midx] * dy).astype(dtype)
+
+    # 3. C subsample to the matcher size (Gumbel top-k over valid lanes)
+    g2 = jax.random.gumbel(k2, vflat.shape, dtype=jnp.float32)
+    _, cidx = jax.lax.top_k(jnp.where(vflat, g2, -jnp.inf), n_samples)
+    cxr = cr_pts[cidx]
+    cxi = ci_pts[cidx]
+
+    # 4. kernel-argmax matcher, C rows sharded vs replicated M
+    per = chunk * n_dev
+    npad = ((n_samples + per - 1) // per) * per
+    ap = jnp.pad(jnp.stack([cxr, cxi], axis=1), ((0, npad - n_samples), (0, 0)))
+    match = _sharded_argmax_match_dev(
+        ap, jnp.stack([mxr, mxi], axis=1), n_samples, sinkhorn_eps, mesh, chunk
+    )[:n_samples]
+    myr = mxr[match]
+    myi = mxi[match]
+
+    # 5. Procrustes (rotation + translation, closed-form 2x2)
+    cmr, cmi = jnp.mean(cxr), jnp.mean(cxi)
+    mmr, mmi = jnp.mean(myr), jnp.mean(myi)
+    x0r, x0i = cxr - cmr, cxi - cmi
+    y0r, y0i = myr - mmr, myi - mmi
+    th = _rotation_align(x0r, x0i, y0r, y0i)
+    ct, st = jnp.cos(th), jnp.sin(th)
+    axr = x0r * ct - x0i * st + mmr
+    axi = x0r * st + x0i * ct + mmi
+
+    # 6. mollified histograms (point-sharded, psum) + GI-flow
+    p_m = _hist_prob(mxr, mxi, bins, domain, sigma_bins, eps, mesh)
+    p_c = _hist_prob(axr, axi, bins, domain, sigma_bins, eps, mesh)
+    kl0 = _kl_jit(p_m, p_c, eps)
+
+    def gi_body(x, _):
+        return (1.0 - alpha) * x + alpha * p_m, None
+
+    x_t, _ = jax.lax.scan(gi_body, p_c, None, length=t_steps)
+    delta = _kl_jit(p_m, x_t, eps)
+    tv = 0.5 * jnp.sum(jnp.abs(x_t - p_m))
+    tv_pc_pm = 0.5 * jnp.sum(jnp.abs(p_c - p_m))
+    overlap = jnp.sum(jnp.minimum(p_c, p_m))
+    return {
+        "kl_initial": kl0, "delta_n": delta, "tv_XT_PM": tv,
+        "tv_PC_PM": tv_pc_pm, "overlap_mass_PC_PM": overlap,
+        "n_escaped": jnp.sum(escf), "q25": q,
+    }
 
 
 def analysis_step(ns, domain, grid_n: int, bins: int, max_iter: int, mesh: Mesh,

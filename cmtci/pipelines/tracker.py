@@ -104,8 +104,15 @@ class TrackerRow:
     runtime_sec: float
 
 
-def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
-    """Run the resolution-doubling tracker. Returns (rows, meta)."""
+def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None):
+    """Run the resolution-doubling tracker. Returns (rows, meta).
+
+    With a `jax.sharding.Mesh`, the stage's heavy device work runs sharded
+    over it — DE grid rows, the O(n·m) kernel-argmax matcher, and the
+    histogram scatter-adds (parallel/sharded.py) — with bitwise-identical
+    results to the single-device path (host RNG / quantile / Procrustes are
+    unchanged); parity=True ignores the mesh (host-numpy oracle path).
+    """
     rng = np.random.RandomState(cfg.seed)
     rows: List[TrackerRow] = []
     bins = int(cfg.bins_start)
@@ -122,15 +129,18 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
         t0 = time.time()
         ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
 
+        stage_mesh = None if cfg.parity else mesh
         c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
         m_cloud = mandelbrot.sample_boundary_quantile(
             cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
             eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else "jax",
             dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
+            mesh=stage_mesh,
         )
 
         m_match, c_sub = entropic_argmax_match(
-            c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng, backend=matcher_backend
+            c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng, backend=matcher_backend,
+            mesh=stage_mesh,
         )
         c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
         m_aligned = m_match
@@ -138,8 +148,8 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None):
         outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
         outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
 
-        p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps))
-        p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps))
+        p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
+        p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
         kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
 
         if cfg.t_fixed > 0:

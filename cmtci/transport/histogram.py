@@ -84,10 +84,26 @@ def to_prob(cloud, bins: int, domain, eps: float = 1e-12):
     return h / h.sum()
 
 
-def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float = 1e-12):
-    """gi_assumption_tracker_v3.py:109-125 semantics."""
+def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float = 1e-12,
+                        mesh=None):
+    """gi_assumption_tracker_v3.py:109-125 semantics.
+
+    With a `mesh`, the scatter-add is point-sharded over the devices and
+    psum-reduced (bitwise-identical: per-bin counts are small integers, so
+    f64 addition is exact in any order); the mollifier runs replicated.
+    """
     cloud = np.asarray(cloud)
-    h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
+    if mesh is not None:
+        from cmtci.parallel.sharded import sharded_histogram
+
+        n_dev = mesh.devices.size
+        n = cloud.size
+        npad = ((n + n_dev - 1) // n_dev) * n_dev
+        xr = np.pad(cloud.real.ravel(), (0, npad - n), constant_values=domain[1] + 1.0)
+        xi = np.pad(cloud.imag.ravel(), (0, npad - n), constant_values=domain[3] + 1.0)
+        h = sharded_histogram(jnp.asarray(xr), jnp.asarray(xi), bins, domain, mesh)
+    else:
+        h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
     h = jnp.maximum(h, eps)
     if sigma_bins and sigma_bins > 0:
         h = gaussian_filter_nearest(h, float(sigma_bins))

@@ -54,7 +54,8 @@ def _argmax_kernel_rows(a, b, mean, eps, chunk: int = 2048):
     return out[:n]
 
 
-def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"):
+def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax",
+                          mesh=None):
     """tci_construct_mandelbrot_v002_fixed.py:62-71 semantics.
 
     Subsample the larger cloud to the smaller's size with numpy RNG (pass
@@ -64,7 +65,9 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
 
     backend="numpy" reproduces the reference's exact op order (scipy cdist,
     full K matrix) for bitwise oracle parity; backend="jax" computes the same
-    match blocked on-device without materializing K.
+    match blocked on-device without materializing K. With a `mesh`, the row
+    blocks are sharded over the devices (parallel.sharded.sharded_argmax_match,
+    bitwise-identical to the single-device blocked path).
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -84,6 +87,10 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
         d = d / d.mean()
         k = np.nan_to_num(np.exp(-d / eps))
         match = np.argmax(k, axis=1)
+    elif mesh is not None:
+        from cmtci.parallel.sharded import sharded_argmax_match
+
+        match = sharded_argmax_match(jnp.asarray(ax), jnp.asarray(by), eps, mesh)
     else:
         mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
         match = np.asarray(

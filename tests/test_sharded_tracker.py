@@ -1,0 +1,96 @@
+"""The real tracker stage, sharded over the 8-device virtual CPU mesh.
+
+VERDICT round-1 item 2: the multi-chip path must execute the genuine
+sample -> match -> Procrustes -> mollify -> GI-flow stage
+(gi_assumption_tracker_v3.py:212-247) and equal the single-device
+run_tracker stage bitwise (f64).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cmtci.kernels import mandelbrot as mb
+from cmtci.parallel import sharded
+from cmtci.transport import histogram as hg
+from cmtci.transport.sinkhorn import (
+    _argmax_kernel_rows, _blocked_mean_dist, entropic_argmax_match,
+)
+
+DOMAIN = (-2.2, 1.2, -1.6, 1.6)
+
+
+def test_sharded_matcher_bitwise(rng):
+    mesh = sharded.device_mesh()
+    a = rng.normal(size=(700, 2))
+    b = rng.normal(size=(500, 2))
+    mean = _blocked_mean_dist(jnp.asarray(a), jnp.asarray(b))
+    ref = np.asarray(_argmax_kernel_rows(jnp.asarray(a), jnp.asarray(b), mean, 0.8))
+    got = sharded.sharded_argmax_match(a, b, 0.8, mesh, chunk=64)
+    np.testing.assert_array_equal(got, ref[: len(a)])
+
+
+def test_sharded_matcher_via_entry_point(rng):
+    mesh = sharded.device_mesh()
+    x = rng.normal(size=300) + 1j * rng.normal(size=300)
+    y = rng.normal(size=300) + 1j * rng.normal(size=300)
+    m1, c1 = entropic_argmax_match(x, y, eps=0.8, rng=np.random.RandomState(3))
+    m2, c2 = entropic_argmax_match(x, y, eps=0.8, rng=np.random.RandomState(3), mesh=mesh)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_sharded_de_field_bitwise():
+    mesh = sharded.device_mesh()
+    esc_s, d_s = sharded.sharded_de_tci_field(DOMAIN, 100, mesh, max_iter=60)
+    cr, ci = mb.complex_grid(DOMAIN, 100, 100)
+    esc, d, _, _ = mb.de_field_tci(cr, ci, max_iter=60)
+    np.testing.assert_array_equal(esc_s, np.asarray(esc))
+    np.testing.assert_array_equal(d_s, np.asarray(d))
+
+
+def test_mollified_histogram_mesh_bitwise(rng):
+    mesh = sharded.device_mesh()
+    cloud = rng.uniform(-2, 1, 1000) + 1j * rng.uniform(-1.5, 1.5, 1000)
+    ref = np.asarray(hg.mollified_histogram(cloud, 32, DOMAIN, 3.0))
+    got = np.asarray(hg.mollified_histogram(cloud, 32, DOMAIN, 3.0, mesh=mesh))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_tracker_stage_mesh_bitwise():
+    """Full tracker stage with mesh == single-device stage, bitwise (f64)."""
+    import dataclasses
+
+    from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+    mesh = sharded.device_mesh()
+    cfg = TrackerConfig(bins_start=16, bins_max=16, construct_max_start=60,
+                        mandelbrot_grid_start=120, mandelbrot_samples_start=400,
+                        max_iter=60, sigma_bins=2.0, t_fixed=5)
+    rows_1, _ = run_tracker(cfg, max_stages=1)
+    rows_m, _ = run_tracker(cfg, max_stages=1, mesh=mesh)
+    r1 = dataclasses.asdict(rows_1[0])
+    rm = dataclasses.asdict(rows_m[0])
+    for k, v in r1.items():
+        if k == "runtime_sec":
+            continue
+        assert rm[k] == v, (k, rm[k], v)
+
+
+def test_tracker_train_step_jit():
+    """The fixed-shape jitted multi-chip step runs and GI-flow contracts."""
+    mesh = sharded.device_mesh()
+    ns = list(range(4, 68, 4))
+    step = jax.jit(lambda key, t: sharded.tracker_train_step(
+        mesh, ns, DOMAIN, grid_n=64, n_samples=64, bins=16, key=key,
+        max_iter=32, sigma_bins=1.0, alpha=0.1, t_steps=t, chunk=8,
+    ), static_argnums=1)
+    out5 = step(jax.random.key(0), 5)
+    out20 = step(jax.random.key(0), 20)
+    kl0 = float(out5["kl_initial"])
+    d5 = float(out5["delta_n"])
+    d20 = float(out20["delta_n"])
+    assert kl0 > d5 > d20 >= 0.0
+    assert float(out5["kl_initial"]) == float(out20["kl_initial"])
+    assert 0.0 <= float(out5["tv_PC_PM"]) <= 1.0
