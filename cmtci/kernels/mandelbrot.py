@@ -445,6 +445,15 @@ def sample_boundary_quantile(
         esc, d = de_field_tci_numpy(crn + 1j * cin, max_iter=max_iter,
                                     escape_r=escape_r, eps=eps)
         cr, ci = crn, cin
+    elif impl == "pallas":
+        # f32 TPU head with the same non-latched-dz overflow semantics; the
+        # escaped & d<=q25 selection is statistically equivalent to the f64
+        # path (f32 dz overflow reclassifies a few late escapers into d==0)
+        from cmtci.kernels.mandelbrot_pallas import tci_de_field_pallas
+
+        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+        esc, d = tci_de_field_pallas(domain, grid_n, max_iter=max_iter,
+                                     escape_r=escape_r)
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_de_tci_field
 

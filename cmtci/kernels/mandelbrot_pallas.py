@@ -405,3 +405,28 @@ def mandelbrot_field_pallas(
         params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
         return _field(params, nx, ny, max_iter, kind, escape_r, (th, tw), inner,
                       interpret, periodicity)
+
+
+def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
+                        escape_r: float = 250.0, tile: tuple = DEFAULT_TILE,
+                        inner: int = DEFAULT_INNER):
+    """(esc, d) of the TCI DE over a grid_n x grid_n np.linspace-style grid.
+
+    The tracker's grid kernel (tci_construct_mandelbrot_v002_fixed.py:35-47)
+    as a Pallas head: pads to tile multiples at the same spacing and crops
+    (the first grid_n rows/columns have identical coordinates). Returns
+    (esc bool, d float32) device arrays.
+    """
+    th, tw = tile
+    ny = ((grid_n + th - 1) // th) * th
+    nx = ((grid_n + tw - 1) // tw) * tw
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (grid_n - 1)
+    dy = (ymax - ymin) / (grid_n - 1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    with jax.enable_x64(False):
+        params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
+        out = _field(params, nx, ny, max_iter, "tci", escape_r, (th, tw), inner,
+                     interpret)
+    out = out[:grid_n, :grid_n]
+    return out >= 0.0, jnp.maximum(out, 0.0)

@@ -71,6 +71,8 @@ class TrackerConfig:
     field_dtype: str = "float64"  # "float32" for the TPU fast path (f64 is
     # emulated and slow on v5e; f32 changes the DE overflow threshold but the
     # escaped&overflowed selection is statistically unchanged)
+    de_impl: str = "jax"  # "pallas" for the fused early-exit TPU DE head
+    # (kernels/mandelbrot_pallas.py tci kind); parity mode forces "numpy"
 
 
 @dataclass
@@ -133,7 +135,7 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None)
         c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
         m_cloud = mandelbrot.sample_boundary_quantile(
             cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
-            eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else "jax",
+            eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
             dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
             mesh=stage_mesh,
         )
