@@ -20,6 +20,19 @@ def _add_common(p):
     p.add_argument("--out", default="outputs/run", help="output prefix/dir")
 
 
+def _add_cache_trace(p):
+    p.add_argument("--cache-dir", default=None,
+                   help="stage artifact cache dir (resume; keyed by config hash)")
+    p.add_argument("--trace-dir", default=None,
+                   help="jax.profiler trace dir (per-stage traces + wall times)")
+
+
+def _timer(args):
+    from cmtci.utils.artifacts import StageTimer
+
+    return StageTimer(trace_dir=getattr(args, "trace_dir", None))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cmtci", description=__doc__)
     ap.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
@@ -41,6 +54,7 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=4.5)
     p.add_argument("--n-boundary", type=int, default=2000)
     _add_common(p)
+    _add_cache_trace(p)
 
     p = sub.add_parser("construct-boundary", help="alpha-shape boundary of a point CSV")
     p.add_argument("--input-csv", required=True)
@@ -69,6 +83,7 @@ def main(argv=None):
     p.add_argument("--domain", type=str, default="-2.2:1.2:-1.6:1.6")
     p.add_argument("--parity", action="store_true", help="bitwise oracle-parity mode")
     _add_common(p)
+    _add_cache_trace(p)
 
     p = sub.add_parser("tci", help="TCI flow pipeline (v002_fixed main)")
     _add_common(p)
@@ -79,6 +94,7 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=20000)
     p.add_argument("--skip-per-n", action="store_true")
     _add_common(p)
+    _add_cache_trace(p)
 
     p = sub.add_parser("variograms", help="potentials + semivariograms + cross")
     p.add_argument("--grid", type=int, default=256)
@@ -101,6 +117,7 @@ def main(argv=None):
     p.add_argument("--n-bdy", type=int, default=2000)
     p.add_argument("--interior-n", type=int, default=20000)
     _add_common(p)
+    _add_cache_trace(p)
 
     args = ap.parse_args(argv)
     if args.platform != "auto":
@@ -140,7 +157,8 @@ def _dispatch(args):
         from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
 
         cfg = LucasBoundaryConfig(args.n_min, args.n_max, args.alpha, args.n_boundary)
-        xy = export_lucas_boundary(cfg, f"{args.out}_lucas_points.npy")
+        xy = export_lucas_boundary(cfg, f"{args.out}_lucas_points.npy",
+                                   cache_dir=args.cache_dir)
         print(f"lucas boundary: {xy.shape} -> {args.out}_lucas_points.npy")
     elif cmd == "construct-boundary":
         from cmtci.io.loaders import load_points
@@ -169,7 +187,7 @@ def _dispatch(args):
                             bins_start=args.bins_start, bins_max=args.bins_max,
                             sigma_bins=args.sigma_bins, t_fixed=args.t_fixed,
                             parity=args.parity)
-        rows, meta = run_tracker(cfg)
+        rows, meta = run_tracker(cfg, cache_dir=args.cache_dir, timer=_timer(args))
         csv_path, json_path = write_outputs(rows, meta, args.out)
         print(f"tracker: {len(rows)} stages -> {csv_path}")
     elif cmd == "tci":
@@ -181,7 +199,8 @@ def _dispatch(args):
         from cmtci.pipelines.equipotential import EquipotentialConfig, run_equipotential
 
         cfg = EquipotentialConfig(n_min=args.n_min, n_max=args.n_max, max_iter=args.max_iter)
-        out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n)
+        out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n,
+                                cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps(out["summary"]))
     elif cmd == "variograms":
         from cmtci.pipelines.variograms import VariogramConfig, run_variograms
@@ -237,7 +256,8 @@ def _dispatch(args):
         else:
             pts = export_lucas_boundary(LucasBoundaryConfig())
         cfg = GreenUniformizeConfig(n_bdy=args.n_bdy, interior_n=args.interior_n)
-        out = run_green_uniformization(pts, cfg, args.out, verbose=True)
+        out = run_green_uniformization(pts, cfg, args.out, verbose=True,
+                                       cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps({k: v for k, v in out["diagnostics"].items()
                           if k.startswith(("bdy_mod", "inverse_err"))}))
     return 0

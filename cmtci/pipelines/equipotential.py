@@ -38,19 +38,34 @@ class EquipotentialConfig:
     cloud_backend: str = "aberth"
 
 
-def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float):
+def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
+                    cache_dir: str | None = None):
     """(g, it, phi) for a complex cloud via the compaction-staged Green kernel.
 
     Exactly equal to the plain batched kernel per point (verified), ~125x
     faster at the reference's max_iter=20000 because escaped points are
     dropped between stages instead of riding along for the interior's full
-    iteration budget.
+    iteration budget. With cache_dir the result is stored keyed by
+    (cloud digest, max_iter, R) — SURVEY §5.4 resume.
     """
-    return mb.green_potential_compacted(cloud, max_iter=max_iter,
-                                        escape_r=escape_radius)
+    from cmtci.utils import artifacts
+
+    def _run():
+        g, it, phi = mb.green_potential_compacted(cloud, max_iter=max_iter,
+                                                  escape_r=escape_radius)
+        return {"g": g, "it": it, "phi": phi}
+
+    out = artifacts.cached(
+        "green_potential",
+        {"cloud": artifacts.array_digest(cloud), "max_iter": max_iter,
+         "escape_r": escape_radius},
+        _run, cache_dir=cache_dir or ".cmtci_cache", enabled=cache_dir is not None,
+    )
+    return np.asarray(out["g"]), np.asarray(out["it"]), np.asarray(out["phi"])
 
 
-def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None):
+def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None,
+                      cache_dir: str | None = None):
     """g for every n's inverse-eigenvalue cloud in ONE batched solve.
 
     The reference recomputes the potential per n (and per cumulative prefix,
@@ -71,7 +86,8 @@ def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None):
         clouds = [companion.inverse_cloud([n], fam, tol=cfg.eig_tol,
                                           backend=cfg.cloud_backend) for n in ns]
     flat = np.concatenate(clouds)
-    g, _, _ = batch_potential(flat, cfg.max_iter, cfg.escape_radius)
+    g, _, _ = batch_potential(flat, cfg.max_iter, cfg.escape_radius,
+                              cache_dir=cache_dir)
     out = []
     off = 0
     for n, c in zip(ns, clouds):
@@ -100,30 +116,40 @@ def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None,
 
 
 def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
-                      with_per_n: bool = True):
+                      with_per_n: bool = True, cache_dir: str | None = None,
+                      timer=None):
     """Full driver. Returns dict of results; writes CSV/NPY if out_dir."""
+    from cmtci.utils.artifacts import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
     ns = list(range(cfg.n_min, cfg.n_max + 1))
-    c_inv = companion.inverse_cloud(ns, "lucas_all_ones", tol=cfg.eig_tol,
-                                    backend=cfg.cloud_backend)
-    g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius)
+    with timer.stage("cloud"):
+        c_inv = companion.inverse_cloud(ns, "lucas_all_ones", tol=cfg.eig_tol,
+                                        backend=cfg.cloud_backend)
+    with timer.stage("potential"):
+        g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius,
+                                     cache_dir=cache_dir)
     out = {
         "summary": laws.summarize_g(g),
         "laws": laws.compare_reference_laws(g[g > 0]),
     }
     if with_per_n:
-        per_n_g = _per_n_potentials(cfg)
-        out["per_n"] = per_n_stats(cfg, per_n_g=per_n_g)
-        out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
+        with timer.stage("per_n"):
+            per_n_g = _per_n_potentials(cfg, cache_dir=cache_dir)
+            out["per_n"] = per_n_stats(cfg, per_n_g=per_n_g)
+            out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
     if cfg.run_family_comparison:
         fam_rows = []
         for fam in cfg.families:
             c_fam = companion.inverse_cloud(ns, fam, tol=cfg.eig_tol,
                                             backend=cfg.cloud_backend)
-            g_fam, _, _ = batch_potential(c_fam, cfg.max_iter, cfg.escape_radius)
+            g_fam, _, _ = batch_potential(c_fam, cfg.max_iter, cfg.escape_radius,
+                                          cache_dir=cache_dir)
             s = laws.summarize_g(g_fam)
             s["family"] = fam
             fam_rows.append(s)
         out["family_summary"] = fam_rows
+    out["stage_times"] = dict(timer.times)
     if out_dir:
         np.save(f"{out_dir}/C_lucas.npy", c_inv)
         np.save(f"{out_dir}/g_lucas.npy", g)

@@ -30,8 +30,40 @@ class LucasBoundaryConfig:
     cloud_backend: str = "aberth"
 
 
-def export_lucas_boundary(cfg: LucasBoundaryConfig, out_path: str | None = None):
-    """Cloud -> alpha polygon -> CCW -> resample. Returns (N,2) and saves npy."""
+def export_lucas_boundary(cfg: LucasBoundaryConfig, out_path: str | None = None,
+                          skip_if_exists: bool = False, cache_dir: str | None = None):
+    """Cloud -> alpha polygon -> CCW -> resample. Returns (N,2) and saves npy.
+
+    skip_if_exists reproduces the reference's resume behavior (reload
+    lucas_points.npy when present, lucas_to_cardioid_v18...py:1070-1077);
+    cache_dir additionally keys the artifact by the config hash, so a
+    parameter change invalidates it automatically (SURVEY §5.4).
+    """
+    import os
+
+    from dataclasses import asdict
+
+    from cmtci.utils import artifacts
+
+    if skip_if_exists and out_path and os.path.exists(out_path):
+        return np.load(out_path)
+    if cache_dir is not None:
+        out = artifacts.cached("lucas_boundary", asdict(cfg),
+                               lambda: {"xy": _compute_lucas_boundary(cfg)},
+                               cache_dir=cache_dir)
+        xy_rs = np.asarray(out["xy"])
+        if out_path:
+            writers.ensure_dir(out_path)
+            np.save(out_path, xy_rs)
+        return xy_rs
+    xy_rs = _compute_lucas_boundary(cfg)
+    if out_path:
+        writers.ensure_dir(out_path)
+        np.save(out_path, xy_rs)
+    return xy_rs
+
+
+def _compute_lucas_boundary(cfg: LucasBoundaryConfig):
     ns = list(range(cfg.n_min, cfg.n_max + 1))
     z = companion.inverse_cloud(ns, cfg.family, backend=cfg.cloud_backend)
     if cfg.center is not None:
@@ -43,9 +75,6 @@ def export_lucas_boundary(cfg: LucasBoundaryConfig, out_path: str | None = None)
     xy_rs = resample.resample_closed_polyline(xy, cfg.n_boundary)
     if cfg.center is not None:
         xy_rs = xy_rs + np.array([cfg.center.real, cfg.center.imag])
-    if out_path:
-        writers.ensure_dir(out_path)
-        np.save(out_path, xy_rs)
     return xy_rs
 
 

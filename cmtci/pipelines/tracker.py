@@ -35,6 +35,8 @@ from cmtci.transport import giflow
 from cmtci.transport import histogram as hg
 from cmtci.transport.procrustes import procrustes_align_no_scale
 from cmtci.transport.sinkhorn import entropic_argmax_match
+from cmtci.utils import artifacts
+from cmtci.utils.artifacts import StageTimer
 
 
 @dataclass
@@ -106,7 +108,8 @@ class TrackerRow:
     runtime_sec: float
 
 
-def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None):
+def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
+                cache_dir: Optional[str] = None, timer: Optional[StageTimer] = None):
     """Run the resolution-doubling tracker. Returns (rows, meta).
 
     With a `jax.sharding.Mesh`, the stage's heavy device work runs sharded
@@ -114,8 +117,17 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None)
     histogram scatter-adds (parallel/sharded.py) — with bitwise-identical
     results to the single-device path (host RNG / quantile / Procrustes are
     unchanged); parity=True ignores the mesh (host-numpy oracle path).
+
+    With `cache_dir`, each stage's kernel products (aligned clouds) and the
+    post-stage RNG state are stored keyed by the stage config (SURVEY §5.4 —
+    the reference resumes at file-bus granularity, e.g. the
+    lucas_points.npy skip at lucas_to_cardioid_v18...py:1070-1077); reruns
+    with identical parameters touch no eigensolve/DE/matcher kernel and the
+    shared RNG stream continues exactly where the stage left it. A
+    `StageTimer` records per-phase wall times (SURVEY §5.1).
     """
     rng = np.random.RandomState(cfg.seed)
+    timer = timer if timer is not None else StageTimer()
     rows: List[TrackerRow] = []
     bins = int(cfg.bins_start)
     construct_max = int(cfg.construct_max_start)
@@ -132,40 +144,57 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None)
         ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
 
         stage_mesh = None if cfg.parity else mesh
-        c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
-        m_cloud = mandelbrot.sample_boundary_quantile(
-            cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
-            eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
-            dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
-            mesh=stage_mesh,
-        )
+        stage_cfg = {**{k: v for k, v in dataclasses.asdict(cfg).items()},
+                     "stage_bins": bins, "construct_max": construct_max,
+                     "grid": grid, "samples": samples, "n_stage": len(rows)}
 
-        m_match, c_sub = entropic_argmax_match(
-            c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng, backend=matcher_backend,
-            mesh=stage_mesh,
-        )
-        c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
-        m_aligned = m_match
+        def _stage_kernels():
+            with timer.stage(f"bins{bins}_cloud"):
+                c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
+            with timer.stage(f"bins{bins}_sample"):
+                m_cloud = mandelbrot.sample_boundary_quantile(
+                    cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
+                    eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
+                    dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
+                    mesh=stage_mesh,
+                )
+            with timer.stage(f"bins{bins}_match"):
+                m_match, c_sub = entropic_argmax_match(
+                    c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng,
+                    backend=matcher_backend, mesh=stage_mesh,
+                )
+            c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
+            return {"c_aligned": c_aligned, "m_aligned": m_match,
+                    **artifacts.rng_state_arrays(rng)}
+
+        stage_out = artifacts.cached("tracker_stage", stage_cfg, _stage_kernels,
+                                     cache_dir=cache_dir or ".cmtci_cache",
+                                     enabled=cache_dir is not None)
+        artifacts.restore_rng_state(rng, stage_out)
+        c_aligned = np.asarray(stage_out["c_aligned"])
+        m_aligned = np.asarray(stage_out["m_aligned"])
 
         outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
         outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
 
-        p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
-        p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
+        with timer.stage(f"bins{bins}_hist"):
+            p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
+            p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
         kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
 
-        if cfg.t_fixed > 0:
-            mode = f"fixedT={cfg.t_fixed}"
-            x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps)
-            stop_reason = "fixed_T"
-        else:
-            mode = "adaptive"
-            x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
-                p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps
-            )
-            stop_reason = (
-                "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
-            )
+        with timer.stage(f"bins{bins}_giflow"):
+            if cfg.t_fixed > 0:
+                mode = f"fixedT={cfg.t_fixed}"
+                x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps)
+                stop_reason = "fixed_T"
+            else:
+                mode = "adaptive"
+                x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
+                    p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps
+                )
+                stop_reason = (
+                    "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
+                )
 
         tv_xt_pm = hg.tv_distance(x_t, p_m)
         tv_pc_pm = hg.tv_distance(p_c, p_m)
@@ -216,6 +245,7 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None)
     meta = {
         **{k: (list(v) if isinstance(v, tuple) else v) for k, v in dataclasses.asdict(cfg).items()},
         "global_stop_reason": global_stop,
+        "stage_times": dict(timer.times),
         "rows": [dataclasses.asdict(r) for r in rows],
     }
     return rows, meta

@@ -41,8 +41,21 @@ class GreenUniformizeConfig:
 
 
 def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
-                             out_dir: str | None = None, verbose: bool = False):
-    """Returns dict with the map, samples, and the v40 diagnostics row."""
+                             out_dir: str | None = None, verbose: bool = False,
+                             cache_dir: str | None = None, timer=None):
+    """Returns dict with the map, samples, and the v40 diagnostics row.
+
+    With cache_dir the fitted map state (the dense N_BDY lstsq, the
+    pipeline's one-time cost) is cached keyed by (input-points digest, fit
+    config) — the TPU-native form of the reference's reusable map-state NPZ
+    (lucas_to_cardioid_v40_reference.py:655-668).
+    """
+    from dataclasses import asdict
+
+    from cmtci.utils import artifacts
+    from cmtci.utils.artifacts import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
     if cfg.polygon_source not in ("alpha", "ordered"):
         raise ValueError(f"unknown polygon_source '{cfg.polygon_source}'")
     pts = np.ascontiguousarray(np.asarray(lucas_points_xy, dtype=float))
@@ -57,14 +70,32 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
             rng = np.random.default_rng(0)
             pts = pts + 1e-12 * rng.standard_normal(pts.shape)
         poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
-    rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
-                                 inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
-                                 verbose=verbose)
 
-    z_int, tries = sample_interior_points(poly_l, cfg.interior_n, cfg.interior_seed,
-                                          cfg.interior_max_tries)
-    re_phi = rm.phi(z_int).real
-    w_raw = rm.f(z_int)
+    def _fit():
+        rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
+                                     inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
+                                     verbose=verbose)
+        return {"bdy_z": rm.bdy_z, "ds": rm.ds, "sigma": rm.sigma,
+                "a": np.complex128(rm.a), "c": np.float64(rm.c),
+                "g_shift": np.float64(rm.g_shift)}
+
+    with timer.stage("fit"):
+        fit_key = {**asdict(cfg), "points": artifacts.array_digest(lucas_points_xy)}
+        st = artifacts.cached("riemann_fit", fit_key, _fit,
+                              cache_dir=cache_dir or ".cmtci_cache",
+                              enabled=cache_dir is not None)
+        rm = riemann.RiemannMapGreenModulus(
+            bdy_z=np.asarray(st["bdy_z"]), ds=np.asarray(st["ds"]),
+            sigma=np.asarray(st["sigma"]), a=complex(st["a"]),
+            c=float(st["c"]), g_shift=float(st["g_shift"]), gauss_n=cfg.gauss_n,
+        )
+
+    with timer.stage("interior_sample"):
+        z_int, tries = sample_interior_points(poly_l, cfg.interior_n, cfg.interior_seed,
+                                              cfg.interior_max_tries)
+    with timer.stage("phi_f_eval"):
+        re_phi = rm.phi(z_int).real
+        w_raw = rm.f(z_int)
     rad_raw = np.abs(w_raw)
     finite = np.isfinite(rad_raw)
     rad_f = rad_raw[finite]
@@ -124,4 +155,4 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                  rmL_g_shift=rm.g_shift, rmL_bdy=rm.bdy_z, rmL_ds=rm.ds,
                  inverse_err=err)
     return {"map": rm, "interior": z_int, "disk": w, "cardioid": mapped,
-            "diagnostics": row}
+            "diagnostics": row, "stage_times": dict(timer.times)}

@@ -23,6 +23,30 @@ def config_key(config: dict) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def array_digest(arr) -> str:
+    """Short content hash of an array, for keying caches on array inputs."""
+    a = np.ascontiguousarray(np.asarray(arr))
+    h = hashlib.sha256()
+    h.update(str(a.dtype).encode())
+    h.update(str(a.shape).encode())
+    h.update(a.tobytes())
+    return h.hexdigest()[:16]
+
+
+def rng_state_arrays(rng: "np.random.RandomState") -> dict:
+    """MT19937 state of a RandomState as npz-storable arrays."""
+    name, keys, pos, has_gauss, cached = rng.get_state()
+    assert name == "MT19937"
+    return {"rng_keys": keys, "rng_pos": np.int64(pos),
+            "rng_has_gauss": np.int64(has_gauss), "rng_cached": np.float64(cached)}
+
+
+def restore_rng_state(rng: "np.random.RandomState", blob: dict) -> None:
+    rng.set_state(("MT19937", np.asarray(blob["rng_keys"], dtype=np.uint32),
+                   int(blob["rng_pos"]), int(blob["rng_has_gauss"]),
+                   float(blob["rng_cached"])))
+
+
 def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
            enabled: bool = True):
     """Run fn() -> dict[str, array] with npz caching keyed by (stage, config)."""
