@@ -147,6 +147,136 @@ def plot_boundary_correspondence(z_bdy, w_bdy, path, title=""):
     return path
 
 
+def plot_multifractal_compare(res_c, res_m, prefix):
+    """D(q) and f(alpha) comparison plots (multifractal_phase6.py:150-172)."""
+    fig = plt.figure(figsize=(8, 5))
+    plt.plot(res_c["q"], res_c["Dq"], "o-", label="Construct D(q)")
+    plt.plot(res_m["q"], res_m["Dq"], "s-", label="Mandel D(q)")
+    plt.xlabel("q")
+    plt.ylabel("D(q)")
+    plt.legend()
+    plt.grid(True)
+    plt.title("Generalized dimensions D(q)")
+    fig.savefig(ensure_dir(f"{prefix}_Dq_compare.png"), dpi=200)
+    plt.close(fig)
+
+    fig = plt.figure(figsize=(8, 5))
+    plt.plot(res_c["alpha"], res_c["f_alpha"], "o-", label=r"Construct f($\alpha$)")
+    plt.plot(res_m["alpha"], res_m["f_alpha"], "s-", label=r"Mandel f($\alpha$)")
+    plt.xlabel(r"$\alpha$")
+    plt.ylabel(r"$f(\alpha)$")
+    plt.legend()
+    plt.grid(True)
+    plt.title("Singularity spectrum")
+    fig.savefig(f"{prefix}_falpha_compare.png", dpi=200)
+    plt.close(fig)
+    return f"{prefix}_Dq_compare.png", f"{prefix}_falpha_compare.png"
+
+
+def plot_fft_reconstructions(c_pts, m_pts, path, modes=(5, 10, 30, 100)):
+    """Low-mode IFFT reconstruction overlays (spatial_stats_phase4.py:60-78)."""
+    from cmtci.stats import spectral as sp
+
+    _, f_c = sp.boundary_fft(c_pts)
+    _, f_m = sp.boundary_fft(m_pts)
+    fig = plt.figure(figsize=(12, 6))
+    ncols = max(1, len(modes) // 2)
+    for i, nm in enumerate(modes, 1):
+        rec_c = sp.reconstruct_low_modes(f_c, nm)
+        rec_m = sp.reconstruct_low_modes(f_m, nm)
+        ax = fig.add_subplot(2, ncols, i)
+        ax.plot(rec_c.real, rec_c.imag, label=f"Construct {nm} modes", alpha=0.7)
+        ax.plot(rec_m.real, rec_m.imag, label=f"Mandelbrot {nm} modes", alpha=0.7)
+        ax.set_aspect("equal")
+        ax.legend(fontsize=8)
+        ax.set_title(f"Reconstruction with {nm} modes")
+    fig.tight_layout()
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
+def plot_embedding_scatter(points, vec, path, title=""):
+    """Cloud colored by a diffusion eigenvector (dynamical_embeddings_phase7.py:158-169)."""
+    p = _xy(points)
+    fig = plt.figure(figsize=(6, 6))
+    plt.scatter(p[:, 0], p[:, 1], s=6, c=np.asarray(vec), cmap="Spectral", alpha=0.8)
+    plt.title(title)
+    plt.colorbar()
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
+def plot_eigenvalue_spectra(vals_c, vals_m, path):
+    """Leading-eigenvalue decay comparison (dynamical_embeddings_phase7.py:142-152)."""
+    vals_c = np.asarray(vals_c)
+    vals_m = np.asarray(vals_m)
+    fig = plt.figure(figsize=(6, 4))
+    plt.plot(np.arange(1, len(vals_c) + 1), vals_c, "o-", label="Construct")
+    plt.plot(np.arange(1, len(vals_m) + 1), vals_m, "s-", label="Mandelbrot")
+    plt.xlabel("Mode index")
+    plt.ylabel("Eigenvalue (symmetrized kernel)")
+    plt.title("Spectrum (leading eigenvalues)")
+    plt.legend()
+    plt.grid(True)
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
+def plot_k_bins(bins, tag, out_dir):
+    """K-vs-distance-bin medians and counts (lucas_to_cardioid_v18...py:1037-1063).
+
+    bins: list of (lo, hi, K_median, count) rows from qc.binned_median.
+    """
+    if not bins:
+        return []
+    mids = [(a + b) / 2.0 for a, b, _, _ in bins]
+    kmed = [k for _, _, k, _ in bins]
+    counts = [n for *_, n in bins]
+    paths = []
+    for ys, ylab, name in ((kmed, "median K in bin", "K_bins"),
+                           (counts, "triangles per bin", "bin_counts")):
+        fig = plt.figure()
+        plt.plot(mids, ys, marker="o")
+        plt.xlabel("boundary-distance bin midpoint (d)")
+        plt.ylabel(ylab)
+        plt.title(f"{'K vs distance bins' if name == 'K_bins' else 'bin counts'} ({tag})")
+        plt.grid(True, alpha=0.3)
+        plt.tight_layout()
+        p = f"{out_dir}/{name}_{tag}.png"
+        fig.savefig(ensure_dir(p), dpi=180)
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
+def plot_local_correlation_panels(u_c, u_m, corr_map, domain, path):
+    """U_C / U_M / difference / local-r panels (Potentials.py:96-124)."""
+    u_c = np.asarray(u_c)
+    u_m = np.asarray(u_m)
+    u_diff = u_c - u_m
+    ext = [domain[0], domain[1], domain[2], domain[3]]
+    fig, axs = plt.subplots(1, 4, figsize=(22, 5))
+    specs = (
+        (u_c, "Logarithmic Potential (Construct)", "viridis", None),
+        (u_m, "Escape Potential (Mandelbrot)", "inferno", None),
+        (u_diff, "Difference (Construct - Mandelbrot)", "coolwarm",
+         (-np.nanmax(np.abs(u_diff)), np.nanmax(np.abs(u_diff)))),
+        (corr_map, "Local Correlation Map", "RdYlGn", (-1, 1)),
+    )
+    for ax, (field, title, cmap, lims) in zip(axs, specs):
+        kw = {} if lims is None else {"vmin": lims[0], "vmax": lims[1]}
+        im = ax.imshow(field, extent=ext, origin="lower", cmap=cmap, **kw)
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
 def plot_variograms(r, curves: dict, path, title="Semivariograms"):
     fig = plt.figure(figsize=(8, 5.5))
     for label, g in curves.items():

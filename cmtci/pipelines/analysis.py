@@ -36,6 +36,9 @@ def run_multifractal(c_pts, m_pts, q_values=None, scales=None, out_prefix=None):
             writers.ensure_dir(f"{out_prefix}_{name}_multifractal.csv")
             np.savetxt(f"{out_prefix}_{name}_multifractal.csv", out, delimiter=",",
                        header="q,tau,Dq,alpha,f_alpha", comments="")
+        from cmtci.io import plots
+
+        plots.plot_multifractal_compare(res_c, res_m, out_prefix)
     return {"construct": res_c, "mandel": res_m}
 
 
@@ -53,6 +56,14 @@ def run_embeddings(c_pts, m_pts, k_nn=20, n_eigs=8, eps_scale=0.5, out_prefix=No
             np.save(f"{out_prefix}_eigenvectors_{name}.npy", vecs)
         with open(f"{out_prefix}_spectral_distance.txt", "w") as f:
             f.write(f"spectral_distance_norm = {dist}\n")
+        from cmtci.io import plots
+
+        plots.plot_eigenvalue_spectra(vals_c, vals_m, f"{out_prefix}_spectra_compare.png")
+        for pts, vecs, name in ((c_pts, vecs_c, "construct"), (m_pts, vecs_m, "mandel")):
+            comp = 1 if vecs.shape[1] >= 3 else 0
+            plots.plot_embedding_scatter(
+                pts, vecs[:, comp], f"{out_prefix}_{name}_embedding_vec{comp}.png",
+                title=f"{name} embedding (colored by eigenvector {comp})")
     return {"vals_construct": vals_c, "vals_mandel": vals_m,
             "sigma_construct": sigma_c, "sigma_mandel": sigma_m,
             "spectral_distance": dist}

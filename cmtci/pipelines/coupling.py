@@ -80,6 +80,11 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
                        np.c_[lags, gamma, counts], delimiter=",",
                        header="lag,gamma,count", comments="")
             np.save(f"{out_prefix}_{it}_localcorr.npy", local)
+            from cmtci.io import plots
+
+            plots.plot_local_correlation_panels(
+                u_c_s, u_m, local, (xmin, xmax, ymin, ymax),
+                f"{out_prefix}_{it}_potential_comparison_with_corrmap.png")
 
         # nudge (Iterative_Variogram_Laplacian.py:281-295)
         maxd = np.nanmax(dists) if np.isfinite(np.nanmax(dists)) and np.nanmax(dists) > 0 else 1.0

@@ -72,4 +72,11 @@ def run_spectral(c_pts, m_pts, cfg: SpectralConfig, out_prefix: str | None = Non
             for r in rows:
                 f.write(f"{r['label']},{r['fmin']},{r['fmax']},{r['slope']},{r['R2']}\n")
         writers.write_dict_rows_csv(f"{out_prefix}_bootstrap.csv", boot)
+        from cmtci.io import plots
+
+        modes = tuple(m for m in (5, 10, 30, 100) if m < min(len(f_c), len(f_m)) // 2)
+        if modes:
+            plots.plot_fft_reconstructions(c_pts, m_pts,
+                                           f"{out_prefix}_fft_reconstructions.png",
+                                           modes=modes)
     return out

@@ -150,4 +150,8 @@ def run_fem_uniformization(cfg: FEMUniformizeConfig, out_dir: str | None = None,
             "period_mis_lucas": r["period_mismatch"]["lucas"],
         } for r in results]
         writers.write_dict_rows_csv(f"{out_dir}/results_compact.csv", rows)
+        from cmtci.io import plots
+
+        for r in results:
+            plots.plot_k_bins(r.get("K_bins_d2h") or [], r["tag"], out_dir)
     return results
