@@ -64,6 +64,21 @@ def write_meta_txt(path: str, params: dict):
     return path
 
 
+def write_config_meta(path: str, cfg, extra: dict | None = None):
+    """Uniform per-pipeline _meta.txt dump of a dataclass config (or dict).
+
+    Every pipeline emits one next to its artifacts, matching the reference's
+    per-script parameter dumps (mandelbrot_boundary_sample.py:84-86,
+    boundary_curvature_localpoly.py meta conventions).
+    """
+    import dataclasses
+
+    d = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
+    if extra:
+        d.update(extra)
+    return write_meta_txt(path, d)
+
+
 def write_dict_rows_csv(path: str, rows: list):
     """DictWriter CSV with union-of-keys columns (v40:387-398)."""
     ensure_dir(path)

@@ -39,6 +39,10 @@ def run_multifractal(c_pts, m_pts, q_values=None, scales=None, out_prefix=None):
         from cmtci.io import plots
 
         plots.plot_multifractal_compare(res_c, res_m, out_prefix)
+        writers.write_config_meta(f"{out_prefix}_meta.txt", {
+            "q_values": list(np.asarray(res_c["q"])),
+            "scales": list(np.asarray(res_c["scales"])),
+            "n_construct": len(np.asarray(c_pts)), "n_mandel": len(np.asarray(m_pts))})
     return {"construct": res_c, "mandel": res_m}
 
 
@@ -64,6 +68,9 @@ def run_embeddings(c_pts, m_pts, k_nn=20, n_eigs=8, eps_scale=0.5, out_prefix=No
             plots.plot_embedding_scatter(
                 pts, vecs[:, comp], f"{out_prefix}_{name}_embedding_vec{comp}.png",
                 title=f"{name} embedding (colored by eigenvector {comp})")
+        writers.write_config_meta(f"{out_prefix}_meta.txt", {
+            "k_nn": k_nn, "n_eigs": n_eigs, "eps_scale": eps_scale,
+            "sigma_construct": sigma_c, "sigma_mandel": sigma_m})
     return {"vals_construct": vals_c, "vals_mandel": vals_m,
             "sigma_construct": sigma_c, "sigma_mandel": sigma_m,
             "spectral_distance": dist}
@@ -74,6 +81,9 @@ def run_symmetry(c_aligned, m_pts, matches=None, tol=0.05, out_prefix=None):
     rows, best = sym.symmetry_report(c_aligned, m_pts, matches, tol)
     if out_prefix:
         writers.write_dict_rows_csv(f"{out_prefix}_symmetry_report_bestaxis.csv", rows)
+        writers.write_config_meta(f"{out_prefix}_meta.txt", {
+            "tol": tol, "n_construct": len(np.asarray(c_aligned)),
+            "n_mandel": len(np.asarray(m_pts))})
     return {"rows": rows, "best": best}
 
 
@@ -154,6 +164,7 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
         plots.plot_kl_descent(kls, f"{prefix}_KL_descent.png")
         plots.plot_field(traj[-1], cfg.domain, f"{prefix}_XT_final.png",
                          title="Final histogram X_T")
+        writers.write_config_meta(f"{prefix}_meta.txt", cfg)
     return out, kls, traj
 
 
@@ -181,6 +192,9 @@ def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
             "hausdorff": out["hausdorff"],
             "fractal_dim_construct": fd_c, "fractal_dim_mandel": fd_m,
         }])
+        writers.write_config_meta(f"{out_prefix}_meta.txt", {
+            "r_max": r_max, "dr": dr, "n_construct": len(np.asarray(c_aligned)),
+            "n_mandel": len(np.asarray(m_pts))})
     return out
 
 
@@ -203,4 +217,6 @@ def run_report(c, m, c_aligned, matches, out_prefix=None):
         row[f"fractal_dim_{name}"] = float(fd)
     if out_prefix:
         writers.write_dict_rows_csv(f"{out_prefix}_phase5_summary.csv", [row])
+        writers.write_config_meta(f"{out_prefix}_meta.txt", {
+            "n_construct": len(c), "n_mandel": len(m), "n_aligned": len(c_aligned)})
     return row

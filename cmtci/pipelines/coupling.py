@@ -95,4 +95,6 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
 
     if out_prefix:
         writers.write_dict_rows_csv(f"{out_prefix}_summary_metrics.csv", rows)
+        writers.write_config_meta(f"{out_prefix}_meta.txt", cfg,
+                                  extra={"n_construct": len(c), "n_mandel": len(m)})
     return rows, c

@@ -40,6 +40,8 @@ def run_curvature(points_xy, cfg: CurvatureConfig, output_prefix: str | None = N
         from cmtci.io import plots
 
         plots.plot_curvature(p, kappa, output_prefix)
+        writers.write_config_meta(f"{output_prefix}_meta.txt", cfg,
+                                  extra={"N": len(p)})
         writers.ensure_dir(f"{output_prefix}_summary.txt")
         with open(f"{output_prefix}_summary.txt", "w") as f:
             f.write("Local-Polynomial Curvature Summary\n")

@@ -151,6 +151,8 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
         out["family_summary"] = fam_rows
     out["stage_times"] = dict(timer.times)
     if out_dir:
+        writers.write_config_meta(f"{out_dir}/meta.txt", cfg,
+                                  extra={"n_cloud": len(c_inv)})
         np.save(f"{out_dir}/C_lucas.npy", c_inv)
         np.save(f"{out_dir}/g_lucas.npy", g)
         np.save(f"{out_dir}/it_lucas.npy", it)

@@ -72,6 +72,9 @@ def run_spectral(c_pts, m_pts, cfg: SpectralConfig, out_prefix: str | None = Non
             for r in rows:
                 f.write(f"{r['label']},{r['fmin']},{r['fmax']},{r['slope']},{r['R2']}\n")
         writers.write_dict_rows_csv(f"{out_prefix}_bootstrap.csv", boot)
+        writers.write_config_meta(f"{out_prefix}_meta.txt", cfg,
+                                  extra={"n_construct": len(np.asarray(c_pts)),
+                                         "n_mandel": len(np.asarray(m_pts))})
         from cmtci.io import plots
 
         modes = tuple(m for m in (5, 10, 30, 100) if m < min(len(f_c), len(f_m)) // 2)

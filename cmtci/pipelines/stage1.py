@@ -106,6 +106,7 @@ def run_stage1(cfg: Stage1Config, outdir: str | None = None):
         writers.write_points_csv(f"{outdir}/mandel_boundary_sample.csv", m)
         writers.write_points_csv(f"{outdir}/construct_aligned.csv", c_aligned)
         writers.write_matches_csv(f"{outdir}/matches_indices.csv", matches)
+        writers.write_config_meta(f"{outdir}/meta.txt", cfg)
         from cmtci.io import plots
 
         plots.plot_alignment(c, m, c_aligned, f"{outdir}/alignment.png")

@@ -267,4 +267,9 @@ def write_outputs(rows, meta, out_prefix: str):
         open(csv_path, "w", encoding="utf-8").close()
     with open(json_path, "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=2)
+    from cmtci.io import writers
+
+    writers.write_config_meta(f"{out_prefix}_meta.txt",
+                              {k: v for k, v in meta.items()
+                               if k not in ("rows", "stage_times")})
     return csv_path, json_path

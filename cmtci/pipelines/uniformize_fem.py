@@ -150,6 +150,7 @@ def run_fem_uniformization(cfg: FEMUniformizeConfig, out_dir: str | None = None,
             "period_mis_lucas": r["period_mismatch"]["lucas"],
         } for r in results]
         writers.write_dict_rows_csv(f"{out_dir}/results_compact.csv", rows)
+        writers.write_config_meta(f"{out_dir}/meta.txt", cfg)
         from cmtci.io import plots
 
         for r in results:

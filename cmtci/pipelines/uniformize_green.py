@@ -145,6 +145,8 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                    inverse_err_max=float(err.max()))
 
     if out_dir:
+        writers.write_config_meta(f"{out_dir}/meta.txt", cfg,
+                                  extra={"n_input_points": len(pts)})
         writers.write_dict_rows_csv(f"{out_dir}/diagnostics.csv", [row])
         writers.write_hist_csv(f"{out_dir}/radii_hist_w_raw.csv", rad_f, bins=80,
                                range_=(0.0, 1.05))

@@ -82,7 +82,10 @@ def run_variograms(cfg: VariogramConfig, out_csv: str | None = None):
         out["fit_construct"] = vg.fit_exponential_variogram(r_c, g_c)
         out["fit_mandelbrot"] = vg.fit_exponential_variogram(r_m, g_m)
     if out_csv:
+        import os as _os
+
         writers.ensure_dir(out_csv)
+        writers.write_config_meta(f"{_os.path.splitext(out_csv)[0]}_meta.txt", cfg)
         import csv as _csv
 
         with open(out_csv, "w", newline="") as f:

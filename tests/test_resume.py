@@ -118,3 +118,25 @@ def test_green_uniformization_fit_cache(tmp_path, monkeypatch):
     assert out2["diagnostics"]["g_shift"] == out1["diagnostics"]["g_shift"]
     assert out2["diagnostics"]["bdy_mod_median"] == out1["diagnostics"]["bdy_mod_median"]
     assert "fit" in out2["stage_times"]
+
+
+def test_uniform_meta_dumps(tmp_path):
+    """Every pipeline emits a _meta.txt parameter dump next to its artifacts
+    (mandelbrot_boundary_sample.py:84-86 convention, VERDICT item 10)."""
+    import os
+
+    from cmtci.pipelines.tracker import write_outputs
+
+    rows, meta = run_tracker(TrackerConfig(**{**CFG, "bins_max": 16}))
+    write_outputs(rows, meta, str(tmp_path / "trk"))
+    assert os.path.exists(tmp_path / "trk_meta.txt")
+    txt = open(tmp_path / "trk_meta.txt").read()
+    assert "sigma_bins=2.0" in txt and "rows=" not in txt
+
+    from cmtci.pipelines.analysis import run_report
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(50, 2))
+    m = rng.normal(size=(50, 2))
+    run_report(c, m, c, np.arange(50), out_prefix=str(tmp_path / "rep"))
+    assert os.path.exists(tmp_path / "rep_meta.txt")
