@@ -197,7 +197,7 @@ def _green_stage(zr, zi, cr, ci, k0, iters: int, r2, dtype_max_iter):
 
 
 def green_potential_compacted(points, max_iter: int = 20000, escape_r: float = 2.0,
-                              stage_iters: int = 512):
+                              stage_iters: int = 512, stage_executor=None):
     """g_M/Phi for a complex cloud with host compaction between stages.
 
     Identical per-point arithmetic to green_potential — both delegate to
@@ -207,7 +207,12 @@ def green_potential_compacted(points, max_iter: int = 20000, escape_r: float = 2
     drags every escaped point along. Measured ~125x on the n=2..200 /
     max_iter=20000 cloud (300 s -> 2.4 s kernel-level; the full pipeline
     drops 312 s -> 26 s). Returns (g, k, phi) numpy arrays.
+
+    stage_executor replaces the per-stage kernel call (same signature as
+    _green_stage) — parallel.sharded.green_stage_executor point-shards each
+    stage over a mesh with identical per-point arithmetic.
     """
+    run_stage = stage_executor if stage_executor is not None else _green_stage
     pts = np.asarray(points, dtype=complex).ravel()
     n = len(pts)
     g = np.zeros(n)
@@ -227,7 +232,7 @@ def green_potential_compacted(points, max_iter: int = 20000, escape_r: float = 2
         m = len(idx)
         bucket = 1 << max(0, int(np.ceil(np.log2(max(m, 64)))))
         pad = bucket - m
-        out = _green_stage(
+        out = run_stage(
             jnp.asarray(np.pad(zr_h, (0, pad))), jnp.asarray(np.pad(zi_h, (0, pad))),
             jnp.asarray(np.pad(cr_h, (0, pad))), jnp.asarray(np.pad(ci_h, (0, pad))),
             jnp.int32(k0), iters, r2, max_iter,

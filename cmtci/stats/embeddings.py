@@ -49,11 +49,20 @@ def _knn(xy, k: int, chunk: int = 2048):
     return dists[:n], idxs[:n]
 
 
-def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5):
-    """Symmetric sparse gaussian kNN kernel; returns (K csr, sigma)."""
+def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None):
+    """Symmetric sparse gaussian kNN kernel; returns (K csr, sigma).
+
+    With a `mesh`, the kNN query rows are sharded over the devices
+    (parallel.sharded.sharded_knn, bitwise-identical per row).
+    """
     xy = _xy(points)
     n = len(xy)
-    dists, idxs = _knn(jnp.asarray(xy), int(k))
+    if mesh is not None:
+        from cmtci.parallel.sharded import sharded_knn
+
+        dists, idxs = sharded_knn(jnp.asarray(xy), int(k), mesh)
+    else:
+        dists, idxs = _knn(jnp.asarray(xy), int(k))
     dists = np.asarray(dists)
     idxs = np.asarray(idxs)
     sigma = float(np.median(dists.ravel()) * eps_scale)
@@ -87,9 +96,10 @@ def spectral_embedding(p, n_eigs: int = 8):
     return vals[order], vecs[:, order]
 
 
-def diffusion_map(points, k: int = 20, n_eigs: int = 8, eps_scale: float = 0.5):
+def diffusion_map(points, k: int = 20, n_eigs: int = 8, eps_scale: float = 0.5,
+                  mesh=None):
     """Full pipeline: kernel -> Markov -> spectrum. Returns (vals, vecs, sigma)."""
-    kmat, sigma = build_sparse_kernel(points, k=k, eps_scale=eps_scale)
+    kmat, sigma = build_sparse_kernel(points, k=k, eps_scale=eps_scale, mesh=mesh)
     p = markov_from_kernel(kmat)
     vals, vecs = spectral_embedding(p, n_eigs=n_eigs)
     return vals, vecs, sigma

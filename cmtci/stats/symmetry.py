@@ -112,15 +112,23 @@ def _score_angles(points, angles, tol: float):
 
 
 def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 361,
-                         refine: bool = True):
+                         refine: bool = True, mesh=None):
     """Coarse 0..pi scan + bounded refine of the joint preservation score.
 
     Returns dict(angle, frac_a, frac_b, scan_angles, scan_score).
     Score = frac_a + frac_b, maximized (symmetry_phase_bestaxis.py:153-199).
     """
     angles = np.linspace(0, np.pi, n_angles)
-    fa = _score_angles(points_a, angles, tol)
-    fb = _score_angles(points_b, angles, tol)
+    if mesh is not None:
+        # angle-sharded coarse scan (parallel.sharded.sharded_score_angles,
+        # bitwise-identical: per-angle scores are independent)
+        from cmtci.parallel.sharded import sharded_score_angles
+
+        fa = sharded_score_angles(points_a, angles, tol, mesh)
+        fb = sharded_score_angles(points_b, angles, tol, mesh)
+    else:
+        fa = _score_angles(points_a, angles, tol)
+        fb = _score_angles(points_b, angles, tol)
     score = fa + fb
     best = float(angles[np.argmax(score)])
 

@@ -94,3 +94,55 @@ def test_tracker_train_step_jit():
     assert kl0 > d5 > d20 >= 0.0
     assert float(out5["kl_initial"]) == float(out20["kl_initial"])
     assert 0.0 <= float(out5["tv_PC_PM"]) <= 1.0
+
+
+def test_sharded_knn_bitwise(rng):
+    from cmtci.stats.embeddings import _knn
+
+    mesh = sharded.device_mesh()
+    xy = rng.normal(size=(500, 2))
+    d_ref, i_ref = _knn(jnp.asarray(xy), 10, chunk=32)
+    d_s, i_s = sharded.sharded_knn(xy, 10, mesh, chunk=32)
+    np.testing.assert_array_equal(i_s, np.asarray(i_ref))
+    np.testing.assert_array_equal(d_s, np.asarray(d_ref))
+
+
+def test_sharded_diffusion_map(rng):
+    from cmtci.stats.embeddings import diffusion_map
+
+    mesh = sharded.device_mesh()
+    pts = rng.normal(size=(300, 2))
+    vals, vecs, sigma = diffusion_map(pts, k=10)
+    vals_m, vecs_m, sigma_m = diffusion_map(pts, k=10, mesh=mesh)
+    assert sigma_m == sigma
+    np.testing.assert_allclose(vals_m, vals, rtol=1e-12)
+
+
+def test_sharded_score_angles_bitwise(rng):
+    from cmtci.stats.symmetry import _score_angles, best_reflection_axis
+
+    mesh = sharded.device_mesh()
+    pts = rng.normal(size=(200, 2))
+    angles = np.linspace(0, np.pi, 37)
+    ref = _score_angles(pts, angles, 0.05)
+    got = sharded.sharded_score_angles(pts, angles, 0.05, mesh)
+    np.testing.assert_array_equal(got, ref)
+    # entry point agrees too
+    b1 = best_reflection_axis(pts, pts * 0.99, n_angles=37, refine=False)
+    b2 = best_reflection_axis(pts, pts * 0.99, n_angles=37, refine=False, mesh=mesh)
+    assert b1["angle"] == b2["angle"]
+    np.testing.assert_array_equal(b1["scan_score"], b2["scan_score"])
+
+
+def test_sharded_green_cloud_exact():
+    from cmtci.kernels import mandelbrot as mbk
+
+    mesh = sharded.device_mesh()
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-2, 1, 400) + 1j * rng.uniform(-1.5, 1.5, 400)
+    g1, k1, p1 = mbk.green_potential_compacted(pts, max_iter=600, stage_iters=128)
+    g2, k2, p2 = sharded.sharded_green_cloud(pts, max_iter=600, mesh=mesh,
+                                             stage_iters=128)
+    np.testing.assert_array_equal(g2, g1)
+    np.testing.assert_array_equal(k2, k1)
+    np.testing.assert_array_equal(p2, p1)
