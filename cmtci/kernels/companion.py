@@ -269,7 +269,12 @@ def inverse_cloud(
             vals = vals[np.abs(vals) > tol]
             pts.append(1.0 / vals)
         return np.concatenate(pts)
-    zr, zi, valid = inverse_cloud_padded(ns, family)
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        # f64 Aberth stays on the host CPU when the default platform is a
+        # TPU (f64 is emulated there; f64 while_loop compiles wedge the relay)
+        zr, zi, valid = inverse_cloud_padded(ns, family)
     lam2 = 1.0 / (np.asarray(zr) ** 2 + np.asarray(zi) ** 2 + 1e-300)  # |λ|² of padded 1/λ
     keep = np.asarray(valid) & (lam2 > tol * tol)
     z = np.asarray(zr) + 1j * np.asarray(zi)

@@ -453,10 +453,13 @@ def sample_boundary_quantile(
     elif impl == "pallas":
         # f32 TPU head with the same non-latched-dz overflow semantics; the
         # escaped & d<=q25 selection is statistically equivalent to the f64
-        # path (f32 dz overflow reclassifies a few late escapers into d==0)
+        # path (f32 dz overflow reclassifies a few late escapers into d==0).
+        # Coordinates come from host numpy: no f64 device work on the TPU.
         from cmtci.kernels.mandelbrot_pallas import tci_de_field_pallas
 
-        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+        xs = np.linspace(domain[0], domain[1], grid_n)
+        ys = np.linspace(domain[2], domain[3], grid_n)
+        cr, ci = np.meshgrid(xs, ys)
         esc, d = tci_de_field_pallas(domain, grid_n, max_iter=max_iter,
                                      escape_r=escape_r)
     elif mesh is not None:

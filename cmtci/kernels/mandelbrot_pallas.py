@@ -409,17 +409,27 @@ def mandelbrot_field_pallas(
 
 def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
                         escape_r: float = 250.0, tile: tuple = DEFAULT_TILE,
-                        inner: int = DEFAULT_INNER):
+                        inner: int = DEFAULT_INNER, bucket: bool = True):
     """(esc, d) of the TCI DE over a grid_n x grid_n np.linspace-style grid.
 
     The tracker's grid kernel (tci_construct_mandelbrot_v002_fixed.py:35-47)
     as a Pallas head: pads to tile multiples at the same spacing and crops
     (the first grid_n rows/columns have identical coordinates). Returns
     (esc bool, d float32) device arrays.
+
+    bucket=True rounds the padded shape up to the next power of two, so the
+    tracker's growing grids (600/690/793/912) share ONE compiled kernel
+    across stages instead of four Mosaic compiles — the padding pixels are
+    nearly free (far-field tiles exit after one chunk).
     """
     th, tw = tile
     ny = ((grid_n + th - 1) // th) * th
     nx = ((grid_n + tw - 1) // tw) * tw
+    if bucket:
+        ny = max(th, 1 << (ny - 1).bit_length())
+        nx = max(tw, 1 << (nx - 1).bit_length())
+        ny = ((ny + th - 1) // th) * th  # re-align if tile isn't a power of 2
+        nx = ((nx + tw - 1) // tw) * tw
     xmin, xmax, ymin, ymax = domain
     dx = (xmax - xmin) / (grid_n - 1)
     dy = (ymax - ymin) / (grid_n - 1)

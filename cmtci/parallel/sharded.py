@@ -123,24 +123,23 @@ def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = N
 
 
 def sharded_histogram(points_r, points_i, bins: int, domain, mesh: Mesh):
-    """Per-shard 2D histogram + psum; input sharded along the point axis."""
-    xmin, xmax, ymin, ymax = domain
+    """Per-shard 2D histogram + psum; input sharded along the point axis.
+
+    Uses the same np.linspace edges as the host path (transport.histogram),
+    so per-bin integer counts psum to the bitwise-identical histogram.
+    """
+    from cmtci.transport.histogram import histogram2d_edges, np_edges
+
+    xedges, yedges = np_edges(bins, domain)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P(),
         check_vma=False,
     )
     def run(xr, xi):
-        xedges = jnp.linspace(xmin, xmax, bins + 1)
-        yedges = jnp.linspace(ymin, ymax, bins + 1)
-        ix = jnp.searchsorted(xedges, xr, side="right") - 1
-        iy = jnp.searchsorted(yedges, xi, side="right") - 1
-        ix = jnp.where(xr == xmax, bins - 1, ix)
-        iy = jnp.where(xi == ymax, bins - 1, iy)
-        ok = (ix >= 0) & (ix < bins) & (iy >= 0) & (iy < bins)
-        flat = jnp.where(ok, ix * bins + iy, bins * bins)
-        h = jnp.zeros(bins * bins + 1, dtype=xr.dtype).at[flat].add(1.0)
-        return jax.lax.psum(h[:-1].reshape(bins, bins), "data")
+        h = histogram2d_edges(xr, xi, bins, jnp.asarray(xedges),
+                              jnp.asarray(yedges), domain[1], domain[3])
+        return jax.lax.psum(h, "data")
 
     return run(points_r, points_i)
 

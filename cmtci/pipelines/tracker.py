@@ -162,6 +162,8 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
                 m_match, c_sub = entropic_argmax_match(
                     c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng,
                     backend=matcher_backend, mesh=stage_mesh,
+                    dtype=np.float32 if (cfg.field_dtype == "float32"
+                                         and not cfg.parity) else None,
                 )
             c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
             return {"c_aligned": c_aligned, "m_aligned": m_match,

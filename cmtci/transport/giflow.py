@@ -39,7 +39,10 @@ def _fixed_t(p, x0, alpha, t_steps: int, eps):
 
 def gi_flow_fixed_t(p, x0, alpha: float, t_steps: int, eps: float = 1e-12):
     """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:128-134."""
-    x, kl0, klt = _fixed_t(jnp.asarray(p), jnp.asarray(x0), alpha, int(t_steps), eps)
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        x, kl0, klt = _fixed_t(jnp.asarray(p), jnp.asarray(x0), alpha, int(t_steps), eps)
     return np.asarray(x), int(t_steps), float(kl0), float(klt)
 
 
@@ -68,9 +71,12 @@ def gi_flow_to_threshold(
     eps: float = 1e-12,
 ):
     """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:137-148."""
-    x, t, kl0, klv = _adaptive(
-        jnp.asarray(p), jnp.asarray(x0), alpha, kl_threshold, int(max_steps), int(min_steps), eps
-    )
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        x, t, kl0, klv = _adaptive(
+            jnp.asarray(p), jnp.asarray(x0), alpha, kl_threshold, int(max_steps), int(min_steps), eps
+        )
     return np.asarray(x), int(t), float(kl0), float(klv)
 
 

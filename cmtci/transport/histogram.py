@@ -22,13 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cmtci.utils.device import analysis_cpu
+
 
 @functools.partial(jax.jit, static_argnames=("bins",))
-def histogram2d(x, y, bins: int, domain):
-    """np.histogram2d(x, y, bins=(b,b), range=domain-pairs) equivalent."""
-    xmin, xmax, ymin, ymax = domain
-    xedges = jnp.linspace(xmin, xmax, bins + 1)
-    yedges = jnp.linspace(ymin, ymax, bins + 1)
+def histogram2d_edges(x, y, bins: int, xedges, yedges, xmax, ymax):
+    """Scatter-add histogram against explicit edge arrays (numpy semantics:
+    interior edges right-inclusive via searchsorted, rightmost edge inclusive,
+    out-of-range dropped)."""
     ix = jnp.searchsorted(xedges, x, side="right") - 1
     iy = jnp.searchsorted(yedges, y, side="right") - 1
     ix = jnp.where(x == xmax, bins - 1, ix)
@@ -39,25 +40,61 @@ def histogram2d(x, y, bins: int, domain):
     return h[:-1].reshape(bins, bins)
 
 
+def np_edges(bins: int, domain):
+    """np.histogram2d's exact bin edges (np.linspace; jnp.linspace differs in
+    the last ulp, which flips points that sit exactly ON an edge — M points
+    are DE-grid nodes and DO collide with edges: that 1-ulp edge difference
+    was the tracker's whole stage-3 oracle residual)."""
+    xmin, xmax, ymin, ymax = domain
+    return np.linspace(xmin, xmax, bins + 1), np.linspace(ymin, ymax, bins + 1)
+
+
+def histogram2d(x, y, bins: int, domain):
+    """np.histogram2d(x, y, bins=(b,b), range=domain-pairs), bitwise.
+
+    Host entry: edges come from np.linspace (reference semantics); the
+    scatter-add runs on-device via .at[].add.
+    """
+    xedges, yedges = np_edges(bins, domain)
+    return histogram2d_edges(jnp.asarray(x), jnp.asarray(y), bins,
+                             jnp.asarray(xedges), jnp.asarray(yedges),
+                             domain[1], domain[3])
+
+
 def gaussian_kernel1d(sigma: float, truncate: float = 4.0):
-    """scipy.ndimage gaussian kernel (order 0), host-side, exact weights."""
+    """scipy.ndimage gaussian kernel (order 0), bitwise-exact weights.
+
+    Uses scipy's exact expression tree exp(-0.5/sigma**2 * x**2) — the
+    algebraically-equal exp(-0.5*(x/sigma)**2) differs in the last ulp.
+    """
     radius = int(truncate * float(sigma) + 0.5)
+    sigma2 = float(sigma) * float(sigma)
     x = np.arange(-radius, radius + 1)
-    k = np.exp(-0.5 * (x / float(sigma)) ** 2)
+    k = np.exp(-0.5 / sigma2 * x**2)
     return k / k.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
 def _sep_correlate_nearest(h, kernel, radius: int):
-    """Separable correlation with 'nearest' edge handling (both axes)."""
+    """Separable correlation with 'nearest' edges, scipy's summation order.
+
+    scipy.ndimage's correlate1d exploits kernel symmetry: per output element
+    it computes  w[mid]*x[i] + sum_{k=r..1} w[mid+k]*(x[i-k] + x[i+k])  with
+    k descending (outermost pair first). Reproducing that exact expression tree makes the filter
+    bitwise-equal to scipy — which is what closes the tracker's stage-3
+    parity residual (the old linear-sweep order differed by ~3e-15/bin,
+    amplified to ~1e-6 in the stage metrics through the eps floor + log).
+    """
     def corr1(a):  # along axis 0
         ap = jnp.concatenate(
             [jnp.repeat(a[:1], radius, axis=0), a, jnp.repeat(a[-1:], radius, axis=0)], axis=0
         )
         n = a.shape[0]
-        out = jnp.zeros_like(a)
-        for t in range(2 * radius + 1):
-            out = out + kernel[t] * jax.lax.dynamic_slice_in_dim(ap, t, n, axis=0)
+        out = kernel[radius] * a
+        for k in range(radius, 0, -1):  # scipy iterates pairs outermost-first
+            left = jax.lax.dynamic_slice_in_dim(ap, radius - k, n, axis=0)
+            right = jax.lax.dynamic_slice_in_dim(ap, radius + k, n, axis=0)
+            out = out + kernel[radius + k] * (left + right)
         return out
 
     h = corr1(h)
@@ -65,23 +102,45 @@ def _sep_correlate_nearest(h, kernel, radius: int):
     return h
 
 
+def _corr1_np(a, kernel, radius: int):
+    """One numpy correlation pass along axis 0, scipy's expression tree."""
+    ap = np.concatenate(
+        [np.repeat(a[:1], radius, axis=0), a, np.repeat(a[-1:], radius, axis=0)], axis=0
+    )
+    n = a.shape[0]
+    out = kernel[radius] * a
+    for k in range(radius, 0, -1):  # scipy iterates pairs outermost-first
+        out += kernel[radius + k] * (ap[radius - k : radius - k + n]
+                                     + ap[radius + k : radius + k + n])
+    return out
+
+
 def gaussian_filter_nearest(h, sigma: float, truncate: float = 4.0):
-    """scipy.ndimage.gaussian_filter(h, sigma, mode='nearest') equivalent.
+    """scipy.ndimage.gaussian_filter(h, sigma, mode='nearest'), bitwise.
 
     scipy correlates with the REVERSED kernel; a symmetric gaussian makes
-    correlation == convolution, so a plain separable correlate matches.
+    correlation == convolution, and the symmetric-pair summation order
+    (w[mid]*x + sum_k w[mid+k]*(x[-k]+x[+k]), k descending) matches scipy's
+    C kernel exactly — numpy evaluates that expression tree with no FMA
+    contraction, so concrete inputs reproduce scipy to the last bit (which
+    closes the tracker's stage-3 oracle residual). Traced (jit/shard_map)
+    inputs take the jnp path, identical up to XLA FMA (~4e-16).
     """
-    kernel = jnp.asarray(gaussian_kernel1d(sigma, truncate))
-    radius = (len(kernel) - 1) // 2
-    return _sep_correlate_nearest(jnp.asarray(h), kernel, radius)
+    kernel_np = gaussian_kernel1d(sigma, truncate)
+    radius = (len(kernel_np) - 1) // 2
+    if isinstance(h, jax.core.Tracer):
+        return _sep_correlate_nearest(h, jnp.asarray(kernel_np), radius)
+    a = np.asarray(h, dtype=float)
+    return _corr1_np(_corr1_np(a, kernel_np, radius).T, kernel_np, radius).T
 
 
 def to_prob(cloud, bins: int, domain, eps: float = 1e-12):
     """Probability histogram of a complex cloud (tci_..._v002_fixed.py:80-84)."""
     cloud = np.asarray(cloud)
-    h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
-    h = jnp.maximum(h, eps)
-    return h / h.sum()
+    with analysis_cpu():
+        h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
+        h = jnp.maximum(h, eps)
+        return h / h.sum()
 
 
 def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float = 1e-12,
@@ -103,27 +162,33 @@ def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float 
         xi = np.pad(cloud.imag.ravel(), (0, npad - n), constant_values=domain[3] + 1.0)
         h = sharded_histogram(jnp.asarray(xr), jnp.asarray(xi), bins, domain, mesh)
     else:
-        h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
-    h = jnp.maximum(h, eps)
-    if sigma_bins and sigma_bins > 0:
-        h = gaussian_filter_nearest(h, float(sigma_bins))
+        with analysis_cpu():
+            h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
+    with analysis_cpu():
+        h = jnp.asarray(np.asarray(h))
         h = jnp.maximum(h, eps)
-    return h / h.sum()
+        if sigma_bins and sigma_bins > 0:
+            h = gaussian_filter_nearest(h, float(sigma_bins))
+            h = jnp.maximum(h, eps)
+        return h / h.sum()
 
 
 def kl(p, x, eps: float = 1e-12):
     """KL(P||X) with clipping (tci_..._v002_fixed.py:86-88)."""
-    p = jnp.clip(jnp.asarray(p), eps, None)
-    x = jnp.clip(jnp.asarray(x), eps, None)
-    return float(jnp.sum(p * (jnp.log(p) - jnp.log(x))))
+    with analysis_cpu():
+        p = jnp.clip(jnp.asarray(p), eps, None)
+        x = jnp.clip(jnp.asarray(x), eps, None)
+        return float(jnp.sum(p * (jnp.log(p) - jnp.log(x))))
 
 
 def tv_distance(p, q) -> float:
-    return 0.5 * float(jnp.sum(jnp.abs(jnp.asarray(p) - jnp.asarray(q))))
+    with analysis_cpu():
+        return 0.5 * float(jnp.sum(jnp.abs(jnp.asarray(p) - jnp.asarray(q))))
 
 
 def overlap_mass(p, q) -> float:
-    return float(jnp.sum(jnp.minimum(jnp.asarray(p), jnp.asarray(q))))
+    with analysis_cpu():
+        return float(jnp.sum(jnp.minimum(jnp.asarray(p), jnp.asarray(q))))
 
 
 def pinsker_bound(delta: float) -> float:

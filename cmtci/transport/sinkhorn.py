@@ -55,7 +55,7 @@ def _argmax_kernel_rows(a, b, mean, eps, chunk: int = 2048):
 
 
 def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax",
-                          mesh=None):
+                          mesh=None, dtype=None):
     """tci_construct_mandelbrot_v002_fixed.py:62-71 semantics.
 
     Subsample the larger cloud to the smaller's size with numpy RNG (pass
@@ -67,7 +67,10 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
     full K matrix) for bitwise oracle parity; backend="jax" computes the same
     match blocked on-device without materializing K. With a `mesh`, the row
     blocks are sharded over the devices (parallel.sharded.sharded_argmax_match,
-    bitwise-identical to the single-device blocked path).
+    bitwise-identical to the single-device blocked path). `dtype` casts the
+    device matcher's coordinates (float32 = the TPU fast path; f64 distance
+    sums are emulated and slow on v5e — the argmax realization shifts within
+    the same rounding spread as the f32 field path).
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -80,6 +83,9 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
     if m > n:
         y = r.choice(y, n, replace=False) if y.ndim == 1 else y[r.choice(m, n, replace=False)]
     ax, by = _xy(x), _xy(y)
+    if dtype is not None and backend != "numpy":
+        ax = np.asarray(ax, dtype=dtype)
+        by = np.asarray(by, dtype=dtype)
     if backend == "numpy":
         from scipy.spatial.distance import cdist
 

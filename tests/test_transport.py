@@ -177,3 +177,50 @@ class TestGIFlow:
             x = 0.9 * x + 0.1 * p
             steps += 1
         np.testing.assert_allclose(xt, x, rtol=1e-10)
+
+
+def test_gaussian_filter_bitwise_vs_scipy():
+    """The mollifier must equal scipy.ndimage to the LAST BIT: the tracker's
+    stage-3 oracle residual (4.7e-6) was entirely the old summation order
+    differing by ~3e-15/bin (VERDICT round-1 item 8 — root cause, not a
+    matcher near-tie: the tightest stage-3 top-2 gap is 2.9e-7 relative and
+    a 1-ulp mean perturbation flips zero matches)."""
+    from scipy.ndimage import gaussian_filter
+
+    from cmtci.transport.histogram import gaussian_filter_nearest
+
+    rng = np.random.default_rng(0)
+    for sigma in (1.0, 3.0, 5.5):
+        for shape in ((64, 64), (256, 256), (37, 91)):
+            h = np.maximum(rng.poisson(0.5, shape).astype(float), 1e-12)
+            np.testing.assert_array_equal(
+                np.asarray(gaussian_filter_nearest(h, sigma)),
+                gaussian_filter(h, sigma, mode="nearest"))
+
+
+def test_matcher_f32_statistically_equivalent(rng):
+    from cmtci.transport.sinkhorn import entropic_argmax_match
+
+    x = rng.normal(size=400) + 1j * rng.normal(size=400)
+    y = rng.normal(size=400) + 1j * rng.normal(size=400)
+    m64, _ = entropic_argmax_match(x, y, eps=0.8, rng=np.random.RandomState(1))
+    m32, _ = entropic_argmax_match(x, y, eps=0.8, rng=np.random.RandomState(1),
+                                   dtype=np.float32)
+    assert (m64 == m32).mean() > 0.95
+
+
+def test_histogram2d_bitwise_vs_numpy_edge_collisions():
+    """Bin edges must be np.linspace-exact: DE-grid nodes sit exactly ON
+    histogram edges (793-grid vs 256-bin collisions) and jnp.linspace's
+    1-ulp edge difference flipped their bins — the other half of the
+    stage-3 oracle residual."""
+    from cmtci.transport.histogram import histogram2d
+
+    rng = np.random.default_rng(0)
+    dom = (-2.2, 1.2, -1.6, 1.6)
+    xs = np.linspace(dom[0], dom[1], 793)
+    ys = np.linspace(dom[2], dom[3], 793)
+    x = np.concatenate([rng.uniform(dom[0], dom[1], 5000), xs])
+    y = np.concatenate([rng.uniform(dom[2], dom[3], 5000), ys])
+    ref, _, _ = np.histogram2d(x, y, bins=256, range=[[dom[0], dom[1]], [dom[2], dom[3]]])
+    np.testing.assert_array_equal(np.asarray(histogram2d(x, y, 256, dom)), ref)
