@@ -14,10 +14,24 @@ runs on TPU (which has no complex128), host-CPU stages only for genuinely
 data-dependent geometry (Delaunay), and CSV/JSON export only at the edges.
 """
 
+import os as _os
+
 from jax import config as _jax_config
 
 # The analysis surfaces of the reference are float64 numpy; we match them.
 # Perf-critical kernels opt into float32/bfloat16 explicitly.
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the tracker's stage shapes grow run-over-run
+# but repeat across runs, and XLA compiles (especially through the TPU
+# remote-compile relay) dominate cold small-stage wall time. Opt out with
+# CMTCI_NO_COMPILE_CACHE=1.
+if not _os.environ.get("CMTCI_NO_COMPILE_CACHE"):
+    _jax_config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("CMTCI_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/cmtci_xla")),
+    )
+    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"

@@ -115,7 +115,8 @@ def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = N
         check_vma=False,
     )
     def run(a_loc, deg_loc):
-        zr, zi, valid = companion.aberth_roots(a_loc, deg_loc, max_iters=max_iters)
+        zr, zi, valid = companion.aberth_roots(a_loc, deg_loc, max_iters=max_iters,
+                                               family=family)
         return zr, zi, valid
 
     zr, zi, valid = run(a, deg)
