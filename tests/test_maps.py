@@ -172,3 +172,24 @@ class TestQC:
         out = qc.binned_median(x, y, np.array([0.0, 0.5, 1.0]))
         assert out[0][2] == 1.5 and out[0][3] == 2
         assert out[1][2] == 4.0 and out[1][3] == 3
+
+
+def test_riemann_f32_eval_budget():
+    """f32 evaluation path (the TPU fast path, 186x at full scale): Im Phi
+    mod 2pi and |f| within the documented error budget vs f64."""
+    import jax.numpy as jnp
+
+    from cmtci.geometry.polygon import Polygon, sample_interior_points
+    from cmtci.geometry.resample import enforce_ccw
+    from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
+
+    pts = export_lucas_boundary(LucasBoundaryConfig(n_max=40, n_boundary=300))
+    poly = Polygon(enforce_ccw(pts))
+    rm = riemann.fit_riemann_map(poly, n_bdy=200)
+    z_int, _ = sample_interior_points(poly, 500, 0, 200000)
+    f64v = rm.f(z_int)
+    f32v = rm.f(z_int, dtype=jnp.float32)
+    dphase = np.angle(f32v / np.where(f64v == 0, 1.0, f64v))
+    assert np.quantile(np.abs(dphase), 0.99) < 1e-3
+    dmod = np.abs(np.abs(f32v) - np.abs(f64v))
+    assert np.quantile(dmod, 0.99) < 1e-3
