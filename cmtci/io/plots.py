@@ -173,18 +173,29 @@ def plot_multifractal_compare(res_c, res_m, prefix):
     return f"{prefix}_Dq_compare.png", f"{prefix}_falpha_compare.png"
 
 
-def plot_fft_reconstructions(c_pts, m_pts, path, modes=(5, 10, 30, 100)):
-    """Low-mode IFFT reconstruction overlays (spatial_stats_phase4.py:60-78)."""
+def plot_fft_reconstructions(c_pts, m_pts, path, modes=(5, 10, 30, 100),
+                             ffts=None):
+    """Low-mode IFFT reconstruction overlays (spatial_stats_phase4.py:60-78).
+
+    ffts=(f_c, f_m) reuses already-computed boundary FFTs (run_spectral has
+    them in scope); otherwise they are computed here.
+    """
+    import math
+
     from cmtci.stats import spectral as sp
 
-    _, f_c = sp.boundary_fft(c_pts)
-    _, f_m = sp.boundary_fft(m_pts)
+    if ffts is not None:
+        f_c, f_m = ffts
+    else:
+        _, f_c = sp.boundary_fft(c_pts)
+        _, f_m = sp.boundary_fft(m_pts)
     fig = plt.figure(figsize=(12, 6))
-    ncols = max(1, len(modes) // 2)
+    nrows = 1 if len(modes) <= 2 else 2
+    ncols = math.ceil(len(modes) / nrows)
     for i, nm in enumerate(modes, 1):
         rec_c = sp.reconstruct_low_modes(f_c, nm)
         rec_m = sp.reconstruct_low_modes(f_m, nm)
-        ax = fig.add_subplot(2, ncols, i)
+        ax = fig.add_subplot(nrows, ncols, i)
         ax.plot(rec_c.real, rec_c.imag, label=f"Construct {nm} modes", alpha=0.7)
         ax.plot(rec_m.real, rec_m.imag, label=f"Mandelbrot {nm} modes", alpha=0.7)
         ax.set_aspect("equal")

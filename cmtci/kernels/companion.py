@@ -344,10 +344,26 @@ def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 
     return zr, zi, valid
 
 
+def _closed_form_ok(ns, family: str) -> bool:
+    """Closed-form eligibility: the geometric-series identity assumes the
+    family's FULL top-row pattern (sparser's c_2=0 only exists for n >= 2,
+    so n=1 falls back to Horner) and _pow_int's 12-bit exponent (n < 4096;
+    1.25^4096 would also overflow f64)."""
+    if family not in _CLOSED_FAMILIES:
+        return False
+    ns = list(ns)
+    if max(ns) >= 4096:
+        return False
+    if family == "sparser_gap_1_0_1_then_ones" and min(ns) < 2:
+        return False
+    return True
+
+
 def eigvals_batched(ns, family: str = "lucas_all_ones", max_iters: int = 200):
     """Padded batched companion eigenvalues via Aberth. Returns (re, im, valid)."""
     a, deg = poly_coeff_batch(ns, family)
-    return aberth_roots(a, deg, max_iters=max_iters, family=family)
+    fam = family if _closed_form_ok(ns, family) else None
+    return aberth_roots(a, deg, max_iters=max_iters, family=fam)
 
 
 def inverse_cloud_padded(ns, family: str = "lucas_all_ones"):

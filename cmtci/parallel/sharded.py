@@ -101,6 +101,7 @@ def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = N
     """
     if mesh is None:
         mesh = device_mesh()
+    fam = family if companion._closed_form_ok(ns, family) else None
     a, deg = companion.poly_coeff_batch(ns, family)
     n_dev = mesh.devices.size
     b = a.shape[0]
@@ -116,7 +117,7 @@ def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = N
     )
     def run(a_loc, deg_loc):
         zr, zi, valid = companion.aberth_roots(a_loc, deg_loc, max_iters=max_iters,
-                                               family=family)
+                                               family=fam)
         return zr, zi, valid
 
     zr, zi, valid = run(a, deg)
@@ -510,6 +511,11 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
     """
     from cmtci.transport.giflow import _kl_jit
 
+    if mesh.devices.flat[0].platform not in ("cpu",) and dtype != jnp.float32:
+        raise ValueError(
+            "tracker_train_step on an accelerator mesh requires dtype=float32 "
+            "(f64 escape-loop compiles can wedge the TPU compile relay)")
+
     # 1. C cloud: batch-sharded eigensweep -> padded inverse cloud
     zr, zi, valid = sharded_eigensweep(ns, mesh=mesh)
     ir, ii = cplx.reciprocal((zr, zi))
@@ -548,7 +554,12 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
 
     k1, k2 = jax.random.split(key)
     g1 = jax.random.gumbel(k1, sel.shape, dtype=jnp.float32)
-    _, midx = jax.lax.top_k(jnp.where(sel, g1, -jnp.inf), n_samples)
+    # band points first; escaped-but-outside-band points fill any remainder
+    # (if the d<=q25 band holds fewer than n_samples pixels) so the sample
+    # never contains unescaped corner pixels. Gumbel values are ~[-3, 20+]
+    # at these sizes; +1e4 strictly separates the tiers.
+    score = jnp.where(sel, g1 + 1e4, jnp.where(escf, g1, -jnp.inf))
+    _, midx = jax.lax.top_k(score, n_samples)
     mxr = (xmin + gx[midx] * dx).astype(dtype)
     mxi = (ymin + gy[midx] * dy).astype(dtype)
 

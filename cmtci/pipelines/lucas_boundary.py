@@ -55,6 +55,8 @@ def export_lucas_boundary(cfg: LucasBoundaryConfig, out_path: str | None = None,
         if out_path:
             writers.ensure_dir(out_path)
             np.save(out_path, xy_rs)
+            writers.write_config_meta(f"{out_path}_meta.txt", cfg,
+                                      extra={"n_boundary_points": len(xy_rs)})
         return xy_rs
     xy_rs = _compute_lucas_boundary(cfg)
     if out_path:

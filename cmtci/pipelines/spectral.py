@@ -81,5 +81,5 @@ def run_spectral(c_pts, m_pts, cfg: SpectralConfig, out_prefix: str | None = Non
         if modes:
             plots.plot_fft_reconstructions(c_pts, m_pts,
                                            f"{out_prefix}_fft_reconstructions.png",
-                                           modes=modes)
+                                           modes=modes, ffts=(f_c, f_m))
     return out

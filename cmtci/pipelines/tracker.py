@@ -126,6 +126,15 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
     shared RNG stream continues exactly where the stage left it. A
     `StageTimer` records per-phase wall times (SURVEY §5.1).
     """
+    if mesh is not None and not cfg.parity and cfg.field_dtype != "float32":
+        platforms = {d.platform for d in mesh.devices.flat}
+        if platforms - {"cpu"}:
+            raise ValueError(
+                "run_tracker(mesh=...) on accelerator devices requires "
+                "field_dtype='float32': the bitwise f64 mesh path shard_maps "
+                "f64 escape loops, which are emulated on TPUs and can wedge "
+                "the remote-compile relay (CLAUDE.md). Use a CPU mesh for "
+                "bitwise f64 validation.")
     rng = np.random.RandomState(cfg.seed)
     timer = timer if timer is not None else StageTimer()
     rows: List[TrackerRow] = []

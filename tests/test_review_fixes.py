@@ -62,3 +62,47 @@ def test_triangle_gradients_tiny_negative_det():
     tris = np.array([[0, 1, 2]])
     g = qc.triangle_gradients(pts, tris, np.array([0.0, 1.0, 2.0]))
     assert np.all(np.isfinite(g))
+
+
+# --- round-2 review findings ---
+
+
+def test_sparser_n1_falls_back_to_horner():
+    """The closed-form identity assumes c_2=0 exists (n>=2); n=1 must fall
+    back to the generic Horner and still match LAPACK."""
+    from cmtci.kernels import companion
+
+    from scipy.optimize import linear_sum_assignment
+
+    zr, zi, valid = companion.eigvals_batched([1, 2, 5], "sparser_gap_1_0_1_then_ones")
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    for b, n in enumerate([1, 2, 5]):
+        ref = np.linalg.eigvals(
+            companion.companion_matrix(companion.family_top_row("sparser_gap_1_0_1_then_ones", n)))
+        got = z[b][np.asarray(valid)[b]]
+        cost = np.abs(got[:, None] - ref[None, :])
+        r, c = linear_sum_assignment(cost)
+        assert cost[r, c].max() < 1e-8
+
+
+def test_fft_reconstruction_plot_odd_modes(tmp_path):
+    """Odd/short mode lists must not overflow the subplot grid."""
+    from cmtci.io import plots
+
+    t = np.linspace(0, 2 * np.pi, 80, endpoint=False)
+    pts = np.column_stack([np.cos(t), np.sin(t)])
+    for modes in ((5,), (5, 10), (5, 10, 30)):
+        plots.plot_fft_reconstructions(pts, pts * 0.9,
+                                       str(tmp_path / f"fft{len(modes)}.png"),
+                                       modes=modes)
+
+
+def test_lucas_boundary_cached_path_writes_meta(tmp_path):
+    import os
+
+    from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
+
+    cfg = LucasBoundaryConfig(n_max=25, n_boundary=100)
+    out = str(tmp_path / "lp.npy")
+    export_lucas_boundary(cfg, out, cache_dir=str(tmp_path / "cache"))
+    assert os.path.exists(f"{out}_meta.txt")
