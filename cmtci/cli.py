@@ -82,6 +82,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--domain", type=str, default="-2.2:1.2:-1.6:1.6")
     p.add_argument("--parity", action="store_true", help="bitwise oracle-parity mode")
+    p.add_argument("--field-dtype", choices=["float64", "float32"], default="float64",
+                   help="float32 = the TPU fast path (DE grid + matcher on device)")
+    p.add_argument("--de-impl", choices=["jax", "pallas"], default="jax",
+                   help="pallas = fused early-exit TPU DE head")
     _add_common(p)
     _add_cache_trace(p)
 
@@ -120,15 +124,29 @@ def main(argv=None):
     _add_cache_trace(p)
 
     args = ap.parse_args(argv)
-    if args.platform != "auto":
-        import jax
+    import jax
 
+    if args.platform != "auto":
         # "tpu,axon": first available TPU-like platform wins; errors at first
         # use if neither exists (a forced backend must not fall back silently)
         jax.config.update(
             "jax_platforms", "cpu" if args.platform == "cpu" else "tpu,axon"
         )
+    elif not _wants_tpu(args):
+        # auto: the f64 analysis pipelines run on the host CPU — under an
+        # environment-pinned TPU platform their f64 escape loops would be
+        # emulated (and f64 while_loop compiles can wedge the compile relay).
+        # Only the f32/pallas throughput paths keep the TPU default.
+        jax.config.update("jax_platforms", "cpu")
     return _dispatch(args)
+
+
+def _wants_tpu(args) -> bool:
+    """Subcommand+flags combinations whose kernels target the TPU."""
+    return args.cmd == "tracker" and (
+        getattr(args, "field_dtype", "float64") == "float32"
+        or getattr(args, "de_impl", "jax") == "pallas"
+    )
 
 
 def _load_bus(busdir):
@@ -186,7 +204,8 @@ def _dispatch(args):
         cfg = TrackerConfig(seed=args.seed, domain=domain, alpha=args.alpha,
                             bins_start=args.bins_start, bins_max=args.bins_max,
                             sigma_bins=args.sigma_bins, t_fixed=args.t_fixed,
-                            parity=args.parity)
+                            parity=args.parity, field_dtype=args.field_dtype,
+                            de_impl=args.de_impl)
         rows, meta = run_tracker(cfg, cache_dir=args.cache_dir, timer=_timer(args))
         csv_path, json_path = write_outputs(rows, meta, args.out)
         print(f"tracker: {len(rows)} stages -> {csv_path}")

@@ -32,6 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cmtci.utils.device import analysis_cpu
+
+
+def _null_ctx():
+    import contextlib
+
+    return contextlib.nullcontext()
+
 
 def complex_grid(domain, nx: int, ny: int, dtype=jnp.float64):
     """(cr, ci) meshgrid matching np.meshgrid(xs, ys) indexing='xy'.
@@ -232,11 +240,12 @@ def green_potential_compacted(points, max_iter: int = 20000, escape_r: float = 2
         m = len(idx)
         bucket = 1 << max(0, int(np.ceil(np.log2(max(m, 64)))))
         pad = bucket - m
-        out = run_stage(
-            jnp.asarray(np.pad(zr_h, (0, pad))), jnp.asarray(np.pad(zi_h, (0, pad))),
-            jnp.asarray(np.pad(cr_h, (0, pad))), jnp.asarray(np.pad(ci_h, (0, pad))),
-            jnp.int32(k0), iters, r2, max_iter,
-        )
+        with analysis_cpu() if stage_executor is None else _null_ctx():
+            out = run_stage(
+                jnp.asarray(np.pad(zr_h, (0, pad))), jnp.asarray(np.pad(zi_h, (0, pad))),
+                jnp.asarray(np.pad(cr_h, (0, pad))), jnp.asarray(np.pad(ci_h, (0, pad))),
+                jnp.int32(k0), iters, r2, max_iter,
+            )
         zr_f, zi_f = np.asarray(out[0])[:m], np.asarray(out[1])[:m]
         esc = np.asarray(out[2])[:m]
         if esc.any():
@@ -469,8 +478,13 @@ def sample_boundary_quantile(
         esc, d = sharded_de_tci_field(domain, grid_n, mesh, max_iter=max_iter,
                                       escape_r=escape_r, eps=eps, dtype=dtype)
     else:
-        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
-        esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
+        # f64 escape loops stay on the host CPU when the default platform is
+        # a TPU (emulated f64; f64 while_loop compiles wedge the relay) —
+        # f32 throughput runs go through impl="pallas"
+        dev = analysis_cpu() if dtype == jnp.float64 else _null_ctx()
+        with dev:
+            cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+            esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
     esc = np.asarray(esc)
     d = np.asarray(d)
     if not esc.any():
@@ -493,8 +507,9 @@ def boundary_points_threshold(
     dtype=jnp.float64,
 ):
     """Threshold boundary proxy (variograms_construct_mandelbrot.py:90-104)."""
-    cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
-    esc, dist, _, _ = de_field_std(cr, ci, max_iter=max_iter, escape_r=escape_r)
+    with analysis_cpu() if dtype == jnp.float64 else _null_ctx():
+        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+        esc, dist, _, _ = de_field_std(cr, ci, max_iter=max_iter, escape_r=escape_r)
     esc = np.asarray(esc)
     dist = np.asarray(dist)
     c = np.asarray(cr) + 1j * np.asarray(ci)

@@ -98,10 +98,18 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
 
         match = sharded_argmax_match(jnp.asarray(ax), jnp.asarray(by), eps, mesh)
     else:
-        mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
-        match = np.asarray(
-            _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
-        )
+        from cmtci.utils.device import analysis_cpu
+
+        import contextlib
+
+        dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
+        with dev:
+            # f64 matcher stays on the host CPU under a TPU default platform
+            # (emulated f64); the f32 path (dtype=float32) runs on-device
+            mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
+            match = np.asarray(
+                _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
+            )
     return y[match], x
 
 
