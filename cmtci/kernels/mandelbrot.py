@@ -463,14 +463,24 @@ def sample_boundary_quantile(
         # f32 TPU head with the same non-latched-dz overflow semantics; the
         # escaped & d<=q25 selection is statistically equivalent to the f64
         # path (f32 dz overflow reclassifies a few late escapers into d==0).
-        # Coordinates come from host numpy: no f64 device work on the TPU.
-        from cmtci.kernels.mandelbrot_pallas import tci_de_field_pallas
+        # The quantile band is selected ON DEVICE and only the bool mask
+        # crosses the host link; coordinates come from host numpy (no f64
+        # device work on the TPU).
+        from cmtci.kernels.mandelbrot_pallas import tci_boundary_selection
 
         xs = np.linspace(domain[0], domain[1], grid_n)
         ys = np.linspace(domain[2], domain[3], grid_n)
         cr, ci = np.meshgrid(xs, ys)
-        esc, d = tci_de_field_pallas(domain, grid_n, max_iter=max_iter,
-                                     escape_r=escape_r)
+        sel, cnt = tci_boundary_selection(domain, grid_n, max_iter=max_iter,
+                                          escape_r=escape_r)
+        if cnt == 0:
+            raise RuntimeError("No escape points")
+        c = cr + 1j * ci
+        pts = c[sel].ravel()
+        if pts.size > n_samples:
+            r = rng if rng is not None else np.random
+            pts = r.choice(pts, n_samples, replace=False)
+        return pts
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_de_tci_field
 

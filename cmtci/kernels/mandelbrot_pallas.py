@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -440,3 +441,54 @@ def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
                      interpret)
     out = out[:grid_n, :grid_n]
     return out >= 0.0, jnp.maximum(out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "max_iter", "escape_r",
+                                              "tile", "inner", "interpret"))
+def _tci_selection_padded(params, grid_n, nx, ny, max_iter, escape_r, tile,
+                          inner, interpret):
+    """Device-side boundary-band selection on the PADDED bucket grid.
+
+    esc & (d <= q25(d[esc & in-grid])) with grid_n a traced scalar, so the
+    tracker's growing grids share ONE compiled executable (the padded bucket
+    shape is constant); only a bool mask and two scalars cross the host
+    link. Quantile = numpy's linear interpolation on sorted masked values.
+    """
+    out = _field(params, nx, ny, max_iter, "tci", escape_r, tile, inner, interpret)
+    esc = out >= 0.0
+    d = jnp.maximum(out, 0.0)
+    valid = (jnp.arange(ny)[:, None] < grid_n) & (jnp.arange(nx)[None, :] < grid_n)
+    escv = esc & valid
+    df = d.reshape(-1)
+    v = jnp.sort(jnp.where(escv.reshape(-1), df, jnp.inf))
+    cnt = jnp.sum(escv)
+    pos = 0.25 * (cnt - 1).astype(df.dtype)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, None)
+    hi = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, None)
+    frac = pos - lo.astype(df.dtype)
+    q = v[lo] * (1.0 - frac) + v[hi] * frac
+    return escv & (d <= q), cnt, q
+
+
+def tci_boundary_selection(domain, grid_n: int, max_iter: int = 250,
+                           escape_r: float = 250.0, tile: tuple = DEFAULT_TILE,
+                           inner: int = DEFAULT_INNER):
+    """Host wrapper: (sel bool (grid_n, grid_n), n_escaped) for the TCI
+    boundary sampler, computed fully on device."""
+    th, tw = tile
+    ny = ((grid_n + th - 1) // th) * th
+    nx = ((grid_n + tw - 1) // tw) * tw
+    ny = max(th, 1 << (ny - 1).bit_length())
+    nx = max(tw, 1 << (nx - 1).bit_length())
+    ny = ((ny + th - 1) // th) * th
+    nx = ((nx + tw - 1) // tw) * tw
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (grid_n - 1)
+    dy = (ymax - ymin) / (grid_n - 1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    with jax.enable_x64(False):
+        params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
+        sel, cnt, _ = _tci_selection_padded(params, jnp.int32(grid_n), nx, ny,
+                                            max_iter, escape_r, (th, tw), inner,
+                                            interpret)
+    return np.asarray(sel)[:grid_n, :grid_n], int(cnt)
