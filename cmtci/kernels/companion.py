@@ -205,11 +205,17 @@ def _newton_ratio_closed(family: str, deg, z):
     Inside: with N(z) = z^(n+1)*P(1/z) + a = z^(n-dP)*(z^dP*P(1/z)... )
       evaluated as N = z^(n+1-dP) * Prev(z) + a  (Prev = reversed P) and
       p = N/(z-1):  w = N*(z-1) / (N'*(z-1) - N).
-    Same two-branch structure and switch radius as the generic Horner.
+    Two-branch structure like the generic Horner, but the switch radius is
+    DEGREE-AWARE: the inside branch forms products ~ |z|^(2n)·n², so
+    r = min(1.25, 10^(140/n)) keeps them inside f64 range (without it,
+    deg >~ 1550 silently overflowed to NaN lanes near |z|=1.25 — inf/inf in
+    the Newton ratio — which never converge). Outside-branch u^n then
+    underflows to the correct 0 for |u| < 1/r.
     """
     coeffs, a_const = _CLOSED_FAMILIES[family]
     degf = _re_pair(deg[:, None].astype(z[0].dtype))
-    outside = cplx.abs2(z) > _R_SWITCH2
+    r_sw = jnp.minimum(1.25, 10.0 ** (140.0 / jnp.maximum(degf[0], 1.0)))
+    outside = cplx.abs2(z) > r_sw * r_sw
 
     # --- outside branch (u = 1/z)
     u = cplx.where(outside, cplx.reciprocal(z), cplx.full_like(z, 0.5))
@@ -325,11 +331,11 @@ def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 
     tol2 = tol * tol
 
     def cond(state):
-        _, _, it, done = state
+        _, _, _, it, done = state
         return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
     def body(state):
-        zr, zi, it, _ = state
+        zr, zi, frozen, it, _ = state
         z = (zr, zi)
         if family in _CLOSED_FAMILIES:
             w = _newton_ratio_closed(family, deg, z)
@@ -344,14 +350,19 @@ def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 
         denom = cplx.sub(cplx.full_like(z, 1.0), cplx.mul(w, s))
         corr = cplx.div(w, denom)
         moved2 = cplx.abs2(corr)
-        conv = moved2 <= tol2 * jnp.maximum(cplx.abs2(z), 1e-30)
-        corr = cplx.where(valid & ~conv, corr, cplx.full_like(z, 0.0))
+        # latch convergence permanently: a lane that once reached the tol is
+        # frozen (a no-op for well-behaved lanes, whose correction was zeroed
+        # anyway; prevents ill-conditioned lanes near the closed-form noise
+        # floor from re-tripping the check and pinning the loop to max_iters)
+        frozen = frozen | (moved2 <= tol2 * jnp.maximum(cplx.abs2(z), 1e-30))
+        corr = cplx.where(valid & ~frozen, corr, cplx.full_like(z, 0.0))
         z_new = cplx.sub(z, corr)
-        done = jnp.all(jnp.where(valid, conv, True))
-        return z_new[0], z_new[1], it + 1, done
+        done = jnp.all(jnp.where(valid, frozen, True))
+        return z_new[0], z_new[1], frozen, it + 1, done
 
-    zr, zi, iters, done = jax.lax.while_loop(
-        cond, body, (z[0], z[1], jnp.int32(0), jnp.bool_(False))
+    zr, zi, _, iters, done = jax.lax.while_loop(
+        cond, body,
+        (z[0], z[1], jnp.zeros_like(valid), jnp.int32(0), jnp.bool_(False)),
     )
     if return_info:
         return zr, zi, valid, iters, done
