@@ -468,19 +468,17 @@ def sample_boundary_quantile(
         # device work on the TPU).
         from cmtci.kernels.mandelbrot_pallas import tci_boundary_selection
 
-        xs = np.linspace(domain[0], domain[1], grid_n)
-        ys = np.linspace(domain[2], domain[3], grid_n)
-        cr, ci = np.meshgrid(xs, ys)
         sel, cnt = tci_boundary_selection(domain, grid_n, max_iter=max_iter,
                                           escape_r=escape_r)
         if cnt == 0:
             raise RuntimeError("No escape points")
-        c = cr + 1j * ci
-        pts = c[sel].ravel()
-        if pts.size > n_samples:
-            r = rng if rng is not None else np.random
-            pts = r.choice(pts, n_samples, replace=False)
-        return pts
+        # gather only the selected points (row-major like c[sel]); no full
+        # grid_n^2 meshgrid materialization on the hot per-stage path
+        xs = np.linspace(domain[0], domain[1], grid_n)
+        ys = np.linspace(domain[2], domain[3], grid_n)
+        iy, ix = np.nonzero(sel)
+        pts = xs[ix] + 1j * ys[iy]
+        return _subsample(pts, n_samples, rng)
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_de_tci_field
 
@@ -502,6 +500,12 @@ def sample_boundary_quantile(
     q = np.quantile(d[esc], 0.25)
     c = np.asarray(cr) + 1j * np.asarray(ci)
     pts = c[esc & (d <= q)].ravel()
+    return _subsample(pts, n_samples, rng)
+
+
+def _subsample(pts, n_samples: int, rng):
+    """Reference subsample (tci_..._v002_fixed.py:56-59): numpy RNG choice
+    without replacement only when the pool exceeds the target."""
     if pts.size > n_samples:
         r = rng if rng is not None else np.random
         pts = r.choice(pts, n_samples, replace=False)

@@ -408,6 +408,19 @@ def mandelbrot_field_pallas(
                       interpret, periodicity)
 
 
+def _bucket_shape(grid_n: int, tile: tuple):
+    """Padded (ny, nx): tile multiples rounded up to the next power of two,
+    so the tracker's growing grids share one compiled executable."""
+    th, tw = tile
+    ny = ((grid_n + th - 1) // th) * th
+    nx = ((grid_n + tw - 1) // tw) * tw
+    ny = max(th, 1 << (ny - 1).bit_length())
+    nx = max(tw, 1 << (nx - 1).bit_length())
+    ny = ((ny + th - 1) // th) * th  # re-align if tile isn't a power of 2
+    nx = ((nx + tw - 1) // tw) * tw
+    return ny, nx
+
+
 def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
                         escape_r: float = 250.0, tile: tuple = DEFAULT_TILE,
                         inner: int = DEFAULT_INNER, bucket: bool = True):
@@ -424,13 +437,11 @@ def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
     nearly free (far-field tiles exit after one chunk).
     """
     th, tw = tile
-    ny = ((grid_n + th - 1) // th) * th
-    nx = ((grid_n + tw - 1) // tw) * tw
     if bucket:
-        ny = max(th, 1 << (ny - 1).bit_length())
-        nx = max(tw, 1 << (nx - 1).bit_length())
-        ny = ((ny + th - 1) // th) * th  # re-align if tile isn't a power of 2
-        nx = ((nx + tw - 1) // tw) * tw
+        ny, nx = _bucket_shape(grid_n, tile)
+    else:
+        ny = ((grid_n + th - 1) // th) * th
+        nx = ((grid_n + tw - 1) // tw) * tw
     xmin, xmax, ymin, ymax = domain
     dx = (xmax - xmin) / (grid_n - 1)
     dy = (ymax - ymin) / (grid_n - 1)
@@ -474,14 +485,12 @@ def tci_boundary_selection(domain, grid_n: int, max_iter: int = 250,
                            escape_r: float = 250.0, tile: tuple = DEFAULT_TILE,
                            inner: int = DEFAULT_INNER):
     """Host wrapper: (sel bool (grid_n, grid_n), n_escaped) for the TCI
-    boundary sampler, computed fully on device."""
+    boundary sampler, computed fully on device.
+
+    Reference semantics: escaped & d <= 25%-quantile of d over escaped
+    pixels (tci_construct_mandelbrot_v002_fixed.py:49-55)."""
     th, tw = tile
-    ny = ((grid_n + th - 1) // th) * th
-    nx = ((grid_n + tw - 1) // tw) * tw
-    ny = max(th, 1 << (ny - 1).bit_length())
-    nx = max(tw, 1 << (nx - 1).bit_length())
-    ny = ((ny + th - 1) // th) * th
-    nx = ((nx + tw - 1) // tw) * tw
+    ny, nx = _bucket_shape(grid_n, tile)
     xmin, xmax, ymin, ymax = domain
     dx = (xmax - xmin) / (grid_n - 1)
     dy = (ymax - ymin) / (grid_n - 1)
