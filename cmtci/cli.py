@@ -86,6 +86,10 @@ def main(argv=None):
                    help="float32 = the TPU fast path (DE grid + matcher on device)")
     p.add_argument("--de-impl", choices=["jax", "pallas"], default="jax",
                    help="pallas = fused early-exit TPU DE head")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard the stage over an N-device mesh (matcher rows, "
+                        "DE grid rows, histogram psum; bitwise-equal to "
+                        "single-device). f64 meshes must be CPU devices.")
     _add_common(p)
     _add_cache_trace(p)
 
@@ -206,7 +210,19 @@ def _dispatch(args):
                             sigma_bins=args.sigma_bins, t_fixed=args.t_fixed,
                             parity=args.parity, field_dtype=args.field_dtype,
                             de_impl=args.de_impl)
-        rows, meta = run_tracker(cfg, cache_dir=args.cache_dir, timer=_timer(args))
+        mesh = None
+        if args.mesh_devices:
+            import jax
+
+            from cmtci.parallel.sharded import device_mesh
+
+            devs = jax.devices()
+            if len(devs) < args.mesh_devices or (cfg.field_dtype != "float32"
+                                                 and devs[0].platform != "cpu"):
+                devs = jax.devices("cpu")
+            mesh = device_mesh(args.mesh_devices, devices=devs)
+        rows, meta = run_tracker(cfg, mesh=mesh, cache_dir=args.cache_dir,
+                                 timer=_timer(args))
         csv_path, json_path = write_outputs(rows, meta, args.out)
         print(f"tracker: {len(rows)} stages -> {csv_path}")
     elif cmd == "tci":
