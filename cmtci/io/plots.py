@@ -288,6 +288,38 @@ def plot_local_correlation_panels(u_c, u_m, corr_map, domain, path):
     return path
 
 
+def plot_match_distance_hist(distances, path):
+    """Matching-distance histogram (match_analysis_steps1_2.py:28-32)."""
+    fig = plt.figure()
+    plt.hist(np.asarray(distances), bins=50)
+    plt.xlabel("Distance between matched points")
+    plt.ylabel("Count")
+    plt.title("Matching Distance Distribution")
+    plt.tight_layout()
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
+def plot_curvature_hotspots(c_pts, m_pts, curv_c, curv_m, path):
+    """Side-by-side log1p-curvature scatters (spatial_stats_phase3b.py:17-42)."""
+    c, m = _xy(c_pts), _xy(m_pts)
+    fig = plt.figure(figsize=(12, 5))
+    for i, (p, k, title) in enumerate(
+            ((c, curv_c, "Construct curvature hotspots"),
+             (m, curv_m, "Mandelbrot boundary curvature hotspots")), 1):
+        ax = fig.add_subplot(1, 2, i)
+        sc = ax.scatter(p[:, 0], p[:, 1], c=np.log1p(np.asarray(k)), cmap="plasma", s=6)
+        fig.colorbar(sc, ax=ax, label="log(1+curvature)")
+        ax.set_title(title)
+        ax.set_aspect("equal")
+    fig.suptitle("Curvature overlay: Construct vs Mandelbrot")
+    fig.tight_layout()
+    fig.savefig(ensure_dir(path), dpi=200)
+    plt.close(fig)
+    return path
+
+
 def plot_variograms(r, curves: dict, path, title="Semivariograms"):
     fig = plt.figure(figsize=(8, 5.5))
     for label, g in curves.items():

@@ -195,6 +195,11 @@ def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
         writers.write_config_meta(f"{out_prefix}_meta.txt", {
             "r_max": r_max, "dr": dr, "n_construct": len(np.asarray(c_aligned)),
             "n_mandel": len(np.asarray(m_pts))})
+        from cmtci.io import plots
+
+        plots.plot_curvature_hotspots(
+            c_aligned, m_pts, out["curv_construct"], out["curv_mandel"],
+            f"{out_prefix}_curvature_hotspots.png")
     return out
 
 
@@ -219,4 +224,13 @@ def run_report(c, m, c_aligned, matches, out_prefix=None):
         writers.write_dict_rows_csv(f"{out_prefix}_phase5_summary.csv", [row])
         writers.write_config_meta(f"{out_prefix}_meta.txt", {
             "n_construct": len(c), "n_mandel": len(m), "n_aligned": len(c_aligned)})
+        from cmtci.io import plots
+
+        plots.plot_alignment(c, m, c_aligned, f"{out_prefix}_matching_visualization.png",
+                             title="Initial matching visualization")
+        if matches is not None and len(matches):
+            ln = min(len(matches), len(c_aligned), len(m))
+            d = np.linalg.norm(np.asarray(c_aligned)[:ln]
+                               - np.asarray(m)[np.asarray(matches)[:ln]], axis=1)
+            plots.plot_match_distance_hist(d, f"{out_prefix}_match_distance_hist.png")
     return row

@@ -150,3 +150,18 @@ def test_local_correlation_panels(tmp_path):
     p = plots.plot_local_correlation_panels(u_c, u_m, corr, (-2, 1, -1.5, 1.5),
                                             str(tmp_path / "p.png"))
     _check(p, "local_correlation_panels.png")
+
+
+def test_match_distance_hist(tmp_path):
+    rng = np.random.default_rng(3)
+    p = plots.plot_match_distance_hist(np.abs(rng.normal(0.3, 0.1, 500)),
+                                       str(tmp_path / "mh.png"))
+    _check(p, "match_distance_hist.png")
+
+
+def test_curvature_hotspots(tmp_path):
+    c, m = _clouds()
+    kc = 1 + 5 * np.abs(np.sin(np.linspace(0, 8 * np.pi, len(c))))
+    km = 1 + 3 * np.abs(np.cos(np.linspace(0, 6 * np.pi, len(m))))
+    p = plots.plot_curvature_hotspots(c, m, kc, km, str(tmp_path / "ch.png"))
+    _check(p, "curvature_hotspots.png")
