@@ -146,3 +146,27 @@ def test_sharded_green_cloud_exact():
     np.testing.assert_array_equal(g2, g1)
     np.testing.assert_array_equal(k2, k1)
     np.testing.assert_array_equal(p2, p1)
+
+
+def test_tracker_two_stage_mesh_bitwise():
+    """Two growing stages under the mesh: the shared RNG stream must stay
+    bitwise-continuous across stages exactly as single-device."""
+    import dataclasses
+
+    from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+    mesh = sharded.device_mesh()
+    cfg = TrackerConfig(bins_start=16, bins_max=32, construct_max_start=60,
+                        mandelbrot_grid_start=100, mandelbrot_samples_start=300,
+                        max_iter=60, sigma_bins=2.0, t_fixed=5,
+                        construct_max_growth=1.3, mandelbrot_grid_growth=1.1,
+                        mandelbrot_samples_growth=1.2)
+    rows_1, _ = run_tracker(cfg)
+    rows_m, _ = run_tracker(cfg, mesh=mesh)
+    assert len(rows_1) == len(rows_m) == 2
+    for r1, rm in zip(rows_1, rows_m):
+        d1 = dataclasses.asdict(r1)
+        dm = dataclasses.asdict(rm)
+        for k, v in d1.items():
+            if k != "runtime_sec":
+                assert dm[k] == v, (k, dm[k], v)
