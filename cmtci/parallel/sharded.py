@@ -507,7 +507,10 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
 
     Returns a dict of scalar diagnostics. Host-RNG bitwise-parity runs go
     through run_tracker(mesh=...) instead; this is the fixed-shape training
-    step the driver dry-runs over N virtual devices.
+    step the driver dry-runs over N virtual devices. Note the eigensweep
+    inside runs in f64 — fine on CPU meshes (the dry run), but a real
+    TPU-mesh deployment should keep it on host like run_tracker's split
+    (the dtype=float32 guard below covers the escape/matcher path).
     """
     from cmtci.transport.giflow import _kl_jit
 
