@@ -62,7 +62,10 @@ def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None):
 
         dists, idxs = sharded_knn(jnp.asarray(xy), int(k), mesh)
     else:
-        dists, idxs = _knn(jnp.asarray(xy), int(k))
+        from cmtci.utils.device import analysis_cpu
+
+        with analysis_cpu():  # f64 kNN stays off emulated-f64 TPUs
+            dists, idxs = _knn(jnp.asarray(xy), int(k))
     dists = np.asarray(dists)
     idxs = np.asarray(idxs)
     sigma = float(np.median(dists.ravel()) * eps_scale)

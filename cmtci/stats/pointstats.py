@@ -56,8 +56,11 @@ def _shell_counts(points, r_max: float, dr: float):
     area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
     rho = n / area
     r_vals = np.arange(0, r_max, dr)
-    edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]))
-    counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():  # f64 all-pairs loops stay off emulated-f64 TPUs
+        edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]))
+        counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
     return r_vals, counts, n, rho
 
 
@@ -101,9 +104,12 @@ def _directed_hausdorff(a, b, chunk: int = 1024):
 
 def hausdorff(a, b) -> float:
     """Symmetric Hausdorff distance (exact; equals scipy's directed pair)."""
-    a = jnp.asarray(_xy(a))
-    b = jnp.asarray(_xy(b))
-    return float(jnp.maximum(_directed_hausdorff(a, b), _directed_hausdorff(b, a)))
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        a = jnp.asarray(_xy(a))
+        b = jnp.asarray(_xy(b))
+        return float(jnp.maximum(_directed_hausdorff(a, b), _directed_hausdorff(b, a)))
 
 
 def fractal_dimension(points, scales=None):

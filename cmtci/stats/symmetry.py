@@ -100,15 +100,18 @@ def _reflect_batch(p, angles, origin):
 
 def _score_angles(points, angles, tol: float):
     """Preserved fraction for each reflection angle (vmapped NN queries)."""
-    p = jnp.asarray(_xy(points))
-    origin = p.mean(axis=0)
-    refl = _reflect_batch(p, jnp.asarray(angles), origin)
+    from cmtci.utils.device import analysis_cpu
 
-    def frac(q):
-        d = nearest_distances(q, p)
-        return jnp.mean((d <= tol).astype(p.dtype))
+    with analysis_cpu():  # f64 NN scans stay off emulated-f64 TPUs
+        p = jnp.asarray(_xy(points))
+        origin = p.mean(axis=0)
+        refl = _reflect_batch(p, jnp.asarray(angles), origin)
 
-    return np.asarray(jax.lax.map(frac, refl))
+        def frac(q):
+            d = nearest_distances(q, p)
+            return jnp.mean((d <= tol).astype(p.dtype))
+
+        return np.asarray(jax.lax.map(frac, refl))
 
 
 def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 361,
