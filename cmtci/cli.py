@@ -220,6 +220,12 @@ def _dispatch(args):
             if len(devs) < args.mesh_devices or (cfg.field_dtype != "float32"
                                                  and devs[0].platform != "cpu"):
                 devs = jax.devices("cpu")
+            if len(devs) < args.mesh_devices:
+                raise SystemExit(
+                    f"--mesh-devices {args.mesh_devices} needs {args.mesh_devices} "
+                    f"devices but only {len(devs)} are available on "
+                    f"'{devs[0].platform}'. For virtual CPU devices set "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N.")
             mesh = device_mesh(args.mesh_devices, devices=devs)
         rows, meta = run_tracker(cfg, mesh=mesh, cache_dir=args.cache_dir,
                                  timer=_timer(args))

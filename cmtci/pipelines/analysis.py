@@ -206,9 +206,11 @@ def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
 def run_report(c, m, c_aligned, matches, out_prefix=None):
     """phase5 integrative summary (phase5_report.py:190-217 schema)."""
     row = {"n_construct": len(c), "n_mandel": len(m), "n_aligned": len(c_aligned)}
+    match_d = None
     if matches is not None and len(matches):
         ln = min(len(matches), len(c_aligned), len(m))
-        d = np.linalg.norm(np.asarray(c_aligned)[:ln] - np.asarray(m)[np.asarray(matches)[:ln]], axis=1)
+        match_d = np.linalg.norm(np.asarray(c_aligned)[:ln] - np.asarray(m)[np.asarray(matches)[:ln]], axis=1)
+        d = match_d
         row.update(match_min=float(d.min()), match_median=float(np.median(d)),
                    match_mean=float(d.mean()), match_max=float(d.max()),
                    match_std=float(d.std()))
@@ -228,9 +230,7 @@ def run_report(c, m, c_aligned, matches, out_prefix=None):
 
         plots.plot_alignment(c, m, c_aligned, f"{out_prefix}_matching_visualization.png",
                              title="Initial matching visualization")
-        if matches is not None and len(matches):
-            ln = min(len(matches), len(c_aligned), len(m))
-            d = np.linalg.norm(np.asarray(c_aligned)[:ln]
-                               - np.asarray(m)[np.asarray(matches)[:ln]], axis=1)
-            plots.plot_match_distance_hist(d, f"{out_prefix}_match_distance_hist.png")
+        if match_d is not None:
+            plots.plot_match_distance_hist(match_d,
+                                           f"{out_prefix}_match_distance_hist.png")
     return row

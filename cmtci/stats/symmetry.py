@@ -80,9 +80,12 @@ def nearest_distances(a, b, chunk: int = 1024):
 
 def preservation_fraction(points, op: str, tol: float = 0.05, angle: float | None = None):
     """Fraction of points whose op-image is within tol of some point."""
+    from cmtci.utils.device import analysis_cpu
+
     p = _xy(points)
     q = apply_symmetry_op(p, op, angle)
-    d = np.asarray(nearest_distances(jnp.asarray(q), jnp.asarray(p)))
+    with analysis_cpu():  # f64 NN scan stays off emulated-f64 TPUs
+        d = np.asarray(nearest_distances(jnp.asarray(q), jnp.asarray(p)))
     return float((d <= tol).mean()), d
 
 
