@@ -108,6 +108,8 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--detrend", action="store_true")
     p.add_argument("--fit-model", action="store_true")
+    p.add_argument("--vario-dtype", choices=["float64", "float32"], default="float64",
+                   help="float32 = all-pairs binning on the TPU (9x; ~1e-3 rel)")
     _add_common(p)
 
     for name in ("spectral", "multifractal", "embeddings", "symmetry",
@@ -147,10 +149,11 @@ def main(argv=None):
 
 def _wants_tpu(args) -> bool:
     """Subcommand+flags combinations whose kernels target the TPU."""
-    return args.cmd == "tracker" and (
-        getattr(args, "field_dtype", "float64") == "float32"
-        or getattr(args, "de_impl", "jax") == "pallas"
-    )
+    if args.cmd == "tracker":
+        return (args.field_dtype == "float32" or args.de_impl == "pallas")
+    if args.cmd == "variograms":
+        return args.vario_dtype == "float32"
+    return False
 
 
 def _load_bus(busdir):
@@ -247,7 +250,8 @@ def _dispatch(args):
         from cmtci.pipelines.variograms import VariogramConfig, run_variograms
 
         cfg = VariogramConfig(grid_nx=args.grid, grid_ny=args.grid,
-                              detrend=args.detrend, fit_model=args.fit_model)
+                              detrend=args.detrend, fit_model=args.fit_model,
+                              vario_dtype=args.vario_dtype)
         out = run_variograms(cfg, f"{args.out}_variograms.csv")
         print(f"variograms: {out['n_construct']} C pts, {out['n_boundary']} M pts")
     elif cmd in ("spectral", "multifractal", "embeddings", "symmetry",

@@ -63,23 +63,34 @@ def _binned_sq_diff(c1, v1, c2, v2, edges, nbins: int, chunk: int, upper: bool):
 
 
 def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
-                       chunk: int = 1024):
+                       chunk: int = 1024, dtype=None):
     """Isotropic empirical semivariogram of a grid field.
 
     Matches variograms_construct_mandelbrot.py:178-252 up to the documented
     removal of the per-bin pair cap. Returns (r_centers, gamma, counts).
+
+    dtype=jnp.float32 runs the all-pairs binning on the default device (the
+    TPU fast path); per-bin f32 accumulation error is ~1e-4 relative, far
+    below the location-subsample noise. The f64 default stays on the host
+    CPU under TPU platforms (emulated f64).
     """
+    from cmtci.utils.device import analysis_cpu
+
     field = np.asarray(field)
     coords = np.column_stack([np.asarray(gx).ravel(), np.asarray(gy).ravel()])
     vals = field.ravel()
     r = rng if rng is not None else np.random
     m = min(m_target, coords.shape[0])
     idx = r.choice(coords.shape[0], size=m, replace=False)
-    c = jnp.asarray(coords[idx])
-    v = jnp.asarray(vals[idx])
-    edges = jnp.asarray(np.asarray(r_bins, dtype=float))
-    nbins = len(r_bins) - 1
-    sums, counts = _binned_sq_diff(c, v, c, v, edges, nbins, chunk, upper=True)
+    import contextlib
+
+    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
+    with dev:
+        c = jnp.asarray(coords[idx], dtype)
+        v = jnp.asarray(vals[idx], dtype)
+        edges = jnp.asarray(np.asarray(r_bins, dtype=float), dtype)
+        nbins = len(r_bins) - 1
+        sums, counts = _binned_sq_diff(c, v, c, v, edges, nbins, chunk, upper=True)
     sums, counts = np.asarray(sums), np.asarray(counts)
     gamma = np.zeros(nbins)
     nz = counts > 0
@@ -89,8 +100,10 @@ def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
 
 
 def cross_semivariogram(field1, field2, gx, gy, r_bins, m_target: int = 15000,
-                        rng=None, chunk: int = 1024):
+                        rng=None, chunk: int = 1024, dtype=None):
     """Cross-semivariogram with independent location subsamples (:254-315)."""
+    from cmtci.utils.device import analysis_cpu
+
     coords = np.column_stack([np.asarray(gx).ravel(), np.asarray(gy).ravel()])
     v1 = np.asarray(field1).ravel()
     v2 = np.asarray(field2).ravel()
@@ -98,13 +111,17 @@ def cross_semivariogram(field1, field2, gx, gy, r_bins, m_target: int = 15000,
     m = min(m_target, coords.shape[0])
     i1 = r.choice(coords.shape[0], size=m, replace=False)
     i2 = r.choice(coords.shape[0], size=m, replace=False)
-    edges = jnp.asarray(np.asarray(r_bins, dtype=float))
-    nbins = len(r_bins) - 1
-    sums, counts = _binned_sq_diff(
-        jnp.asarray(coords[i1]), jnp.asarray(v1[i1]),
-        jnp.asarray(coords[i2]), jnp.asarray(v2[i2]),
-        edges, nbins, chunk, upper=False,
-    )
+    import contextlib
+
+    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
+    with dev:
+        edges = jnp.asarray(np.asarray(r_bins, dtype=float), dtype)
+        nbins = len(r_bins) - 1
+        sums, counts = _binned_sq_diff(
+            jnp.asarray(coords[i1], dtype), jnp.asarray(v1[i1], dtype),
+            jnp.asarray(coords[i2], dtype), jnp.asarray(v2[i2], dtype),
+            edges, nbins, chunk, upper=False,
+        )
     sums, counts = np.asarray(sums), np.asarray(counts)
     gamma = np.zeros(nbins)
     nz = counts > 0
