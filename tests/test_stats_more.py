@@ -228,3 +228,24 @@ class TestFields:
     def test_pearson_global(self, rng):
         a = rng.normal(size=(20, 20))
         assert fields.pearson_global(a, a) == pytest.approx(1.0)
+
+
+def test_semivariogram_f32_close_to_f64(rng):
+    """dtype=float32 (the TPU fast path) tracks f64 within the documented
+    ~1e-3 relative budget on identical location subsamples."""
+    import jax.numpy as jnp
+
+    from cmtci.stats import variogram as vg
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 48), np.linspace(0, 1, 48))
+    f = np.log1p(gx**2 + gy**2) + 0.05 * rng.normal(size=(48, 48))
+    r_bins = np.linspace(0, 0.9, 16)
+    _, g64, c64 = vg.grid_semivariogram(f, gx, gy, r_bins, m_target=800,
+                                        rng=np.random.RandomState(0))
+    _, g32, c32 = vg.grid_semivariogram(f, gx, gy, r_bins, m_target=800,
+                                        rng=np.random.RandomState(0),
+                                        dtype=jnp.float32)
+    nz = c64 > 0
+    rel = np.abs(g32[nz] - g64[nz]) / np.maximum(np.abs(g64[nz]), 1e-30)
+    assert rel.max() < 5e-3
+    assert np.abs(c32 - c64).max() <= max(5, 0.001 * c64.max())
