@@ -261,6 +261,76 @@ def _newton_ratio_closed(family: str, deg, z):
     return cplx.where(safe, w, cplx.full_like(z, 0.0))
 
 
+# Curve init is asymptotic in n; below this degree the unit-circle init is
+# both safer (sparser/padovan lost ~5 digits at n<=5) and just as fast.
+_CURVE_INIT_MIN_DEG = 16
+
+
+def _small_poly_on(coeffs, e):
+    """P(e) for a tiny ascending-coefficient real polynomial, pair input."""
+    p = cplx.full_like(e, 0.0)
+    for c in reversed(coeffs):
+        p = cplx.add(cplx.mul(p, e), _re_pair(c + jnp.zeros_like(e[0])))
+    return p
+
+
+def _curve_init(family: str, deg, nl: int, dtype):
+    """Structured Aberth init for the closed-form families (2-3 iterations
+    at stage-4 shapes vs 15-18 from the unit circle — the iteration count,
+    not the per-iteration cost, was the eigensweep's dominant remaining
+    factor; lucas_equipotential_test_v3.py:93-118 is the behavior served).
+
+    Root structure of M(u) = P(u) + a·u^{n+1} (q = M/(1-u), roots λ = 1/u):
+      * ndom dominant eigenvalues λ ≈ 1/u_P at the P-roots inside the disk
+        (λ≈2 for Lucas) — a·u^{n+1} is exponentially negligible there;
+      * the phantom u=1 (the removed 1-u factor; P(1)+a = 0 by
+        construction for every all-ones-tail family);
+      * n-ndom roots exponentially close to the curve |u|^{n+1} = |P(u)|/a,
+        with phases at the slots  θ·(n+1-ndom) = 2πk + η(θ),  where
+        η = arg((-P(e^{iθ})/a)·e^{-i·ndom·θ}) is the winding-removed
+        residual phase (numerically verified wrap-free, |η| ≤ 1.11, for
+        all four reference families). k = 1..n-ndom skips the phantom.
+
+    One η evaluation at the uncorrected slot registers every lane to its
+    own root basin (without it, lanes misregister by up to half a slot and
+    ~40 stragglers shuffle for 25+ extra iterations). λ = (1/s)e^{-iθ} with
+    s = (|P|/a)^{1/(n+1)}; the last ndom valid lanes take the dominant
+    points. Rows with deg < _CURVE_INIT_MIN_DEG keep the circle init.
+    """
+    coeffs, a_const = _CLOSED_FAMILIES[family]
+    proots = np.roots(list(reversed(coeffs)))
+    dom = [1.0 / r for r in proots if abs(r) < 0.9]
+    ndom = len(dom)
+
+    lane = jnp.arange(nl)[None, :]
+    degf = jnp.maximum(deg, 1)[:, None].astype(dtype)
+    k = lane + 1.0
+    denom = jnp.maximum(degf + 1.0 - float(ndom), 1.0)
+    theta = 2.0 * jnp.pi * k / denom
+    e = (jnp.cos(theta), jnp.sin(theta))
+    mp = cplx.scale(_small_poly_on(coeffs, e), -1.0 / a_const)  # -P/a
+    # winding-removed residual R = (-P/a)·e^{-i·ndom·θ}
+    r = mp
+    for _ in range(ndom):
+        r = cplx.mul(r, (e[0], -e[1]))
+    eta = jnp.arctan2(r[1], r[0])
+    theta = (2.0 * jnp.pi * k + eta) / denom
+    e = (jnp.cos(theta), jnp.sin(theta))
+    mp = cplx.scale(_small_poly_on(coeffs, e), -1.0 / a_const)
+    s = jnp.sqrt(jnp.maximum(cplx.abs2(mp), 1e-300)) ** (1.0 / (degf + 1.0))
+    z = ((1.0 / s) * e[0], -(1.0 / s) * e[1])
+    # last ndom valid lanes -> the dominant points
+    for i, lam in enumerate(dom):
+        is_dom = lane == (deg[:, None] - 1 - i)
+        z = (jnp.where(is_dom, float(np.real(lam)), z[0]),
+             jnp.where(is_dom, float(np.imag(lam)), z[1]))
+    # small-degree rows: keep the circle init
+    theta_c = 2.0 * jnp.pi * (lane + 0.256) / degf + 0.577 / degf
+    small = (deg[:, None] < _CURVE_INIT_MIN_DEG) | jnp.zeros_like(z[0], bool)
+    return (jnp.where(small, jnp.cos(theta_c), z[0]),
+            jnp.where(small, jnp.sin(theta_c), z[1]))
+
+
 def _pairwise_repulsion(z, valid, chunk: int):
     """S_i = sum_{j != i, valid_j} 1/(z_i - z_j), blocked over j to bound memory."""
     nl = z[0].shape[1]
@@ -319,11 +389,15 @@ def aberth_roots(a, deg, max_iters: int = 200, tol: float = 1e-13, chunk: int = 
     lane = jnp.arange(nl)[None, :]
     valid = lane < deg[:, None]
 
-    # Init: distinct angles on a unit-ish circle, golden-ratio phase offset.
-    degf = jnp.maximum(deg, 1)[:, None].astype(a.dtype)
-    theta = 2.0 * jnp.pi * (lane + 0.256) / degf + 0.577 / degf
-    r0 = 1.0
-    z = (r0 * jnp.cos(theta), r0 * jnp.sin(theta))
+    if family in _CLOSED_FAMILIES:
+        # structured init on the known root curve (~2x fewer iterations)
+        z = _curve_init(family, deg, nl, a.dtype)
+    else:
+        # distinct angles on a unit-ish circle, golden-ratio phase offset
+        degf = jnp.maximum(deg, 1)[:, None].astype(a.dtype)
+        theta = 2.0 * jnp.pi * (lane + 0.256) / degf + 0.577 / degf
+        r0 = 1.0
+        z = (r0 * jnp.cos(theta), r0 * jnp.sin(theta))
     # Park invalid lanes far away so they never interact with valid ones.
     far = (1e9 * jnp.cos(lane + jnp.zeros((bsz, 1))), 1e9 * jnp.sin(lane + jnp.zeros((bsz, 1))))
     z = cplx.where(valid, z, far)
@@ -391,9 +465,65 @@ def eigvals_batched(ns, family: str = "lucas_all_ones", max_iters: int = 200):
     return aberth_roots(a, deg, max_iters=max_iters, family=fam)
 
 
-def inverse_cloud_padded(ns, family: str = "lucas_all_ones"):
-    """Padded inverse-eigenvalue cloud 1/λ on device. Returns (re, im, valid)."""
-    zr, zi, valid = eigvals_batched(ns, family)
+def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
+                     growth: float = 1.5, min_cap: int = 64):
+    """Degree-bucketed batched Aberth sweep (host-orchestrated).
+
+    Same contract as eigvals_batched — (re, im, valid) padded to max(ns),
+    rows in input order — but each polynomial is padded only to its
+    bucket's max degree, so the O(L²) repulsion cost tracks Σ n² instead
+    of B·n_max² (~2x at the tracker's stage-4 shapes, more for dense n
+    ranges like the equipotential sweep) and small-degree buckets exit
+    their while_loop independently. Rows are solved by the identical
+    aberth_roots kernel (zero-padding of coefficients is exact, see
+    _newton_ratio), so per-root values equal the unbucketed sweep's up to
+    the convergence tolerance. Not jit-traceable (host loop over buckets);
+    use eigvals_batched / parallel.sharded_eigensweep inside jit.
+    """
+    ns_list = [int(n) for n in ns]
+    ns_arr = np.asarray(ns_list)
+    lmax = int(ns_arr.max())
+    caps = []
+    c = min_cap
+    while c < lmax:
+        caps.append(c)
+        c = max(int(np.ceil(c * growth)), c + 1)
+    caps.append(lmax)
+
+    # park padding lanes far away (like aberth_roots' invalid lanes) so a
+    # downstream reciprocal stays finite
+    zr = np.full((len(ns_arr), lmax), 1e9)
+    zi = np.zeros((len(ns_arr), lmax))
+    valid = np.zeros((len(ns_arr), lmax), dtype=bool)
+    lo = 0
+    for cap in caps:
+        idx = np.where((ns_arr > lo) & (ns_arr <= cap))[0]
+        lo = cap
+        if idx.size == 0:
+            continue
+        sub = [ns_list[i] for i in idx]
+        a, deg = poly_coeff_batch(sub, family)
+        fam = family if _closed_form_ok(sub, family) else None
+        r_zr, r_zi, r_valid = aberth_roots(a, deg, max_iters=max_iters, family=fam)
+        w = r_zr.shape[1]
+        zr[idx, :w] = np.asarray(r_zr)
+        zi[idx, :w] = np.asarray(r_zi)
+        valid[idx, :w] = np.asarray(r_valid)
+    return jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(valid)
+
+
+def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
+                         bucketed: bool = True):
+    """Padded inverse-eigenvalue cloud 1/λ. Returns (re, im, valid).
+
+    bucketed=True (host paths) runs the degree-bucketed sweep; pass False
+    where a single traced kernel is required.
+    """
+    ns = [int(n) for n in ns]
+    if bucketed and len(set(ns)) > 1:
+        zr, zi, valid = eigvals_bucketed(ns, family)
+    else:
+        zr, zi, valid = eigvals_batched(ns, family)
     inv = cplx.reciprocal((zr, zi))
     return inv[0], inv[1], valid
 

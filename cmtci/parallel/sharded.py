@@ -139,8 +139,11 @@ def sharded_histogram(points_r, points_i, bins: int, domain, mesh: Mesh):
         check_vma=False,
     )
     def run(xr, xi):
-        h = histogram2d_edges(xr, xi, bins, jnp.asarray(xedges),
-                              jnp.asarray(yedges), domain[1], domain[3])
+        # edges in the points' dtype so an f32 step stays f32-only on device
+        # (f64 callers get the exact np.linspace f64 edges as before)
+        h = histogram2d_edges(xr, xi, bins, jnp.asarray(xedges, dtype=xr.dtype),
+                              jnp.asarray(yedges, dtype=xr.dtype),
+                              domain[1], domain[3])
         return jax.lax.psum(h, "data")
 
     return run(points_r, points_i)
@@ -287,6 +290,17 @@ def sharded_score_angles(points, angles, tol: float, mesh: Mesh):
     return np.asarray(run(ang, p))[:a]
 
 
+def _guard_green_accel(platform: str, dtype) -> None:
+    """Reject an f64 Green escape loop on a non-CPU mesh (ADVICE r2 medium:
+    f64 while_loop compiles can wedge the TPU compile relay; f64 is
+    software-emulated on v5e)."""
+    if platform != "cpu" and dtype == jnp.float64:
+        raise ValueError(
+            "green_stage_executor: refusing to shard_map an f64 Green escape "
+            "loop onto an accelerator mesh. Run the Green cloud on a CPU "
+            "mesh, or pass f32 points.")
+
+
 def green_stage_executor(mesh: Mesh):
     """Point-sharded executor for kernels.mandelbrot._green_stage.
 
@@ -296,7 +310,10 @@ def green_stage_executor(mesh: Mesh):
     unchanged.
     """
 
+    plat = mesh.devices.flat[0].platform
+
     def exec_(zr, zi, cr, ci, k0, iters, r2, dtype_max_iter):
+        _guard_green_accel(plat, jnp.asarray(zr).dtype)
         n = zr.shape[0]
         n_dev = mesh.devices.size
         npad = ((n + n_dev - 1) // n_dev) * n_dev
@@ -403,7 +420,9 @@ def _sharded_argmax_match_dev(ap, by, n: int, eps, mesh: Mesh, chunk: int):
         )
         mean = total / (n * m)
 
-        idx_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+        # int32 always: sizes here are far below 2^31 and 64-bit device
+        # integers are TPU-hostile (match VALUES are unchanged)
+        idx_dtype = jnp.int32
 
         def match_body(i, out):
             rows = jax.lax.dynamic_slice_in_dim(a_loc, i * chunk, chunk, axis=0)
@@ -447,14 +466,22 @@ def sharded_de_tci_field(domain, grid_n: int, mesh: Mesh, max_iter: int = 250,
 
 
 def _masked_quantile(vals, mask, q):
-    """np.quantile(vals[mask], q) with linear interpolation, fixed shapes."""
+    """np.quantile(vals[mask], q) with linear interpolation, fixed shapes.
+
+    Precondition: mask selects at least one element. With an all-false mask
+    the indices are clamped into range and the result is the +inf sentinel
+    (NOT a silent garbage value) — callers must surface cnt==0 themselves;
+    tracker_train_step returns n_escaped for exactly that assertion (the
+    single-device path raises 'No escape points' on the host instead).
+    """
     v = jnp.sort(jnp.where(mask, vals, jnp.inf))
-    cnt = jnp.sum(mask)
-    pos = q * (cnt - 1).astype(vals.dtype)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.ceil(pos).astype(jnp.int32)
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+    pos = q * jnp.maximum(cnt - 1, 0).astype(vals.dtype)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, vals.shape[0] - 1)
+    hi = jnp.clip(jnp.ceil(pos).astype(jnp.int32), 0, vals.shape[0] - 1)
     frac = pos - lo.astype(vals.dtype)
-    return v[lo] * (1.0 - frac) + v[hi] * frac
+    # frac==0 ⇒ take v[lo] exactly (avoids inf*0=nan on the empty-mask sentinel)
+    return jnp.where(frac > 0, v[lo] * (1.0 - frac) + v[hi] * frac, v[lo])
 
 
 def _rotation_align(x0r, x0i, y0r, y0i):
@@ -486,11 +513,50 @@ def _hist_prob(xr, xi, bins: int, domain, sigma_bins: float, eps, mesh: Mesh):
     return h / h.sum()
 
 
+def _guard_accel_step(platform: str, dtype, cloud) -> None:
+    """Reject traced f64 device code on a non-CPU mesh.
+
+    On a TPU mesh an f64 escape/Aberth while_loop compile can wedge the
+    remote-compile relay (CLAUDE.md); f64 is also software-emulated on v5e.
+    Accelerator deployment therefore requires dtype=float32 AND a
+    host-computed cloud so no f64 eigensweep is shard_mapped onto the mesh.
+    """
+    if platform == "cpu":
+        return
+    if dtype != jnp.float32:
+        raise ValueError(
+            "tracker_train_step on an accelerator mesh requires dtype=float32 "
+            "(f64 escape-loop compiles can wedge the TPU compile relay)")
+    if cloud is None:
+        raise ValueError(
+            "tracker_train_step on an accelerator mesh requires cloud=... "
+            "(the in-step eigensweep is an f64 Aberth while_loop; compute it "
+            "on the host with host_tracker_cloud(ns) and pass it in)")
+
+
+def host_tracker_cloud(ns, family: str = "lucas_all_ones",
+                       dtype=jnp.float32):
+    """Inverse-eigenvalue cloud for tracker_train_step(cloud=...), host-side.
+
+    Runs the f64 Aberth eigensweep on the always-present host CPU backend
+    (utils/device.py policy) and returns flat (re, im, valid) arrays cast to
+    `dtype` — the accelerator-safe input contract of tracker_train_step.
+    """
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        ir, ii, valid = companion.inverse_cloud_padded(ns)
+    vflat = np.asarray(valid).reshape(-1)
+    cr = np.where(vflat, np.asarray(ir).reshape(-1), 0.0).astype(dtype)
+    ci = np.where(vflat, np.asarray(ii).reshape(-1), 0.0).astype(dtype)
+    return jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(vflat)
+
+
 def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
                        bins: int, key, max_iter: int = 64, escape_r: float = 250.0,
                        sinkhorn_eps: float = 0.8, sigma_bins: float = 1.0,
                        alpha: float = 0.1, t_steps: int = 5, eps: float = 1e-12,
-                       chunk: int = 256, dtype=jnp.float32):
+                       chunk: int = 256, dtype=jnp.float32, cloud=None):
     """The REAL tracker stage as one jittable multi-chip step.
 
     Genuine sample -> match -> Procrustes -> mollify -> GI-flow
@@ -507,24 +573,36 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
 
     Returns a dict of scalar diagnostics. Host-RNG bitwise-parity runs go
     through run_tracker(mesh=...) instead; this is the fixed-shape training
-    step the driver dry-runs over N virtual devices. Note the eigensweep
-    inside runs in f64 — fine on CPU meshes (the dry run), but a real
-    TPU-mesh deployment should keep it on host like run_tracker's split
-    (the dtype=float32 guard below covers the escape/matcher path).
+    step the driver dry-runs over N virtual devices.
+
+    Accelerator deployment: pass cloud=(re, im, valid) flat arrays from
+    host_tracker_cloud(ns) (and keep dtype=float32). With that, every traced
+    device op is f32/i32 — no f64 eigensweep or escape loop compiles on the
+    mesh (asserted by tests/test_sharded_tracker.py's jaxpr scan). On a CPU
+    mesh cloud=None runs the batch-sharded f64 eigensweep in-step (the
+    driver dry run).
+
+    Callers must check the returned n_escaped > 0: with no escaped pixels
+    the q25 quantile is the +inf sentinel and the Gumbel sample degrades to
+    unescaped pixels (the single-device path raises on the host instead).
     """
     from cmtci.transport.giflow import _kl_jit
 
-    if mesh.devices.flat[0].platform not in ("cpu",) and dtype != jnp.float32:
-        raise ValueError(
-            "tracker_train_step on an accelerator mesh requires dtype=float32 "
-            "(f64 escape-loop compiles can wedge the TPU compile relay)")
+    _guard_accel_step(mesh.devices.flat[0].platform, dtype, cloud)
 
-    # 1. C cloud: batch-sharded eigensweep -> padded inverse cloud
-    zr, zi, valid = sharded_eigensweep(ns, mesh=mesh)
-    ir, ii = cplx.reciprocal((zr, zi))
-    vflat = valid.reshape(-1)
-    cr_pts = jnp.where(vflat, ir.reshape(-1), 0.0).astype(dtype)
-    ci_pts = jnp.where(vflat, ii.reshape(-1), 0.0).astype(dtype)
+    # 1. C cloud: host-provided (accelerator path) or batch-sharded
+    #    eigensweep -> padded inverse cloud (CPU-mesh dry run)
+    if cloud is not None:
+        cr_pts, ci_pts, vflat = cloud
+        cr_pts = jnp.asarray(cr_pts).astype(dtype)
+        ci_pts = jnp.asarray(ci_pts).astype(dtype)
+        vflat = jnp.asarray(vflat)
+    else:
+        zr, zi, valid = sharded_eigensweep(ns, mesh=mesh)
+        ir, ii = cplx.reciprocal((zr, zi))
+        vflat = valid.reshape(-1)
+        cr_pts = jnp.where(vflat, ir.reshape(-1), 0.0).astype(dtype)
+        ci_pts = jnp.where(vflat, ii.reshape(-1), 0.0).astype(dtype)
 
     # 2. M sample: row-sharded TCI DE grid, quantile band, Gumbel top-k
     n_dev = mesh.devices.size
@@ -608,7 +686,7 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
     return {
         "kl_initial": kl0, "delta_n": delta, "tv_XT_PM": tv,
         "tv_PC_PM": tv_pc_pm, "overlap_mass_PC_PM": overlap,
-        "n_escaped": jnp.sum(escf), "q25": q,
+        "n_escaped": jnp.sum(escf, dtype=jnp.int32), "q25": q,
     }
 
 

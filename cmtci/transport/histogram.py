@@ -129,7 +129,10 @@ def gaussian_filter_nearest(h, sigma: float, truncate: float = 4.0):
     kernel_np = gaussian_kernel1d(sigma, truncate)
     radius = (len(kernel_np) - 1) // 2
     if isinstance(h, jax.core.Tracer):
-        return _sep_correlate_nearest(h, jnp.asarray(kernel_np), radius)
+        # kernel in h's dtype: an f32 traced step stays f32-only on device
+        # (concrete/f64 callers are unaffected — kernel_np is f64 already)
+        return _sep_correlate_nearest(h, jnp.asarray(kernel_np, dtype=h.dtype),
+                                      radius)
     a = np.asarray(h, dtype=float)
     return _corr1_np(_corr1_np(a, kernel_np, radius).T, kernel_np, radius).T
 

@@ -81,3 +81,34 @@ def test_dryrun_multichip_entrypoint():
     assert float(out["hist"].sum()) > 0
     # full multi-chip dry run on the virtual mesh
     mod.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_hermetic_subprocess():
+    """MULTICHIP_r02 regression: the dry run must pin the platform itself.
+
+    r02 failed because dryrun_multichip only fell back to CPU devices for
+    the mesh — eager ops still initialized the default (axon TPU) client,
+    which crashed on a libtpu version mismatch before any sharded math ran.
+    Conftest's jax_platforms=cpu pin masked this from the in-process test,
+    so this one runs in a clean subprocess WITHOUT the pin and WITHOUT the
+    driver's XLA_FLAGS: dryrun must pin the CPU platform and provision the
+    virtual devices entirely on its own.
+    """
+    import os
+    import subprocess
+    import sys
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('graft_entry', {path!r})\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "mod.dryrun_multichip(8)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[dryrun_multichip] n=8" in out.stdout
