@@ -1,19 +1,27 @@
 #!/usr/bin/env python3
-"""cmtci benchmark: escape-time grid throughput on the BASELINE config.
+"""cmtci benchmark: the three numbers that prove the north star, one JSON line.
 
-Config (BASELINE.json #1): res=2000, max_iter=500, domain (-2.1,0.9)x(-1.5,1.5)
-— the reference's mandelbrot_boundary_sample.py hot loop.
+  * metric/value/vs_baseline — escape-time grid throughput on BASELINE
+    config #1 (res=2000, max_iter=500, domain (-2.1,0.9)x(-1.5,1.5) — the
+    reference's mandelbrot_boundary_sample.py hot loop). Baseline: the
+    reference's pure-Python per-pixel dwell loop measured on this machine's
+    CPU (2026-08-16, every-16th-pixel subsample, identical escape
+    statistics): 0.0158 Mpix/s.
+  * eigensweep_s — warm wall time of the full inverse-eigenvalue cloud at
+    the tracker's stage-4 shape (ns = 20..1220 step 20, Σn = 37,820 roots;
+    lucas_equipotential_test_v3.py:93-118). Baseline: 44.6 s for the same
+    sweep via np.linalg.eigvals (measured on this host, VALIDATION.md).
+  * tracker_warm_s — the flagship 4-stage dense Appendix-A tracker
+    (gi_assumption_tracker_v3.py, bins 64→512, oracle growth schedule) on
+    the TPU fast path (f32 Pallas DE head + f32 matcher, f64 analysis on
+    host). Run twice; the second (warm-cache) time is reported. Baseline:
+    287.1 s total on the reference author's CPU (v3_T25_sigma3_dense.csv).
 
-Baseline: the reference's pure-Python per-pixel dwell loop measured on this
-machine's CPU (2026-08-16, every-16th-pixel subsample of the same grid,
-identical escape statistics): 0.0158 Mpix/s.
-
-Timing: the TPU here sits behind an RPC relay with ~29 ms roundtrip, so the
-kernel is executed in a data-dependent chain of REPS grids inside one jit
-and timed end-to-end (conservative: includes one roundtrip + final
-checksum fetch).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing note: the TPU sits behind an RPC relay with ~29 ms roundtrip, so the
+dwell kernel is executed in a data-dependent chain of REPS grids inside one
+jit and timed end-to-end. The TPU work runs in a subprocess (the relay can
+wedge); on subprocess failure the dwell number falls back to an in-process
+CPU measurement and the tracker key is omitted.
 """
 
 import json
@@ -21,12 +29,16 @@ import time
 
 import numpy as np
 
-REFERENCE_CPU_MPIX_S = 0.0158  # measured; see module docstring
+REFERENCE_CPU_MPIX_S = 0.0158   # measured; see module docstring
+REFERENCE_LAPACK_EIG_S = 44.6   # measured on this host (VALIDATION.md)
+REFERENCE_TRACKER_S = 287.1     # v3_T25_sigma3_dense.csv runtime_sec sum
 
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000
 MAX_ITER = 500
-REPS = 50  # amortizes the ~30 ms relay roundtrip (device-side per-grid time is ~1.7 ms)
+REPS = 50  # amortizes the ~30 ms relay roundtrip (device-side per-grid ~1.7 ms)
+
+STAGE4_NS = list(range(20, 1221, 20))
 
 
 def main():
@@ -50,20 +62,14 @@ def main():
     _run(on_tpu=True)
 
 
-def _run(on_tpu: bool):
+def _bench_dwell(on_tpu: bool) -> float:
+    """Mpix/s of the res=2000/max_iter=500 dwell grid."""
     import jax
-
-    if not on_tpu:
-        jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
 
-    import cmtci  # noqa: F401  (enables x64; perf path overrides locally)
     from cmtci.kernels.mandelbrot_pallas import (
         DEFAULT_INNER, DEFAULT_TILE, _field,
     )
-
-    on_tpu = on_tpu and jax.default_backend() in ("tpu", "axon")
 
     # res=2000 is not a lane multiple; compute 2048 columns at the 2000-grid
     # spacing and crop (coordinates of the first 2000 columns are identical).
@@ -112,13 +118,74 @@ def _run(on_tpu: bool):
             best = min(best, time.time() - t0)
 
     per_grid = best / reps
-    mpix_s = RES * RES / per_grid / 1e6
-    print(json.dumps({
+    return RES * RES / per_grid / 1e6
+
+
+def _bench_eigensweep() -> float:
+    """Warm wall time of the stage-4 inverse cloud (host-CPU by policy)."""
+    from cmtci.kernels import companion
+
+    companion.inverse_cloud(STAGE4_NS)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        z = companion.inverse_cloud(STAGE4_NS)
+        best = min(best, time.time() - t0)
+    assert z.shape[0] == sum(STAGE4_NS)
+    return best
+
+
+def _bench_tracker(on_tpu: bool) -> float:
+    """Warm wall time of the flagship dense tracker (oracle growth params)."""
+    from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+    cfg = TrackerConfig(
+        sigma_bins=3.0, t_fixed=25,  # the dense-oracle config
+        bins_start=64, bins_max=512,
+        construct_max_start=300, construct_max_growth=1.6,
+        mandelbrot_samples_growth=1.6, mandelbrot_samples_max=300000,
+        field_dtype="float32",
+        de_impl="pallas" if on_tpu else "jax",
+    )
+    best = float("inf")
+    for _ in range(2):  # second run sees warm compile caches
+        t0 = time.time()
+        rows, _ = run_tracker(cfg)
+        best = min(best, time.time() - t0)
+    assert len(rows) == 4
+    return best
+
+
+def _run(on_tpu: bool):
+    import jax
+
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import cmtci  # noqa: F401  (enables x64; perf paths override locally)
+
+    on_tpu = on_tpu and jax.default_backend() in ("tpu", "axon")
+
+    mpix_s = _bench_dwell(on_tpu)
+    result = {
         "metric": "escape_grid_res2000_mi500_throughput",
         "value": round(mpix_s, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 1),
-    }))
+    }
+    try:
+        eig_s = _bench_eigensweep()
+        result["eigensweep_s"] = round(eig_s, 3)
+        result["eigensweep_vs_lapack"] = round(REFERENCE_LAPACK_EIG_S / eig_s, 1)
+    except Exception:
+        pass
+    try:
+        trk_s = _bench_tracker(on_tpu)
+        result["tracker_warm_s"] = round(trk_s, 2)
+        result["tracker_vs_reference"] = round(REFERENCE_TRACKER_S / trk_s, 1)
+    except Exception:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -126,6 +126,10 @@ def main(argv=None):
     p.add_argument("--lucas-npy", default=None, help="lucas_points.npy (else generated)")
     p.add_argument("--n-bdy", type=int, default=2000)
     p.add_argument("--interior-n", type=int, default=20000)
+    p.add_argument("--map-dtype", choices=["float64", "float32"],
+                   default="float64",
+                   help="float32 = TPU fast path for the map evaluations "
+                        "(fit stays f64 on host; see GreenUniformizeConfig)")
     _add_common(p)
     _add_cache_trace(p)
 
@@ -153,6 +157,8 @@ def _wants_tpu(args) -> bool:
         return (args.field_dtype == "float32" or args.de_impl == "pallas")
     if args.cmd == "variograms":
         return args.vario_dtype == "float32"
+    if args.cmd == "uniformize-green":
+        return args.map_dtype == "float32"
     return False
 
 
@@ -300,7 +306,8 @@ def _dispatch(args):
             pts = np.load(args.lucas_npy)
         else:
             pts = export_lucas_boundary(LucasBoundaryConfig())
-        cfg = GreenUniformizeConfig(n_bdy=args.n_bdy, interior_n=args.interior_n)
+        cfg = GreenUniformizeConfig(n_bdy=args.n_bdy, interior_n=args.interior_n,
+                                    map_dtype=args.map_dtype)
         out = run_green_uniformization(pts, cfg, args.out, verbose=True,
                                        cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps({k: v for k, v in out["diagnostics"].items()

@@ -458,15 +458,22 @@ def _closed_form_ok(ns, family: str) -> bool:
     return True
 
 
-def eigvals_batched(ns, family: str = "lucas_all_ones", max_iters: int = 200):
-    """Padded batched companion eigenvalues via Aberth. Returns (re, im, valid)."""
+def eigvals_batched(ns, family: str = "lucas_all_ones", max_iters: int = 200,
+                    repulsion_dtype=jnp.float32):
+    """Padded batched companion eigenvalues via Aberth. Returns (re, im, valid).
+
+    repulsion_dtype=None opts out of the mixed-precision repulsion for
+    precision-sensitive callers (all-f64 Aberth; see aberth_roots).
+    """
     a, deg = poly_coeff_batch(ns, family)
     fam = family if _closed_form_ok(ns, family) else None
-    return aberth_roots(a, deg, max_iters=max_iters, family=fam)
+    return aberth_roots(a, deg, max_iters=max_iters, family=fam,
+                        repulsion_dtype=repulsion_dtype)
 
 
 def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
-                     growth: float = 1.5, min_cap: int = 64):
+                     growth: float = 1.5, min_cap: int = 64,
+                     repulsion_dtype=jnp.float32):
     """Degree-bucketed batched Aberth sweep (host-orchestrated).
 
     Same contract as eigvals_batched — (re, im, valid) padded to max(ns),
@@ -504,7 +511,8 @@ def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
         sub = [ns_list[i] for i in idx]
         a, deg = poly_coeff_batch(sub, family)
         fam = family if _closed_form_ok(sub, family) else None
-        r_zr, r_zi, r_valid = aberth_roots(a, deg, max_iters=max_iters, family=fam)
+        r_zr, r_zi, r_valid = aberth_roots(a, deg, max_iters=max_iters, family=fam,
+                                           repulsion_dtype=repulsion_dtype)
         w = r_zr.shape[1]
         zr[idx, :w] = np.asarray(r_zr)
         zi[idx, :w] = np.asarray(r_zi)
@@ -513,7 +521,7 @@ def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
 
 
 def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
-                         bucketed: bool = True):
+                         bucketed: bool = True, repulsion_dtype=jnp.float32):
     """Padded inverse-eigenvalue cloud 1/λ. Returns (re, im, valid).
 
     bucketed=True (host paths) runs the degree-bucketed sweep; pass False
@@ -521,9 +529,9 @@ def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
     """
     ns = [int(n) for n in ns]
     if bucketed and len(set(ns)) > 1:
-        zr, zi, valid = eigvals_bucketed(ns, family)
+        zr, zi, valid = eigvals_bucketed(ns, family, repulsion_dtype=repulsion_dtype)
     else:
-        zr, zi, valid = eigvals_batched(ns, family)
+        zr, zi, valid = eigvals_batched(ns, family, repulsion_dtype=repulsion_dtype)
     inv = cplx.reciprocal((zr, zi))
     return inv[0], inv[1], valid
 
@@ -533,6 +541,7 @@ def inverse_cloud(
     family: str = "lucas_all_ones",
     tol: float = 1e-10,
     backend: str = "aberth",
+    repulsion_dtype=jnp.float32,
 ) -> np.ndarray:
     """Host complex128 inverse-eigenvalue cloud, concatenated over ns.
 
@@ -552,7 +561,8 @@ def inverse_cloud(
     with analysis_cpu():
         # f64 Aberth stays on the host CPU when the default platform is a
         # TPU (f64 is emulated there; f64 while_loop compiles wedge the relay)
-        zr, zi, valid = inverse_cloud_padded(ns, family)
+        zr, zi, valid = inverse_cloud_padded(ns, family,
+                                             repulsion_dtype=repulsion_dtype)
     lam2 = 1.0 / (np.asarray(zr) ** 2 + np.asarray(zi) ** 2 + 1e-300)  # |λ|² of padded 1/λ
     keep = np.asarray(valid) & (lam2 > tol * tol)
     z = np.asarray(zr) + 1j * np.asarray(zi)

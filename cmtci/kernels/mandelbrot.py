@@ -466,19 +466,28 @@ def sample_boundary_quantile(
         # The quantile band is selected ON DEVICE and only the bool mask
         # crosses the host link; coordinates come from host numpy (no f64
         # device work on the TPU).
-        from cmtci.kernels.mandelbrot_pallas import tci_boundary_selection
+        if eps != 1e-12:
+            # the f32 kernel's denominator floor is baked in; a silently
+            # different DE field under de_impl="pallas" vs "jax" would be
+            # worse than refusing (ADVICE r2)
+            raise ValueError(
+                "impl='pallas' hardcodes the 1e-12 DE denominator floor; "
+                f"eps={eps} is not representable there — use impl='jax'")
+        if mesh is not None:
+            raise ValueError(
+                "impl='pallas' is a single-device TPU head; it cannot be "
+                "combined with mesh= (use impl='jax' with mesh for the "
+                "sharded f64 path)")
+        from cmtci.kernels.mandelbrot_pallas import tci_boundary_sample
 
-        sel, cnt = tci_boundary_selection(domain, grid_n, max_iter=max_iter,
-                                          escape_r=escape_r)
-        if cnt == 0:
-            raise RuntimeError("No escape points")
-        # gather only the selected points (row-major like c[sel]); no full
-        # grid_n^2 meshgrid materialization on the hot per-stage path
-        xs = np.linspace(domain[0], domain[1], grid_n)
-        ys = np.linspace(domain[2], domain[3], grid_n)
-        iy, ix = np.nonzero(sel)
-        pts = xs[ix] + 1j * ys[iy]
-        return _subsample(pts, n_samples, rng)
+        # device-side Gumbel top-k subsample: only n_samples int32 indices
+        # cross the relay per stage instead of the grid_n^2 bool mask (the
+        # host RNG seeds the device stream, so stage sequences stay
+        # deterministic under the shared-stream convention)
+        r = rng if rng is not None else np.random
+        seed = int(r.randint(0, 2**31 - 1))
+        return tci_boundary_sample(domain, grid_n, n_samples, seed,
+                                   max_iter=max_iter, escape_r=escape_r)
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_de_tci_field
 

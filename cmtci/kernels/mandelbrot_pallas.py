@@ -454,16 +454,14 @@ def tci_de_field_pallas(domain, grid_n: int, max_iter: int = 250,
     return out >= 0.0, jnp.maximum(out, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("nx", "ny", "max_iter", "escape_r",
-                                              "tile", "inner", "interpret"))
-def _tci_selection_padded(params, grid_n, nx, ny, max_iter, escape_r, tile,
-                          inner, interpret):
-    """Device-side boundary-band selection on the PADDED bucket grid.
+def _tci_selection_core(params, grid_n, nx, ny, max_iter, escape_r, tile,
+                        inner, interpret):
+    """Device boundary-band selection on the PADDED bucket grid (traced).
 
     esc & (d <= q25(d[esc & in-grid])) with grid_n a traced scalar, so the
     tracker's growing grids share ONE compiled executable (the padded bucket
-    shape is constant); only a bool mask and two scalars cross the host
-    link. Quantile = numpy's linear interpolation on sorted masked values.
+    shape is constant). Quantile = numpy's linear interpolation on sorted
+    masked values.
     """
     out = _field(params, nx, ny, max_iter, "tci", escape_r, tile, inner, interpret)
     esc = out >= 0.0
@@ -479,6 +477,73 @@ def _tci_selection_padded(params, grid_n, nx, ny, max_iter, escape_r, tile,
     frac = pos - lo.astype(df.dtype)
     q = v[lo] * (1.0 - frac) + v[hi] * frac
     return escv & (d <= q), cnt, q
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "max_iter", "escape_r",
+                                              "tile", "inner", "interpret"))
+def _tci_selection_padded(params, grid_n, nx, ny, max_iter, escape_r, tile,
+                          inner, interpret):
+    """Selection-mask variant: a grid-sized bool mask crosses the host link."""
+    return _tci_selection_core(params, grid_n, nx, ny, max_iter, escape_r,
+                               tile, inner, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "nx", "ny",
+                                              "max_iter", "escape_r", "tile",
+                                              "inner", "interpret"))
+def _tci_sample_padded(params, grid_n, key, n_samples, nx, ny, max_iter,
+                       escape_r, tile, inner, interpret):
+    """Sample-fetch variant: Gumbel top-k over the band ON DEVICE, so only
+    n_samples int32 indices (plus two scalars) cross the host link instead
+    of the grid-sized bool mask — the tracker's per-stage relay transfer is
+    O(n_samples), not O(grid_n^2) (NOTES r2 item 3 / VERDICT r2 item 5).
+
+    Gumbel top-k over the band mask is a uniform subsample without
+    replacement (the jit analogue of the reference's rng.choice,
+    tci_construct_mandelbrot_v002_fixed.py:56-59). Returns (idx, n_band,
+    n_escaped): idx indexes the flattened PADDED (ny, nx) grid; entries past
+    n_band are garbage lanes of -inf score — callers truncate to
+    min(n_samples, n_band), matching the reference's keep-all-when-small.
+    """
+    sel, cnt, _ = _tci_selection_core(params, grid_n, nx, ny, max_iter,
+                                      escape_r, tile, inner, interpret)
+    selv = sel.reshape(-1)
+    g = jax.random.gumbel(key, selv.shape, dtype=jnp.float32)
+    score = jnp.where(selv, g, -jnp.inf)
+    _, idx = jax.lax.top_k(score, n_samples)
+    return idx.astype(jnp.int32), jnp.sum(selv), cnt
+
+
+def tci_boundary_sample(domain, grid_n: int, n_samples: int, seed: int,
+                        max_iter: int = 250, escape_r: float = 250.0,
+                        tile: tuple = DEFAULT_TILE, inner: int = DEFAULT_INNER):
+    """Host wrapper: boundary-band subsample with O(n_samples) host transfer.
+
+    The quantile band AND the uniform without-replacement subsample run on
+    device (_tci_sample_padded); the host fetches n_samples int32 indices
+    and maps them to complex points on the reference's np.linspace grid.
+    Raises like the host path when no pixel escapes. Returns complex (m,)
+    with m = min(n_samples, band size).
+    """
+    th, tw = tile
+    ny, nx = _bucket_shape(grid_n, tile)
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (grid_n - 1)
+    dy = (ymax - ymin) / (grid_n - 1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    with jax.enable_x64(False):
+        params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
+        key = jax.random.key(seed)
+        idx, n_band, cnt = _tci_sample_padded(
+            params, jnp.int32(grid_n), key, n_samples, nx, ny, max_iter,
+            escape_r, (th, tw), inner, interpret)
+    if int(cnt) == 0:
+        raise RuntimeError("No escape points")
+    take = min(n_samples, int(n_band))
+    idx = np.asarray(idx)[:take]
+    xs = np.linspace(domain[0], domain[1], grid_n)
+    ys = np.linspace(domain[2], domain[3], grid_n)
+    return xs[idx % nx] + 1j * ys[idx // nx]
 
 
 def tci_boundary_selection(domain, grid_n: int, max_iter: int = 250,

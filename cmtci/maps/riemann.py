@@ -27,12 +27,19 @@ import numpy as np
 
 from cmtci.geometry.polygon import Polygon, ensure_interior_point, slightly_inside
 from cmtci.geometry.resample import sample_polygon_boundary
+from cmtci.utils.device import analysis_cpu
 
 PATH_GAUSS_N = 16
 EPS_POLE = 1e-6
 DZ_EPS = 1e-14
 EXP_CLIP = 60.0
 RIDGE_LAMBDA = 1e-8
+
+
+def _null_ctx():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def gauss_legendre_01(n: int):
@@ -168,19 +175,25 @@ class RiemannMapGreenModulus:
         z = np.asarray(z, dtype=complex).ravel()
         br, bi, sigds, ar, ai = self._args(dtype)
         dt = dtype or jnp.float64
-        out = _g_real_blocked(jnp.asarray(z.real, dt), jnp.asarray(z.imag, dt),
-                              br, bi, sigds, ar, ai,
-                              np.asarray(self.c + self.g_shift, dt))
-        return np.asarray(out, np.float64)
+        # f64 evals stay on the host CPU under a TPU-default session (device
+        # policy: emulated f64 + relay-wedging f64 loop compiles); the f32
+        # fast path keeps the default (TPU) device.
+        with (analysis_cpu() if dt == jnp.float64 else _null_ctx()):
+            out = _g_real_blocked(jnp.asarray(z.real, dt), jnp.asarray(z.imag, dt),
+                                  br, bi, sigds, ar, ai,
+                                  np.asarray(self.c + self.g_shift, dt))
+            return np.asarray(out, np.float64)
 
     def phi_raw(self, z, dtype=None):
         z = np.asarray(z, dtype=complex).ravel()
         br, bi, sigds, ar, ai = self._args(dtype)
         dt = dtype or jnp.float64
-        re, im = _phi_raw_blocked(jnp.asarray(z.real, dt), jnp.asarray(z.imag, dt),
-                                  br, bi, sigds, ar, ai, np.asarray(self.c, dt),
-                                  jnp.asarray(self._gx, dt), jnp.asarray(self._gw, dt))
-        return np.asarray(re, np.float64) + 1j * np.asarray(im, np.float64)
+        with (analysis_cpu() if dt == jnp.float64 else _null_ctx()):
+            re, im = _phi_raw_blocked(jnp.asarray(z.real, dt), jnp.asarray(z.imag, dt),
+                                      br, bi, sigds, ar, ai, np.asarray(self.c, dt),
+                                      jnp.asarray(self._gx, dt), jnp.asarray(self._gw, dt))
+            return (np.asarray(re, np.float64)
+                    + 1j * np.asarray(im, np.float64))
 
     def phi(self, z, dtype=None):
         """Composite Φ: Re from g_real, Im from phi_raw (v40:259-264)."""

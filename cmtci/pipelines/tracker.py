@@ -266,6 +266,9 @@ def write_outputs(rows, meta, out_prefix: str):
     """CSV + JSON writers, schema-compatible with the reference outputs."""
     import csv as _csv
 
+    from cmtci.io.writers import ensure_dir
+
+    ensure_dir(f"{out_prefix}.csv")
     csv_path = f"{out_prefix}.csv"
     json_path = f"{out_prefix}.json"
     if rows:

