@@ -528,7 +528,12 @@ def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
     where a single traced kernel is required.
     """
     ns = [int(n) for n in ns]
-    if bucketed and len(set(ns)) > 1:
+    # bucketing pays only when the padded repulsion work is large: each
+    # bucket is its own jit trace (~0.5 s of host time per new shape), so
+    # small sweeps (e.g. the equipotential's dense n=2..200) stay single-
+    # batch while stage-4-scale sweeps (n_max ~1220) split.
+    work = len(ns) * max(ns) ** 2
+    if bucketed and len(set(ns)) > 1 and work > 5e7:
         zr, zi, valid = eigvals_bucketed(ns, family, repulsion_dtype=repulsion_dtype)
     else:
         zr, zi, valid = eigvals_batched(ns, family, repulsion_dtype=repulsion_dtype)
