@@ -246,14 +246,16 @@ def green_potential_compacted(points, max_iter: int = 20000, escape_r: float = 2
                 jnp.asarray(np.pad(cr_h, (0, pad))), jnp.asarray(np.pad(ci_h, (0, pad))),
                 jnp.int32(k0), iters, r2, max_iter,
             )
-        zr_f, zi_f = np.asarray(out[0])[:m], np.asarray(out[1])[:m]
-        esc = np.asarray(out[2])[:m]
+        from cmtci.utils.artifacts import fetch
+
+        zr_f, zi_f = fetch(out[0])[:m], fetch(out[1])[:m]
+        esc = fetch(out[2])[:m]
         if esc.any():
             hit_idx = idx[esc]
-            g[hit_idx] = np.asarray(out[3])[:m][esc]
-            kk[hit_idx] = np.asarray(out[4])[:m][esc]
-            er = np.exp(np.asarray(out[5])[:m][esc])
-            phi[hit_idx] = er * np.exp(1j * np.asarray(out[6])[:m][esc])
+            g[hit_idx] = fetch(out[3])[:m][esc]
+            kk[hit_idx] = fetch(out[4])[:m][esc]
+            er = np.exp(fetch(out[5])[:m][esc])
+            phi[hit_idx] = er * np.exp(1j * fetch(out[6])[:m][esc])
             keep = ~esc
             idx = idx[keep]
             zr_h, zi_h = zr_f[keep], zi_f[keep]
@@ -502,12 +504,14 @@ def sample_boundary_quantile(
         with dev:
             cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
             esc, d, _, _ = de_field_tci(cr, ci, max_iter=max_iter, escape_r=escape_r, eps=eps)
-    esc = np.asarray(esc)
-    d = np.asarray(d)
+    from cmtci.utils.artifacts import fetch
+
+    esc = fetch(esc)
+    d = fetch(d)
     if not esc.any():
         raise RuntimeError("No escape points")
     q = np.quantile(d[esc], 0.25)
-    c = np.asarray(cr) + 1j * np.asarray(ci)
+    c = fetch(cr) + 1j * fetch(ci)
     pts = c[esc & (d <= q)].ravel()
     return _subsample(pts, n_samples, rng)
 

@@ -537,10 +537,12 @@ def tci_boundary_sample(domain, grid_n: int, n_samples: int, seed: int,
         idx, n_band, cnt = _tci_sample_padded(
             params, jnp.int32(grid_n), key, n_samples, nx, ny, max_iter,
             escape_r, (th, tw), inner, interpret)
+    from cmtci.utils.artifacts import fetch
+
     if int(cnt) == 0:
         raise RuntimeError("No escape points")
     take = min(n_samples, int(n_band))
-    idx = np.asarray(idx)[:take]
+    idx = fetch(idx)[:take]
     xs = np.linspace(domain[0], domain[1], grid_n)
     ys = np.linspace(domain[2], domain[3], grid_n)
     return xs[idx % nx] + 1j * ys[idx // nx]
@@ -565,4 +567,6 @@ def tci_boundary_selection(domain, grid_n: int, max_iter: int = 250,
         sel, cnt, _ = _tci_selection_padded(params, jnp.int32(grid_n), nx, ny,
                                             max_iter, escape_r, (th, tw), inner,
                                             interpret)
-    return np.asarray(sel)[:grid_n, :grid_n], int(cnt)
+    from cmtci.utils.artifacts import fetch
+
+    return fetch(sel)[:grid_n, :grid_n], int(cnt)

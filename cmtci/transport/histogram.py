@@ -167,8 +167,10 @@ def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float 
     else:
         with analysis_cpu():
             h = histogram2d(jnp.asarray(cloud.real), jnp.asarray(cloud.imag), bins, domain)
+    from cmtci.utils.artifacts import fetch
+
     with analysis_cpu():
-        h = jnp.asarray(np.asarray(h))
+        h = jnp.asarray(fetch(h))
         h = jnp.maximum(h, eps)
         if sigma_bins and sigma_bins > 0:
             h = gaussian_filter_nearest(h, float(sigma_bins))

@@ -96,7 +96,10 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_argmax_match
 
-        match = sharded_argmax_match(jnp.asarray(ax), jnp.asarray(by), eps, mesh)
+        from cmtci.utils.artifacts import fetch
+
+        match = fetch(sharded_argmax_match(jnp.asarray(ax), jnp.asarray(by),
+                                           eps, mesh))
     else:
         from cmtci.utils.device import analysis_cpu
 
@@ -106,8 +109,10 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
         with dev:
             # f64 matcher stays on the host CPU under a TPU default platform
             # (emulated f64); the f32 path (dtype=float32) runs on-device
+            from cmtci.utils.artifacts import fetch
+
             mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
-            match = np.asarray(
+            match = fetch(
                 _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
             )
     return y[match], x

@@ -66,11 +66,42 @@ def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
     return out
 
 
+_fetch_bytes = [0]  # process-wide device->host transfer tally (see fetch())
+
+
+def fetch(x) -> np.ndarray:
+    """np.asarray with device->host transfer accounting.
+
+    Every hot-path device fetch goes through here so StageTimer can report
+    bytes moved per stage — on the TPU the host link is a ~30 ms RPC relay
+    (CLAUDE.md), so per-stage transfer volume is a first-class perf metric
+    and a silent regression (e.g. a grid-sized mask where n_samples indices
+    suffice) should show up mechanically, not in a hand profile. Only
+    jax.Array inputs count; host numpy passes through untallied.
+    """
+    import jax
+
+    is_device = isinstance(x, jax.Array)
+    out = np.asarray(x)
+    if is_device:
+        _fetch_bytes[0] += out.nbytes
+    return out
+
+
+def fetch_bytes_total() -> int:
+    """Process-wide device->host bytes fetched through fetch()."""
+    return _fetch_bytes[0]
+
+
 class StageTimer:
-    """Per-stage wall timing with optional jax.profiler traces (SURVEY §5.1)."""
+    """Per-stage wall timing + device->host transfer bytes, with optional
+    jax.profiler traces (SURVEY §5.1). Transfer accounting covers fetches
+    routed through `fetch()` (all cmtci hot paths); `self.bytes[name]`
+    accrues alongside `self.times[name]`."""
 
     def __init__(self, trace_dir: str | None = None):
         self.times: dict = {}
+        self.bytes: dict = {}
         self.trace_dir = trace_dir
 
     def stage(self, name: str):
@@ -88,10 +119,13 @@ class StageTimer:
                 ctx = jax.profiler.trace(timer.trace_dir)
                 ctx.__enter__()
             t0 = time.time()
+            b0 = _fetch_bytes[0]
             try:
                 yield
             finally:
                 timer.times[name] = timer.times.get(name, 0.0) + time.time() - t0
+                timer.bytes[name] = (timer.bytes.get(name, 0)
+                                     + _fetch_bytes[0] - b0)
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
 
