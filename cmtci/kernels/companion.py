@@ -541,6 +541,40 @@ def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
     return inv[0], inv[1], valid
 
 
+def inverse_cloud_split(
+    ns,
+    family: str = "lucas_all_ones",
+    tol: float = 1e-10,
+    backend: str = "aberth",
+    repulsion_dtype=jnp.float32,
+) -> list:
+    """Per-n list of inverse-eigenvalue clouds (one complex128 array per n).
+
+    np.concatenate of the result IS inverse_cloud(...) — one shared
+    construction, so pipelines that need both the flat cloud and the per-n
+    split (equipotential per-n/cumulative stats) solve the eigenproblem and
+    any downstream per-point kernel once.
+    """
+    if backend == "lapack":
+        pts = []
+        for n in ns:
+            vals = np.linalg.eigvals(companion_matrix(family_top_row(family, n)))
+            vals = vals[np.abs(vals) > tol]
+            pts.append(1.0 / vals)
+        return pts
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        # f64 Aberth stays on the host CPU when the default platform is a
+        # TPU (f64 is emulated there; f64 while_loop compiles wedge the relay)
+        zr, zi, valid = inverse_cloud_padded(ns, family,
+                                             repulsion_dtype=repulsion_dtype)
+    lam2 = 1.0 / (np.asarray(zr) ** 2 + np.asarray(zi) ** 2 + 1e-300)  # |λ|² of padded 1/λ
+    keep = np.asarray(valid) & (lam2 > tol * tol)
+    z = np.asarray(zr) + 1j * np.asarray(zi)
+    return [z[b][keep[b]] for b in range(z.shape[0])]
+
+
 def inverse_cloud(
     ns,
     family: str = "lucas_all_ones",
@@ -554,21 +588,6 @@ def inverse_cloud(
     (drop |λ| <= tol, then invert). backend="lapack" reproduces the
     reference's exact per-n LAPACK ordering for bitwise parity runs.
     """
-    if backend == "lapack":
-        pts = []
-        for n in ns:
-            vals = np.linalg.eigvals(companion_matrix(family_top_row(family, n)))
-            vals = vals[np.abs(vals) > tol]
-            pts.append(1.0 / vals)
-        return np.concatenate(pts)
-    from cmtci.utils.device import analysis_cpu
-
-    with analysis_cpu():
-        # f64 Aberth stays on the host CPU when the default platform is a
-        # TPU (f64 is emulated there; f64 while_loop compiles wedge the relay)
-        zr, zi, valid = inverse_cloud_padded(ns, family,
-                                             repulsion_dtype=repulsion_dtype)
-    lam2 = 1.0 / (np.asarray(zr) ** 2 + np.asarray(zi) ** 2 + 1e-300)  # |λ|² of padded 1/λ
-    keep = np.asarray(valid) & (lam2 > tol * tol)
-    z = np.asarray(zr) + 1j * np.asarray(zi)
-    return np.concatenate([z[b][keep[b]] for b in range(z.shape[0])])
+    return np.concatenate(inverse_cloud_split(ns, family, tol=tol,
+                                              backend=backend,
+                                              repulsion_dtype=repulsion_dtype))

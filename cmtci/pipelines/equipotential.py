@@ -65,29 +65,25 @@ def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
 
 
 def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None,
-                      cache_dir: str | None = None):
+                      cache_dir: str | None = None, clouds=None, g=None):
     """g for every n's inverse-eigenvalue cloud in ONE batched solve.
 
     The reference recomputes the potential per n (and per cumulative prefix,
     O(N²) total work, lucas_equipotential_test_v3.py:294-327); g is a
     per-point quantity, so one padded batch suffices. Returns list of
-    (n, g_array).
+    (n, g_array). Pass `clouds` (inverse_cloud_split output) and the
+    matching flat `g` to reuse a solve already done — run_equipotential's
+    main cloud IS this split's concatenation, so no second eigensolve or
+    potential kernel runs at all.
     """
     fam = family or "lucas_all_ones"
     ns = list(range(cfg.n_min, cfg.n_max + 1))
-    if cfg.cloud_backend == "aberth":
-        # one padded Aberth batch for ALL n (per-n inverse_cloud calls would
-        # trigger a distinct-shape jit compile for each of the ~199 degrees)
-        zr, zi, valid = companion.eigvals_batched(ns, fam)
-        lam = np.asarray(zr) + 1j * np.asarray(zi)
-        keep = np.asarray(valid) & (np.abs(lam) > cfg.eig_tol)
-        clouds = [1.0 / lam[b][keep[b]] for b in range(len(ns))]
-    else:
-        clouds = [companion.inverse_cloud([n], fam, tol=cfg.eig_tol,
-                                          backend=cfg.cloud_backend) for n in ns]
-    flat = np.concatenate(clouds)
-    g, _, _ = batch_potential(flat, cfg.max_iter, cfg.escape_radius,
-                              cache_dir=cache_dir)
+    if clouds is None:
+        clouds = companion.inverse_cloud_split(ns, fam, tol=cfg.eig_tol,
+                                               backend=cfg.cloud_backend)
+    if g is None:
+        g, _, _ = batch_potential(np.concatenate(clouds), cfg.max_iter,
+                                  cfg.escape_radius, cache_dir=cache_dir)
     out = []
     off = 0
     for n, c in zip(ns, clouds):
@@ -124,8 +120,10 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
     timer = timer if timer is not None else StageTimer()
     ns = list(range(cfg.n_min, cfg.n_max + 1))
     with timer.stage("cloud"):
-        c_inv = companion.inverse_cloud(ns, "lucas_all_ones", tol=cfg.eig_tol,
-                                        backend=cfg.cloud_backend)
+        clouds = companion.inverse_cloud_split(ns, "lucas_all_ones",
+                                               tol=cfg.eig_tol,
+                                               backend=cfg.cloud_backend)
+        c_inv = np.concatenate(clouds)
     with timer.stage("potential"):
         g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius,
                                      cache_dir=cache_dir)
@@ -135,20 +133,35 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
     }
     if with_per_n:
         with timer.stage("per_n"):
-            per_n_g = _per_n_potentials(cfg, cache_dir=cache_dir)
+            # per-n/cumulative stats reuse the main solve (clouds' concat IS
+            # c_inv, so the g split is exact) — no extra kernel runs
+            per_n_g = _per_n_potentials(cfg, clouds=clouds, g=g)
             out["per_n"] = per_n_stats(cfg, per_n_g=per_n_g)
             out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
     if cfg.run_family_comparison:
-        fam_rows = []
-        for fam in cfg.families:
-            c_fam = companion.inverse_cloud(ns, fam, tol=cfg.eig_tol,
-                                            backend=cfg.cloud_backend)
-            g_fam, _, _ = batch_potential(c_fam, cfg.max_iter, cfg.escape_radius,
-                                          cache_dir=cache_dir)
-            s = laws.summarize_g(g_fam)
-            s["family"] = fam
-            fam_rows.append(s)
-        out["family_summary"] = fam_rows
+        with timer.stage("families"):
+            # lucas reuses the main g (same construction bitwise); the other
+            # families run ONE concatenated compaction-staged solve — g is a
+            # per-point quantity, so batch composition cannot change it
+            others = [f for f in cfg.families if f != "lucas_all_ones"]
+            fam_g = {"lucas_all_ones": g}
+            if others:
+                fam_clouds = [companion.inverse_cloud(ns, f, tol=cfg.eig_tol,
+                                                      backend=cfg.cloud_backend)
+                              for f in others]
+                g_all, _, _ = batch_potential(np.concatenate(fam_clouds),
+                                              cfg.max_iter, cfg.escape_radius,
+                                              cache_dir=cache_dir)
+                off = 0
+                for f, c in zip(others, fam_clouds):
+                    fam_g[f] = g_all[off : off + len(c)]
+                    off += len(c)
+            fam_rows = []
+            for fam in cfg.families:
+                s = laws.summarize_g(fam_g[fam])
+                s["family"] = fam
+                fam_rows.append(s)
+            out["family_summary"] = fam_rows
     out["stage_times"] = dict(timer.times)
     if out_dir:
         writers.write_config_meta(f"{out_dir}/meta.txt", cfg,
