@@ -101,6 +101,10 @@ def main(argv=None):
     p.add_argument("--n-max", type=int, default=200)
     p.add_argument("--max-iter", type=int, default=20000)
     p.add_argument("--skip-per-n", action="store_true")
+    p.add_argument("--green-dtype", choices=["float64", "float32"],
+                   default="float64",
+                   help="float32 = cloud Green potential on the TPU "
+                        "(Pallas head; identical escape set, g ~1e-7 rel)")
     _add_common(p)
     _add_cache_trace(p)
 
@@ -248,7 +252,9 @@ def _dispatch(args):
     elif cmd == "equipotential":
         from cmtci.pipelines.equipotential import EquipotentialConfig, run_equipotential
 
-        cfg = EquipotentialConfig(n_min=args.n_min, n_max=args.n_max, max_iter=args.max_iter)
+        cfg = EquipotentialConfig(n_min=args.n_min, n_max=args.n_max,
+                                  max_iter=args.max_iter,
+                                  potential_dtype=args.green_dtype)
         out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n,
                                 cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps(out["summary"]))

@@ -570,3 +570,180 @@ def tci_boundary_selection(domain, grid_n: int, max_iter: int = 250,
     from cmtci.utils.artifacts import fetch
 
     return fetch(sel)[:grid_n, :grid_n], int(cnt)
+
+
+# ---------------------------------------------------------------------------
+# f32 TPU Green potential for point CLOUDS (the equipotential pipeline's hot
+# kernel, lucas_equipotential_test_v3.py:124-162). Unlike the grid heads the
+# coordinates are INPUT point tiles, the orbit state is resumable (host
+# compaction staging drops escaped points between stages), and the outputs
+# are the UNSCALED escape records (k, z_at_escape): the 2^-k scaling to
+# g = log|z_k|*2^-k happens on host in f64, so deep escapers with
+# k in (126, 1074] — whose g underflows f32 but not f64 — keep the exact
+# f64-path magnitude semantics. What changes vs the f64 path is only the
+# trajectory arithmetic (f32), a realization difference like the tracker's
+# f32 DE head.
+# ---------------------------------------------------------------------------
+
+
+def _cloud_green_kernel(cr_ref, ci_ref, zr0_ref, zi0_ref,
+                        k_ref, zer_ref, zei_ref, zr_ref, zi_ref, act_ref, *,
+                        iters: int, inner: int, escape_r: float):
+    """One staging chunk of `iters` Green iterations on a point tile.
+
+    k output is RELATIVE to this stage's start, 1-based at first
+    |z| > escape_r (0 = did not escape this stage); zer/zei latch z at that
+    iteration. Analytically-interior points (c in cardioid/period-2 bulb —
+    a property of c alone, valid for resumed states too) start inactive so
+    interior-heavy tiles exit after one chunk; escaped lanes keep iterating
+    to inf/nan harmlessly (act latches them out of the hit predicate).
+    """
+    th, tw = k_ref.shape
+    cr = cr_ref[:]
+    ci = ci_ref[:]
+    zero = jnp.zeros((th, tw), jnp.float32)
+    zr_ref[:] = zr0_ref[:]
+    zi_ref[:] = zi0_ref[:]
+    act_ref[:] = jnp.where(_interior_mask(cr, ci), 0.0, 1.0)
+    k_ref[:] = zero
+    zer_ref[:] = zero
+    zei_ref[:] = zero
+    r2 = jnp.float32(escape_r * escape_r)
+    n_chunks = (iters + inner - 1) // inner
+
+    def body(itf):
+        zr = zr_ref[:]
+        zi = zi_ref[:]
+        act = act_ref[:]
+        kk = k_ref[:]
+        zer = zer_ref[:]
+        zei = zei_ref[:]
+        base = itf * jnp.float32(inner)
+        for n in range(inner):
+            sv = (base + jnp.float32(n)) < jnp.float32(iters)
+            nzr, nzi = zr * zr - zi * zi + cr, 2.0 * zr * zi + ci
+            zr = jnp.where(sv, nzr, zr)
+            zi = jnp.where(sv, nzi, zi)
+            a2 = zr * zr + zi * zi
+            hit = (a2 > r2) & (act > 0.5) & sv  # inf -> True; act latches
+            kk = jnp.where(hit, base + jnp.float32(n + 1), kk)
+            zer = jnp.where(hit, zr, zer)
+            zei = jnp.where(hit, zi, zei)
+            act = act * jnp.where(hit, 0.0, 1.0)
+        zr_ref[:] = zr
+        zi_ref[:] = zi
+        act_ref[:] = act
+        k_ref[:] = kk
+        zer_ref[:] = zer
+        zei_ref[:] = zei
+        return itf + 1.0
+
+    def cond(itf):
+        return jnp.logical_and(itf < jnp.float32(n_chunks),
+                               jnp.max(act_ref[:]) > 0.5)
+
+    jax.lax.while_loop(cond, body, jnp.float32(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "escape_r", "tile",
+                                             "inner", "interpret"))
+def _cloud_green(cr, ci, zr0, zi0, iters, escape_r, tile, inner, interpret):
+    th, tw = tile
+    ny, nx = cr.shape
+    spec = pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_cloud_green_kernel, iters=iters, inner=inner,
+                          escape_r=escape_r),
+        out_shape=tuple(jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+                        for _ in range(5)),
+        grid=(ny // th, nx // tw),
+        in_specs=[spec] * 4,
+        out_specs=(spec,) * 5,
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32)],
+        interpret=interpret,
+    )(cr, ci, zr0, zi0)
+
+
+def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
+                    stage_iters: int = 2048, tile: tuple = (8, 128),
+                    inner: int = DEFAULT_INNER):
+    """(g, k, phi) of a complex cloud via the f32 TPU head + host compaction.
+
+    Drop-in for kernels.mandelbrot.green_potential_compacted (identical
+    output conventions: g = max(log|z_k| * 2^-k, 0) at first escape else 0,
+    k = max_iter where never escaped, phi = exp(2^-k log z_k) else nan) with
+    the trajectory run in f32 on the device. The g/phi magnitudes are
+    computed on HOST in f64 from the unscaled (k, z_k) records, so the
+    f32-underflow region k in (126, 1074] keeps its tiny-but-positive g
+    exactly like the f64 path. Escaped points are compacted away between
+    stages (the deep interior no longer drags everyone to max_iter) and the
+    per-stage host transfer is O(survivors).
+    """
+    from cmtci.utils.artifacts import fetch
+
+    th, tw = tile
+    per = th * tw
+    pts = np.asarray(points, dtype=complex).ravel()
+    n = pts.size
+    g = np.zeros(n)
+    kk = np.full(n, max_iter, dtype=np.int32)
+    phi = np.full(n, np.nan + 1j * np.nan, dtype=complex)
+    # analytically-interior points can never escape: their final record
+    # (g = 0, k = max_iter, phi = nan) is known up front, so drop them from
+    # the staging loop entirely — without this, the per-n dominant roots
+    # scattered through the cloud would pin their tiles to the full budget.
+    # (f64 evaluation with a tiny margin: a point misclassified interior by
+    # rounding is within ~1e-14 of the boundary, whose escape time ~1e7
+    # iterations exceeds any configured max_iter — the iterated path returns
+    # the identical non-escape record.)
+    xr, xi = pts.real, pts.imag
+    q = (xr - 0.25) ** 2 + xi * xi
+    interior = (q * (q + (xr - 0.25)) <= 0.25 * xi * xi) | (
+        (xr + 1.0) ** 2 + xi * xi <= 0.0625)
+    idx = np.arange(n)[~interior]
+    cr_h = pts.real[~interior].astype(np.float32)
+    ci_h = pts.imag[~interior].astype(np.float32)
+    zr_h = np.zeros(len(idx), np.float32)
+    zi_h = np.zeros(len(idx), np.float32)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    k0 = 0
+    while k0 < max_iter and len(idx):
+        iters = min(stage_iters, max_iter - k0)
+        m = len(idx)
+        # power-of-two tile-count buckets share compiled executables as the
+        # survivor set shrinks; c = 0 padding lanes are analytically interior
+        ntiles = 1 << max(0, int(np.ceil(np.log2(max(
+            (m + per - 1) // per, 1)))))
+        npad = ntiles * per
+
+        def _pad(a):
+            return jnp.asarray(np.pad(a, (0, npad - m)).reshape(ntiles * th, tw))
+
+        with jax.enable_x64(False):
+            out = _cloud_green(_pad(cr_h), _pad(ci_h), _pad(zr_h), _pad(zi_h),
+                               iters, escape_r, (th, tw), inner, interpret)
+        k_rel = fetch(out[0]).ravel()[:m].astype(np.float64)
+        esc = k_rel > 0
+        if esc.any():
+            zer = fetch(out[1]).ravel()[:m][esc].astype(np.float64)
+            zei = fetch(out[2]).ravel()[:m][esc].astype(np.float64)
+            k_abs = k0 + k_rel[esc]
+            scale = np.exp2(-k_abs)  # f64: no underflow until k > 1074
+            logr = 0.5 * np.log(np.maximum(zer * zer + zei * zei, 1e-300))
+            gg = logr * scale
+            hit_idx = idx[esc]
+            g[hit_idx] = np.where(np.isfinite(gg) & (gg >= 0.0), gg, 0.0)
+            kk[hit_idx] = k_abs.astype(np.int32)
+            phi[hit_idx] = (np.exp(logr * scale)
+                            * np.exp(1j * np.arctan2(zei, zer) * scale))
+            keep = ~esc
+            idx = idx[keep]
+            cr_h, ci_h = cr_h[keep], ci_h[keep]
+            zr_h = fetch(out[3]).ravel()[:m][keep]
+            zi_h = fetch(out[4]).ravel()[:m][keep]
+        else:
+            zr_h = fetch(out[3]).ravel()[:m]
+            zi_h = fetch(out[4]).ravel()[:m]
+        k0 += iters
+    return g, kk, phi

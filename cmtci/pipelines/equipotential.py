@@ -36,29 +36,42 @@ class EquipotentialConfig:
     )
     run_family_comparison: bool = True
     cloud_backend: str = "aberth"
+    potential_dtype: str = "float64"  # "float32" = the f32 TPU cloud-green
+    # head (kernels/mandelbrot_pallas.green_cloud_f32): identical escape
+    # set / k on measured clouds, g rel err ~1e-7 median (deep escapers
+    # carry chaotic f32 trajectory noise at negligible absolute size)
 
 
 def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
-                    cache_dir: str | None = None):
+                    cache_dir: str | None = None, dtype: str = "float64"):
     """(g, it, phi) for a complex cloud via the compaction-staged Green kernel.
 
     Exactly equal to the plain batched kernel per point (verified), ~125x
     faster at the reference's max_iter=20000 because escaped points are
     dropped between stages instead of riding along for the interior's full
     iteration budget. With cache_dir the result is stored keyed by
-    (cloud digest, max_iter, R) — SURVEY §5.4 resume.
+    (cloud digest, max_iter, R, dtype) — SURVEY §5.4 resume.
+    dtype="float32" runs the f32 Pallas head on the default (TPU) device;
+    the f64 default stays on the host CPU by the device policy.
     """
     from cmtci.utils import artifacts
 
     def _run():
-        g, it, phi = mb.green_potential_compacted(cloud, max_iter=max_iter,
-                                                  escape_r=escape_radius)
+        if dtype == "float32":
+            from cmtci.kernels.mandelbrot_pallas import green_cloud_f32
+
+            g, it, phi = green_cloud_f32(cloud, max_iter=max_iter,
+                                         escape_r=escape_radius)
+        else:
+            g, it, phi = mb.green_potential_compacted(cloud, max_iter=max_iter,
+                                                      escape_r=escape_radius)
         return {"g": g, "it": it, "phi": phi}
 
     out = artifacts.cached(
         "green_potential",
         {"cloud": artifacts.array_digest(cloud), "max_iter": max_iter,
-         "escape_r": escape_radius},
+         "escape_r": escape_radius,
+         **({"dtype": dtype} if dtype != "float64" else {})},
         _run, cache_dir=cache_dir or ".cmtci_cache", enabled=cache_dir is not None,
     )
     return np.asarray(out["g"]), np.asarray(out["it"]), np.asarray(out["phi"])
@@ -83,7 +96,8 @@ def _per_n_potentials(cfg: EquipotentialConfig, family: str | None = None,
                                                backend=cfg.cloud_backend)
     if g is None:
         g, _, _ = batch_potential(np.concatenate(clouds), cfg.max_iter,
-                                  cfg.escape_radius, cache_dir=cache_dir)
+                                  cfg.escape_radius, cache_dir=cache_dir,
+                                  dtype=cfg.potential_dtype)
     out = []
     off = 0
     for n, c in zip(ns, clouds):
@@ -126,7 +140,8 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
         c_inv = np.concatenate(clouds)
     with timer.stage("potential"):
         g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius,
-                                     cache_dir=cache_dir)
+                                     cache_dir=cache_dir,
+                                     dtype=cfg.potential_dtype)
     out = {
         "summary": laws.summarize_g(g),
         "laws": laws.compare_reference_laws(g[g > 0]),
@@ -151,7 +166,8 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                               for f in others]
                 g_all, _, _ = batch_potential(np.concatenate(fam_clouds),
                                               cfg.max_iter, cfg.escape_radius,
-                                              cache_dir=cache_dir)
+                                              cache_dir=cache_dir,
+                                              dtype=cfg.potential_dtype)
                 off = 0
                 for f, c in zip(others, fam_clouds):
                     fam_g[f] = g_all[off : off + len(c)]

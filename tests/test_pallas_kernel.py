@@ -130,3 +130,58 @@ def test_sampler_pallas_guards():
     with pytest.raises(ValueError, match="mesh"):
         mb.sample_boundary_quantile(TCI_DOM, 64, 50, max_iter=30,
                                     impl="pallas", mesh=object())
+
+
+def test_green_cloud_f32_vs_f64():
+    """f32 TPU cloud-green head (round 3): identical escape set, k exact for
+    nearly all points, g within f32 trajectory noise, deep escapers keep
+    their tiny-but-positive f64-scaled g (no 2^-k underflow)."""
+    from cmtci.kernels.mandelbrot_pallas import green_cloud_f32
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-2.2, 1.2, 400) + 1j * rng.uniform(-1.6, 1.6, 400)
+    # deep escapers near the cardioid cusp (k ~ 200-360 >> the f32 exp range)
+    pts = np.concatenate([pts, [0.25 + (np.pi / 200) ** 2, 0.2501,
+                                -0.7501 + 0.001j]])
+    g64, k64, p64 = mb.green_potential_compacted(pts, max_iter=2000,
+                                                 escape_r=2.0)
+    g32, k32, p32 = green_cloud_f32(pts, max_iter=2000, escape_r=2.0,
+                                    stage_iters=512)
+    esc64 = k64 < 2000
+    np.testing.assert_array_equal(esc64, k32 < 2000)
+    same_k = k64[esc64] == k32[esc64]
+    assert same_k.mean() > 0.99
+    m = esc64.copy()
+    m[esc64] &= same_k
+    rel = np.abs(g32[m] - g64[m]) / np.maximum(g64[m], 1e-300)
+    assert np.median(rel) < 1e-6
+    # the deep escapers: k exact and g positive in the f32-underflow region
+    deep = esc64 & (k64 > 126)
+    assert deep.sum() >= 3
+    assert (g32[deep] > 0).all()
+    # g = log|z_k| * 2^-k with |z_k| in (R, ~R^2+|c|) => log2 g + k in (~-1, ~2)
+    assert np.all(np.abs(np.log2(g32[deep]) + k32[deep]) < 2.0)
+    # phi matches where escaped; nan where not (non-escape semantics)
+    assert np.nanmax(np.abs(p32[esc64] - p64[esc64])) < 1e-5
+    assert np.isnan(p32[~esc64]).all()
+    # interior points short-circuit with the exact non-escape record
+    inside = np.array([0.0 + 0.0j, -1.0 + 0.05j, 0.2 + 0.1j])
+    gi, ki, pi_ = green_cloud_f32(inside, max_iter=64)
+    assert (gi == 0).all() and (ki == 64).all() and np.isnan(pi_).all()
+
+
+def test_equipotential_f32_potential_path():
+    """Pipeline-level: potential_dtype='float32' tracks the f64 summary."""
+    from cmtci.pipelines.equipotential import (EquipotentialConfig,
+                                               run_equipotential)
+
+    cfg64 = EquipotentialConfig(n_min=2, n_max=30, max_iter=500,
+                                run_family_comparison=False)
+    cfg32 = EquipotentialConfig(n_min=2, n_max=30, max_iter=500,
+                                run_family_comparison=False,
+                                potential_dtype="float32")
+    o64 = run_equipotential(cfg64, None, with_per_n=False)
+    o32 = run_equipotential(cfg32, None, with_per_n=False)
+    assert o32["summary"]["escaped"] == o64["summary"]["escaped"]
+    for key in ("g_median", "g_mean", "g_p90"):
+        assert abs(o32["summary"][key] - o64["summary"][key]) < 1e-5
