@@ -56,8 +56,18 @@ def _tile_coords(params_ref, th: int, tw: int):
     return cr, ci
 
 
-def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
-                  max_iter: int, inner: int, periodicity: bool = False):
+def _dwell_kernel(params_ref, *refs, max_iter: int, inner: int,
+                  periodicity: bool = False, ms: bool = False):
+    if ms:
+        # Mariani–Silver fill flags (one f32 per tile, SMEM): >= 0 means
+        # "this tile's dwell is the flag value everywhere" — the tile skips
+        # its entire while_loop and writes the fill, the cheap analogue of
+        # the classic rectangle fill (mandelbrot_boundary_sample.py computes
+        # every pixel; this is an opt-in TPU restructuring, see
+        # dwell_field_ms for the coarse-uniformity fill criterion).
+        fill_ref, out_ref, zr_ref, zi_ref, act_ref, *refs = refs
+    else:
+        out_ref, zr_ref, zi_ref, act_ref, *refs = refs
     th, tw = out_ref.shape
     cr, ci = _tile_coords(params_ref, th, tw)
     # analytic interior (see _interior_mask): those lanes start inactive with
@@ -69,8 +79,17 @@ def _dwell_kernel(params_ref, out_ref, zr_ref, zi_ref, act_ref, *refs,
     interior = _interior_mask(cr, ci)
     zr_ref[:] = jnp.zeros((th, tw), jnp.float32)
     zi_ref[:] = jnp.zeros((th, tw), jnp.float32)
-    act_ref[:] = jnp.where(interior, 0.0, 1.0)
-    out_ref[:] = jnp.where(interior, jnp.float32(max_iter), 0.0)
+    act0 = jnp.where(interior, 0.0, 1.0)
+    out0 = jnp.where(interior, jnp.float32(max_iter), 0.0)
+    if ms:
+        # flat 1-D SMEM indexing (row-major over the tile grid): Mosaic's
+        # layout checker rejects dynamic 2-D SMEM indices
+        fv = fill_ref[pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)]
+        filled = fv >= 0.0
+        act0 = jnp.where(filled, 0.0, act0)
+        out0 = jnp.where(filled, fv, out0)
+    act_ref[:] = act0
+    out_ref[:] = out0
     n_chunks = (max_iter + inner - 1) // inner
     if periodicity:
         # Brent cycle detection for interior lanes outside the cardioid/bulb:
@@ -747,3 +766,89 @@ def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
             zi_h = fetch(out[4]).ravel()[:m]
         k0 += iters
     return g, kk, phi
+
+
+# ---------------------------------------------------------------------------
+# Mariani–Silver-style two-pass dwell field (opt-in). The classic algorithm
+# recursively fills rectangles whose border has uniform dwell (exact for the
+# TRUE dwell by simple-connectivity of the {dwell >= v} sets); the TPU
+# restructuring below replaces the recursion with one cheap coarse pass and
+# a per-tile fill decision, so the fine pass skips entire tiles. The fill
+# criterion (coarse-sample uniformity over the tile + a one-sample halo) is
+# HEURISTIC at pixel resolution — a sub-stride dwell sliver can thread
+# between samples — hence the opt-in gate and the exactness regression in
+# tests/test_pallas_kernel.py. Reference semantics being accelerated:
+# mandelbrot_boundary_sample.py:22-39.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("nx", "ny", "max_iter", "tile",
+                                             "inner", "interpret"))
+def _dwell_ms(params, fill, nx, ny, max_iter, tile, inner, interpret):
+    th, tw = tile
+    return pl.pallas_call(
+        functools.partial(_dwell_kernel, max_iter=max_iter, inner=inner,
+                          ms=True),
+        out_shape=jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        grid=(ny // th, nx // tw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th, tw), jnp.float32) for _ in range(3)],
+        interpret=interpret,
+    )(params, fill)
+
+
+def dwell_field_ms(domain, nx: int, ny: int, max_iter: int = 500,
+                   stride: int = 8, tile: tuple = DEFAULT_TILE,
+                   inner: int = DEFAULT_INNER):
+    """Dwell field with Mariani–Silver-style tile fills. Returns (out, stats).
+
+    Pass 1 computes the dwell at every `stride`-th pixel (the coarse grid
+    shares the fine grid's spacing, so its samples ARE fine pixels). A fine
+    (th, tw) tile is filled with value v iff every coarse sample on the
+    tile plus a one-sample halo equals v — deep-interior and wide far-field
+    band tiles then skip their entire fine while_loop. Grid-edge tiles
+    (no halo) always compute. stats = {"filled": tiles filled, "tiles": total,
+    "coarse_px": coarse pass pixels}.
+    """
+    from cmtci.utils.artifacts import fetch
+
+    th, tw = tile
+    if th % stride or tw % stride:
+        raise ValueError(f"stride {stride} must divide the tile {tile}")
+    if ny % (th * stride) or nx % (tw * stride):
+        raise ValueError(f"(ny, nx) = {(ny, nx)} must be a multiple of "
+                         f"tile*stride = {(th * stride, tw * stride)}")
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    cyn, cxn = ny // stride, nx // stride
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    with jax.enable_x64(False):
+        pc = jnp.asarray([xmin, ymin, dx * stride, dy * stride], jnp.float32)
+        ch = fetch(_field(pc, cxn, cyn, max_iter, "dwell", 4.0, tile, inner,
+                          interpret))
+    n_ty, n_tx = ny // th, nx // tw
+    rs, cs = th // stride, tw // stride
+    fill = np.full((n_ty, n_tx), -1.0, np.float32)
+    for ti in range(n_ty):
+        r0, r1 = ti * rs, (ti + 1) * rs
+        if r0 == 0 or r1 + 1 > cyn:
+            continue
+        for tj in range(n_tx):
+            c0, c1 = tj * cs, (tj + 1) * cs
+            if c0 == 0 or c1 + 1 > cxn:
+                continue
+            w = ch[r0 - 1 : r1 + 1, c0 - 1 : c1 + 1]
+            v = w.flat[0]
+            if (w == v).all():
+                fill[ti, tj] = v
+    with jax.enable_x64(False):
+        p = jnp.asarray([xmin, ymin, dx, dy], jnp.float32)
+        out = _dwell_ms(p, jnp.asarray(fill.ravel()), nx, ny, max_iter,
+                        (th, tw), inner, interpret)
+    stats = {"filled": int((fill >= 0).sum()), "tiles": n_ty * n_tx,
+             "coarse_px": cyn * cxn}
+    return out, stats

@@ -185,3 +185,26 @@ def test_equipotential_f32_potential_path():
     assert o32["summary"]["escaped"] == o64["summary"]["escaped"]
     for key in ("g_median", "g_mean", "g_p90"):
         assert abs(o32["summary"][key] - o64["summary"][key]) < 1e-5
+
+
+def test_dwell_ms_exactness_and_guards():
+    """Opt-in Mariani–Silver dwell path (VERDICT r2 item 9): bitwise-equal
+    to the plain Pallas head at the tested configs, with some tiles filled;
+    bad stride/shape combinations raise."""
+    import pytest
+
+    from cmtci.kernels.mandelbrot_pallas import (dwell_field_ms,
+                                                 mandelbrot_field_pallas)
+
+    dom = (-2.1, 0.9, -1.5, 1.5)
+    for stride, mi in ((2, 100), (4, 250)):
+        plain = np.asarray(mandelbrot_field_pallas(
+            dom, 512, 256, max_iter=mi, kind="dwell", tile=(8, 128)))
+        ms, stats = dwell_field_ms(dom, 512, 256, max_iter=mi, stride=stride,
+                                   tile=(8, 128))
+        np.testing.assert_array_equal(plain, np.asarray(ms))
+        assert 0 < stats["filled"] < stats["tiles"]
+    with pytest.raises(ValueError, match="multiple"):
+        dwell_field_ms(dom, 500, 256, stride=2, tile=(8, 128))
+    with pytest.raises(ValueError, match="divide"):
+        dwell_field_ms(dom, 512, 256, stride=3, tile=(8, 128))
