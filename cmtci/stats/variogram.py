@@ -62,6 +62,52 @@ def _binned_sq_diff(c1, v1, c2, v2, edges, nbins: int, chunk: int, upper: bool):
     return sums[:-1], counts[:-1]
 
 
+@functools.partial(jax.jit, static_argnames=("nbins", "chunk", "upper"))
+def _binned_sq_diff_masked(c1, v1, c2, v2, edges, nbins: int, chunk: int,
+                           upper: bool):
+    """Scatter-free variant of _binned_sq_diff for the TPU path.
+
+    TPU scatter-adds serialize on duplicate indices, so the binning is
+    reformulated as nbins+1 CUMULATIVE masked reductions (S_k = sum of dv²
+    over pairs with d < edges[k]); per-bin values are adjacent differences —
+    identical bin semantics to searchsorted(side="right")-1 (edges[k] <= d <
+    edges[k+1]). Dense VPU reductions instead of scatter: 78x on v5e at the
+    reference's 15000-location shape (0.053 s vs 4.15 s, VALIDATION.md).
+    Counts accumulate in exact int32 (the f32 scatter path rounds counts
+    near 2^24), so counts are EXACT here at any dtype; only the dv² sums
+    carry f32 accumulation error (~1e-3, inside the subsample noise).
+    """
+    n1 = c1.shape[0]
+    npad = ((n1 + chunk - 1) // chunk) * chunk
+    c1p = jnp.pad(c1, ((0, npad - n1), (0, 0)))
+    v1p = jnp.pad(v1, (0, npad - n1))
+    n2 = c2.shape[0]
+    cols = jnp.arange(n2)
+
+    def body(i, acc):
+        s_acc, n_acc = acc
+        blk_c = jax.lax.dynamic_slice_in_dim(c1p, i * chunk, chunk, axis=0)
+        blk_v = jax.lax.dynamic_slice_in_dim(v1p, i * chunk, chunk)
+        ridx = i * chunk + jnp.arange(chunk)
+        d = jnp.sqrt(jnp.sum((blk_c[:, None, :] - c2[None, :, :]) ** 2, axis=-1))
+        dv2 = (blk_v[:, None] - v2[None, :]) ** 2
+        valid = jnp.broadcast_to(ridx[:, None] < n1, d.shape)
+        if upper:
+            valid = valid & (cols[None, :] > ridx[:, None])
+        dvv = jnp.where(valid, dv2, 0.0)
+        s_list, n_list = [], []
+        for k in range(nbins + 1):
+            m = valid & (d < edges[k])
+            s_list.append(jnp.sum(jnp.where(m, dvv, 0.0)))
+            n_list.append(jnp.sum(m, dtype=jnp.int32))
+        return s_acc + jnp.stack(s_list), n_acc + jnp.stack(n_list)
+
+    init = (jnp.zeros(nbins + 1, dtype=v1.dtype),
+            jnp.zeros(nbins + 1, dtype=jnp.int32))
+    s_cum, n_cum = jax.lax.fori_loop(0, npad // chunk, body, init)
+    return s_cum[1:] - s_cum[:-1], n_cum[1:] - n_cum[:-1]
+
+
 def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
                        chunk: int = 1024, dtype=None):
     """Isotropic empirical semivariogram of a grid field.
@@ -69,10 +115,12 @@ def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
     Matches variograms_construct_mandelbrot.py:178-252 up to the documented
     removal of the per-bin pair cap. Returns (r_centers, gamma, counts).
 
-    dtype=jnp.float32 runs the all-pairs binning on the default device (the
-    TPU fast path); per-bin f32 accumulation error is ~1e-4 relative, far
-    below the location-subsample noise. The f64 default stays on the host
-    CPU under TPU platforms (emulated f64).
+    dtype=jnp.float32 runs the all-pairs binning on the default device via
+    the scatter-free masked-reduction kernel (_binned_sq_diff_masked, 78x
+    vs the scatter form on v5e); per-bin f32 sum error is ~1e-4 relative
+    (counts are exact int32), far below the location-subsample noise. The
+    f64 default stays on the host CPU under TPU platforms (emulated f64),
+    where the scatter form is the faster one.
     """
     from cmtci.utils.device import analysis_cpu
 
@@ -90,7 +138,8 @@ def grid_semivariogram(field, gx, gy, r_bins, m_target: int = 15000, rng=None,
         v = jnp.asarray(vals[idx], dtype)
         edges = jnp.asarray(np.asarray(r_bins, dtype=float), dtype)
         nbins = len(r_bins) - 1
-        sums, counts = _binned_sq_diff(c, v, c, v, edges, nbins, chunk, upper=True)
+        binned = _binned_sq_diff_masked if dtype is not None else _binned_sq_diff
+        sums, counts = binned(c, v, c, v, edges, nbins, chunk, upper=True)
     sums, counts = np.asarray(sums), np.asarray(counts)
     gamma = np.zeros(nbins)
     nz = counts > 0
@@ -117,7 +166,8 @@ def cross_semivariogram(field1, field2, gx, gy, r_bins, m_target: int = 15000,
     with dev:
         edges = jnp.asarray(np.asarray(r_bins, dtype=float), dtype)
         nbins = len(r_bins) - 1
-        sums, counts = _binned_sq_diff(
+        binned = _binned_sq_diff_masked if dtype is not None else _binned_sq_diff
+        sums, counts = binned(
             jnp.asarray(coords[i1], dtype), jnp.asarray(v1[i1], dtype),
             jnp.asarray(coords[i2], dtype), jnp.asarray(v2[i2], dtype),
             edges, nbins, chunk, upper=False,

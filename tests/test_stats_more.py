@@ -249,3 +249,22 @@ def test_semivariogram_f32_close_to_f64(rng):
     rel = np.abs(g32[nz] - g64[nz]) / np.maximum(np.abs(g64[nz]), 1e-30)
     assert rel.max() < 5e-3
     assert np.abs(c32 - c64).max() <= max(5, 0.001 * c64.max())
+
+
+def test_binned_masked_matches_scatter_semantics(rng):
+    """The scatter-free TPU binning (round 3) bins identically to the
+    searchsorted/scatter kernel: exact counts, sums to reduction-order
+    tolerance, at f64 (where both are well-conditioned)."""
+    import jax.numpy as jnp
+
+    from cmtci.stats.variogram import _binned_sq_diff, _binned_sq_diff_masked
+
+    c = jnp.asarray(rng.uniform(-2, 2, (700, 2)))
+    v = jnp.asarray(rng.normal(size=700))
+    edges = jnp.asarray(np.linspace(0.0, 1.3, 36))
+    for upper in (True, False):
+        s0, n0 = _binned_sq_diff(c, v, c, v, edges, 35, 256, upper)
+        s1, n1 = _binned_sq_diff_masked(c, v, c, v, edges, 35, 256, upper)
+        np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                                   rtol=1e-12, atol=1e-12)
