@@ -16,6 +16,14 @@
     the TPU fast path (f32 Pallas DE head + f32 matcher, f64 analysis on
     host). Run twice; the second (warm-cache) time is reported. Baseline:
     287.1 s total on the reference author's CPU (v3_T25_sigma3_dense.csv).
+  * equipotential_s — the full Green-statistics pipeline (n=2..200,
+    max_iter=20000, per-n + cumulative + 4 families) on the f32 TPU
+    cloud-green head. Baseline: 312 s (the reference script's wall time
+    measured on this host; 26 s for the round-2 CPU rebuild).
+  * variograms_s — the full variogram pipeline (3x 15000-location
+    all-pairs, 225M pairs each) on the f32 TPU masked-reduction binning.
+    Baseline: 71 s (this repo's f64 CPU path at the reference config — the
+    reference caps pairs per bin, so its numbers aren't comparable).
 
 Timing note: the TPU sits behind an RPC relay with ~29 ms roundtrip, so the
 dwell kernel is executed in a data-dependent chain of REPS grids inside one
@@ -32,6 +40,8 @@ import numpy as np
 REFERENCE_CPU_MPIX_S = 0.0158   # measured; see module docstring
 REFERENCE_LAPACK_EIG_S = 44.6   # measured on this host (VALIDATION.md)
 REFERENCE_TRACKER_S = 287.1     # v3_T25_sigma3_dense.csv runtime_sec sum
+REFERENCE_EQUIPOTENTIAL_S = 312.0  # reference script wall time, this host
+REFERENCE_VARIOGRAMS_S = 71.0   # this repo's f64 CPU path (see docstring)
 
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000
@@ -156,6 +166,36 @@ def _bench_tracker(on_tpu: bool) -> float:
     return best
 
 
+def _bench_equipotential(on_tpu: bool) -> float:
+    """Warm wall time of the full equipotential pipeline (f32 TPU head)."""
+    from cmtci.pipelines.equipotential import (EquipotentialConfig,
+                                               run_equipotential)
+
+    cfg = EquipotentialConfig(
+        potential_dtype="float32" if on_tpu else "float64")
+    best = float("inf")
+    for _ in range(2):  # second run sees warm jit/compile caches
+        t0 = time.time()
+        out = run_equipotential(cfg)
+        best = min(best, time.time() - t0)
+    assert 0.5 < out["summary"]["escaped_frac"] < 1.0
+    return best
+
+
+def _bench_variograms(on_tpu: bool) -> float:
+    """Warm wall time of the full variogram pipeline (f32 TPU binning)."""
+    from cmtci.pipelines.variograms import VariogramConfig, run_variograms
+
+    cfg = VariogramConfig(vario_dtype="float32" if on_tpu else "float64")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = run_variograms(cfg)
+        best = min(best, time.time() - t0)
+    assert np.isfinite(out["gamma_construct"][1:]).all()
+    return best
+
+
 def _run(on_tpu: bool):
     import jax
 
@@ -183,6 +223,19 @@ def _run(on_tpu: bool):
         trk_s = _bench_tracker(on_tpu)
         result["tracker_warm_s"] = round(trk_s, 2)
         result["tracker_vs_reference"] = round(REFERENCE_TRACKER_S / trk_s, 1)
+    except Exception:
+        pass
+    try:
+        eq_s = _bench_equipotential(on_tpu)
+        result["equipotential_s"] = round(eq_s, 2)
+        result["equipotential_vs_reference"] = round(
+            REFERENCE_EQUIPOTENTIAL_S / eq_s, 1)
+    except Exception:
+        pass
+    try:
+        vg_s = _bench_variograms(on_tpu)
+        result["variograms_s"] = round(vg_s, 2)
+        result["variograms_vs_f64_cpu"] = round(REFERENCE_VARIOGRAMS_S / vg_s, 1)
     except Exception:
         pass
     print(json.dumps(result))
