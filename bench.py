@@ -186,7 +186,8 @@ def _bench_variograms(on_tpu: bool) -> float:
     """Warm wall time of the full variogram pipeline (f32 TPU binning)."""
     from cmtci.pipelines.variograms import VariogramConfig, run_variograms
 
-    cfg = VariogramConfig(vario_dtype="float32" if on_tpu else "float64")
+    cfg = VariogramConfig(vario_dtype="float32" if on_tpu else "float64",
+                          field_dtype="float32" if on_tpu else "float64")
     best = float("inf")
     for _ in range(2):
         t0 = time.time()

@@ -113,7 +113,10 @@ def main(argv=None):
     p.add_argument("--detrend", action="store_true")
     p.add_argument("--fit-model", action="store_true")
     p.add_argument("--vario-dtype", choices=["float64", "float32"], default="float64",
-                   help="float32 = all-pairs binning on the TPU (9x; ~1e-3 rel)")
+                   help="float32 = all-pairs binning on the TPU (78x kernel; ~4e-6 rel)")
+    p.add_argument("--field-dtype", choices=["float64", "float32"], default="float64",
+                   help="float32 = DE proxy + potentials on the TPU "
+                        "(borderline DE-threshold points flip)")
     _add_common(p)
 
     for name in ("spectral", "multifractal", "embeddings", "symmetry",
@@ -160,9 +163,11 @@ def _wants_tpu(args) -> bool:
     if args.cmd == "tracker":
         return (args.field_dtype == "float32" or args.de_impl == "pallas")
     if args.cmd == "variograms":
-        return args.vario_dtype == "float32"
+        return args.vario_dtype == "float32" or args.field_dtype == "float32"
     if args.cmd == "uniformize-green":
         return args.map_dtype == "float32"
+    if args.cmd == "equipotential":
+        return args.green_dtype == "float32"
     return False
 
 
@@ -263,7 +268,8 @@ def _dispatch(args):
 
         cfg = VariogramConfig(grid_nx=args.grid, grid_ny=args.grid,
                               detrend=args.detrend, fit_model=args.fit_model,
-                              vario_dtype=args.vario_dtype)
+                              vario_dtype=args.vario_dtype,
+                              field_dtype=args.field_dtype)
         out = run_variograms(cfg, f"{args.out}_variograms.csv")
         print(f"variograms: {out['n_construct']} C pts, {out['n_boundary']} M pts")
     elif cmd in ("spectral", "multifractal", "embeddings", "symmetry",

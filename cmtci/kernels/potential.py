@@ -52,8 +52,12 @@ def cloud_log_potential(gx, gy, pts, eps: float = 1e-12, sign: int = 1, chunk: i
         return jnp.zeros_like(jnp.asarray(gx))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
-    px = jnp.asarray(np.pad(px, (0, pad)))
-    py = jnp.asarray(np.pad(py, (0, pad)))
-    w = jnp.asarray(np.pad(np.ones(n), (0, pad)))
-    u = _accumulate(jnp.asarray(gx), jnp.asarray(gy), px, py, w, eps, 1 if sign > 0 else -1, chunk)
+    gx = jnp.asarray(gx)
+    # points and weights follow the grid's dtype (an f32 grid selects the
+    # TPU fast path end-to-end; mixed inputs would upcast the carry)
+    px = jnp.asarray(np.pad(px, (0, pad)), dtype=gx.dtype)
+    py = jnp.asarray(np.pad(py, (0, pad)), dtype=gx.dtype)
+    w = jnp.asarray(np.pad(np.ones(n), (0, pad)), dtype=gx.dtype)
+    u = _accumulate(gx, jnp.asarray(gy, dtype=gx.dtype), px, py, w,
+                    gx.dtype.type(eps), 1 if sign > 0 else -1, chunk)
     return u / n

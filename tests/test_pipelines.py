@@ -205,3 +205,23 @@ def test_cli_green_map_dtype_flag(tmp_path):
                "--map-dtype", "float32", "--out", str(tmp_path / "g")])
     assert rc == 0
     assert (tmp_path / "g" / "diagnostics.csv").exists()
+
+
+def test_variograms_f32_field_path(tmp_path):
+    """field_dtype='float32' (TPU DE proxy + potentials) tracks the f64
+    gammas within the f32 grid-field noise."""
+    cfg64 = VariogramConfig(n_list=(30, 60), boundary_grid=120,
+                            boundary_max_iter=150, grid_nx=64, grid_ny=64,
+                            potential_max_iter=150, m_target=2000)
+    cfg32 = VariogramConfig(n_list=(30, 60), boundary_grid=120,
+                            boundary_max_iter=150, grid_nx=64, grid_ny=64,
+                            potential_max_iter=150, m_target=2000,
+                            field_dtype="float32")
+    o64 = run_variograms(cfg64)
+    o32 = run_variograms(cfg32)
+    a, b = np.asarray(o64["gamma_construct"]), np.asarray(o32["gamma_construct"])
+    nz = np.abs(a) > 0
+    assert np.max(np.abs(b[nz] - a[nz]) / np.abs(a[nz])) < 1e-3
+    am, bm = np.asarray(o64["gamma_mandelbrot"]), np.asarray(o32["gamma_mandelbrot"])
+    nz = np.abs(am) > 1e-12
+    assert np.max(np.abs(bm[nz] - am[nz]) / np.abs(am[nz])) < 0.05
