@@ -479,9 +479,12 @@ def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
     Same contract as eigvals_batched — (re, im, valid) padded to max(ns),
     rows in input order — but each polynomial is padded only to its
     bucket's max degree, so the O(L²) repulsion cost tracks Σ n² instead
-    of B·n_max² (~2x at the tracker's stage-4 shapes, more for dense n
-    ranges like the equipotential sweep) and small-degree buckets exit
-    their while_loop independently. Rows are solved by the identical
+    of B·n_max² (~2x at the tracker's stage-4 shapes) and small-degree
+    buckets exit their while_loop independently. Worth it only when the
+    padded repulsion work is large: each bucket is its own jit trace, so
+    inverse_cloud_padded gates on B·n_max² > 5e7 — small dense sweeps
+    (e.g. the equipotential's n=2..200, work ~8e6) stay single-batch
+    where the per-bucket trace overhead would dominate the saving. Rows are solved by the identical
     aberth_roots kernel (zero-padding of coefficients is exact, see
     _newton_ratio), so per-root values equal the unbucketed sweep's up to
     the convergence tolerance. Not jit-traceable (host loop over buckets);

@@ -712,10 +712,11 @@ def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
     # (g = 0, k = max_iter, phi = nan) is known up front, so drop them from
     # the staging loop entirely — without this, the per-n dominant roots
     # scattered through the cloud would pin their tiles to the full budget.
-    # (f64 evaluation with a tiny margin: a point misclassified interior by
-    # rounding is within ~1e-14 of the boundary, whose escape time ~1e7
-    # iterations exceeds any configured max_iter — the iterated path returns
-    # the identical non-escape record.)
+    # (exact f64 cardioid/bulb inequalities, NO margin — boundary points are
+    # in M, and a point misclassified interior by f64 rounding sits within
+    # ~1e-14 of the boundary, whose escape time ~1e7 iterations exceeds any
+    # configured max_iter, so the iterated path would return the identical
+    # non-escape record)
     xr, xi = pts.real, pts.imag
     q = (xr - 0.25) ** 2 + xi * xi
     interior = (q * (q + (xr - 0.25)) <= 0.25 * xi * xi) | (
@@ -821,6 +822,14 @@ def dwell_field_ms(domain, nx: int, ny: int, max_iter: int = 500,
     if ny % (th * stride) or nx % (tw * stride):
         raise ValueError(f"(ny, nx) = {(ny, nx)} must be a multiple of "
                          f"tile*stride = {(th * stride, tw * stride)}")
+    n_fill = (ny // th) * (nx // tw)
+    if n_fill > 16384:
+        # the fill flags live wholesale in SMEM (one f32 per tile); a
+        # too-large array would fail the Mosaic compile on device — and a
+        # crashed TPU compile can wedge the remote-compile relay for ~10
+        # minutes (CLAUDE.md) — so refuse loudly up front
+        raise ValueError(f"{n_fill} tiles exceeds the 16384-tile SMEM budget "
+                         f"for the fill flags; use a larger tile or stride")
     xmin, xmax, ymin, ymax = domain
     dx = (xmax - xmin) / (nx - 1)
     dy = (ymax - ymin) / (ny - 1)

@@ -257,7 +257,8 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
         **{k: (list(v) if isinstance(v, tuple) else v) for k, v in dataclasses.asdict(cfg).items()},
         "global_stop_reason": global_stop,
         "stage_times": dict(timer.times),
-        "stage_bytes": dict(timer.bytes),  # device->host transfer per phase
+        "stage_bytes": dict(timer.bytes),  # all jax fetches per phase
+        "stage_accel_bytes": dict(timer.accel_bytes),  # relay-crossing only
         "rows": [dataclasses.asdict(r) for r in rows],
     }
     return rows, meta
@@ -286,5 +287,6 @@ def write_outputs(rows, meta, out_prefix: str):
 
     writers.write_config_meta(f"{out_prefix}_meta.txt",
                               {k: v for k, v in meta.items()
-                               if k not in ("rows", "stage_times", "stage_bytes")})
+                               if k not in ("rows", "stage_times", "stage_bytes",
+                                            "stage_accel_bytes")})
     return csv_path, json_path

@@ -66,7 +66,7 @@ def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
     return out
 
 
-_fetch_bytes = [0]  # process-wide device->host transfer tally (see fetch())
+_fetch_bytes = [0, 0]  # process-wide tallies: [all jax.Array, accelerator-only]
 
 
 def fetch(x) -> np.ndarray:
@@ -76,32 +76,47 @@ def fetch(x) -> np.ndarray:
     bytes moved per stage — on the TPU the host link is a ~30 ms RPC relay
     (CLAUDE.md), so per-stage transfer volume is a first-class perf metric
     and a silent regression (e.g. a grid-sized mask where n_samples indices
-    suffice) should show up mechanically, not in a hand profile. Only
-    jax.Array inputs count; host numpy passes through untallied.
+    suffice) should show up mechanically, not in a hand profile. Two
+    tallies: every jax.Array fetch (includes the host-CPU jax backend the
+    f64 analysis math is pinned to), and accelerator-only fetches — the
+    ones that actually cross the relay. Host numpy passes through
+    untallied.
     """
     import jax
 
     is_device = isinstance(x, jax.Array)
+    accel = is_device and any(d.platform != "cpu" for d in x.devices())
     out = np.asarray(x)
     if is_device:
         _fetch_bytes[0] += out.nbytes
+        if accel:
+            _fetch_bytes[1] += out.nbytes
     return out
 
 
 def fetch_bytes_total() -> int:
-    """Process-wide device->host bytes fetched through fetch()."""
+    """Process-wide bytes fetched through fetch() from any jax backend."""
     return _fetch_bytes[0]
+
+
+def accel_bytes_total() -> int:
+    """Process-wide bytes fetched from non-CPU (accelerator) devices only —
+    the relay-crossing traffic on a TPU session."""
+    return _fetch_bytes[1]
 
 
 class StageTimer:
     """Per-stage wall timing + device->host transfer bytes, with optional
     jax.profiler traces (SURVEY §5.1). Transfer accounting covers fetches
-    routed through `fetch()` (all cmtci hot paths); `self.bytes[name]`
-    accrues alongside `self.times[name]`."""
+    routed through `fetch()` (all cmtci hot paths): `self.bytes[name]` is
+    every jax.Array fetch (incl. the host-CPU jax backend), and
+    `self.accel_bytes[name]` only the accelerator (relay-crossing) ones —
+    the number to watch for transfer regressions on a TPU session."""
 
     def __init__(self, trace_dir: str | None = None):
         self.times: dict = {}
         self.bytes: dict = {}
+        self.accel_bytes: dict = {}
         self.trace_dir = trace_dir
 
     def stage(self, name: str):
@@ -119,13 +134,15 @@ class StageTimer:
                 ctx = jax.profiler.trace(timer.trace_dir)
                 ctx.__enter__()
             t0 = time.time()
-            b0 = _fetch_bytes[0]
+            b0, a0 = _fetch_bytes
             try:
                 yield
             finally:
                 timer.times[name] = timer.times.get(name, 0.0) + time.time() - t0
                 timer.bytes[name] = (timer.bytes.get(name, 0)
                                      + _fetch_bytes[0] - b0)
+                timer.accel_bytes[name] = (timer.accel_bytes.get(name, 0)
+                                           + _fetch_bytes[1] - a0)
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
 

@@ -94,13 +94,24 @@ def test_curve_init_few_iterations_stage4_shape():
 def test_bucketed_equals_unbucketed():
     """Degree-bucketed sweep returns the same cloud up to the convergence
     tolerance (the repulsion's blocked summation order differs with the
-    lane width, so last-ulp trajectory differences are expected)."""
+    lane width, so last-ulp trajectory differences are expected).
+
+    Calls eigvals_bucketed DIRECTLY: inverse_cloud's work gate routes
+    small sweeps like this one to the single-batch path, which silently
+    made the original inverse_cloud-based comparison vacuous."""
     ns = [5, 30, 64, 65, 130, 300]
-    z_b = companion.inverse_cloud(ns)  # bucketed by default
+    zr_b, zi_b, valid_b = companion.eigvals_bucketed(ns)
+    assert np.asarray(valid_b).any()
+    lam_b = np.asarray(zr_b) + 1j * np.asarray(zi_b)
     zr, zi, valid = companion.inverse_cloud_padded(ns, bucketed=False)
-    z_u = np.concatenate([
-        (np.asarray(zr)[b] + 1j * np.asarray(zi)[b])[np.asarray(valid)[b]]
-        for b in range(len(ns))])
-    assert z_b.shape == z_u.shape
-    np.testing.assert_allclose(np.sort_complex(z_b), np.sort_complex(z_u),
-                               rtol=0, atol=5e-13)
+    for b in range(len(ns)):
+        z_b = (1.0 / lam_b[b])[np.asarray(valid_b)[b]]
+        z_u = (np.asarray(zr)[b] + 1j * np.asarray(zi)[b])[np.asarray(valid)[b]]
+        assert z_b.shape == z_u.shape
+        # optimal matching: a plain complex sort mispairs near-conjugate
+        # roots whose real parts agree to ~1e-13
+        assert _match_error(z_b, z_u) < 5e-13, ns[b]
+    # and the gate itself: a stage-4-scale sweep takes the bucketed path
+    assert len([5, 30]) * 300 ** 2 < 5e7  # this test's shape stays single-batch
+    big = list(range(20, 1221, 20))
+    assert len(big) * max(big) ** 2 > 5e7  # the tracker's stage-4 shape buckets

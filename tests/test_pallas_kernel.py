@@ -208,3 +208,5 @@ def test_dwell_ms_exactness_and_guards():
         dwell_field_ms(dom, 500, 256, stride=2, tile=(8, 128))
     with pytest.raises(ValueError, match="divide"):
         dwell_field_ms(dom, 512, 256, stride=3, tile=(8, 128))
+    with pytest.raises(ValueError, match="SMEM"):
+        dwell_field_ms(dom, 131072, 131072, stride=8)  # 2^17/32 * 2^17/256 tiles

@@ -77,3 +77,18 @@ def test_tracker_meta_reports_stage_bytes():
     assert "stage_bytes" in meta
     sample_keys = [k for k in meta["stage_bytes"] if k.endswith("_sample")]
     assert sample_keys and all(meta["stage_bytes"][k] > 0 for k in sample_keys)
+
+
+def test_accel_bytes_zero_on_cpu_backend():
+    """accel_bytes counts only non-CPU fetches: on the CPU test backend it
+    stays zero while bytes accrues — so on a TPU session the two split
+    relay-crossing traffic from host-CPU-pinned analysis fetches."""
+    import jax.numpy as jnp
+
+    t = artifacts.StageTimer()
+    a0 = artifacts.accel_bytes_total()
+    with t.stage("s"):
+        artifacts.fetch(jnp.zeros(10, dtype=jnp.float32))
+    assert t.bytes["s"] == 40
+    assert t.accel_bytes["s"] == 0
+    assert artifacts.accel_bytes_total() == a0
