@@ -78,9 +78,13 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
 
     def _fit():
+        # the f32 perf path also takes the fast Cholesky fit (σ to 1.4e-8 of
+        # the reference lstsq, ~8x); the f64 parity path keeps np.linalg.lstsq
         rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
                                      inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
-                                     verbose=verbose)
+                                     verbose=verbose,
+                                     solver="normal" if cfg.map_dtype == "float32"
+                                     else "lstsq")
         return {"bdy_z": rm.bdy_z, "ds": rm.ds, "sigma": rm.sigma,
                 "a": np.complex128(rm.a), "c": np.float64(rm.c),
                 "g_shift": np.float64(rm.g_shift)}

@@ -177,8 +177,9 @@ def test_green_uniformization_f32_map_path(tmp_path):
 
     map_dtype="float32" must run the full pipeline within the documented
     error budget relative to the f64 path (disk points within ~1e-4 here;
-    the v40 self-check contracts still hold). The fit stays f64-host, so
-    the map parameters (a, C, g_shift, sigma) are identical.
+    the v40 self-check contracts still hold). The fit stays f64-host but
+    takes the fast Cholesky normal-equations solve (σ within ~1e-8 of the
+    parity lstsq — three orders below the boundary-residual budget).
     """
     xy = export_lucas_boundary(LucasBoundaryConfig(n_min=2, n_max=30, n_boundary=300))
     cfg64 = GreenUniformizeConfig(n_bdy=300, interior_n=1500)
@@ -189,9 +190,10 @@ def test_green_uniformization_f32_map_path(tmp_path):
     assert abs(d["bdy_mod_median"] - 1.0) < 0.02
     assert d["inverse_err_median"] < 1e-10
     assert d["rad_clamped_max"] <= 0.995 + 1e-9
-    # identical fit, f32-budget evaluation drift only
+    # same interior point; σ within the Cholesky-vs-lstsq solver budget
     assert o32["map"].a == o64["map"].a
-    np.testing.assert_array_equal(o32["map"].sigma, o64["map"].sigma)
+    np.testing.assert_allclose(o32["map"].sigma, o64["map"].sigma,
+                               rtol=0, atol=1e-7)
     w64, w32 = o64["disk"], o32["disk"]
     ok = np.isfinite(w64) & np.isfinite(w32)
     assert np.abs(w32[ok] - w64[ok]).max() < 1e-3
