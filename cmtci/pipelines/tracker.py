@@ -158,15 +158,37 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
                      "grid": grid, "samples": samples, "n_stage": len(rows)}
 
         def _stage_kernels():
-            with timer.stage(f"bins{bins}_cloud"):
-                c_cloud = companion.inverse_cloud(ns, cfg.family, tol=1e-10, backend=cloud_backend)
-            with timer.stage(f"bins{bins}_sample"):
-                m_cloud = mandelbrot.sample_boundary_quantile(
+            def _cloud():
+                return companion.inverse_cloud(ns, cfg.family, tol=1e-10,
+                                               backend=cloud_backend)
+
+            def _sample():
+                return mandelbrot.sample_boundary_quantile(
                     cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
                     eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
                     dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
                     mesh=stage_mesh,
                 )
+
+            if cfg.de_impl == "pallas" and not cfg.parity:
+                # the eigensweep (host CPU Aberth) and the DE sample (TPU
+                # Pallas + relay) are independent until the matcher — overlap
+                # them. The shared RNG stream is untouched by the cloud, so
+                # the realization is identical to the sequential order; jax
+                # device/x64 contexts are thread-local, so the worker's
+                # analysis_cpu pin can't leak into the device calls.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with timer.stage(f"bins{bins}_cloud+sample"):
+                    with ThreadPoolExecutor(1) as ex:
+                        fut = ex.submit(_cloud)
+                        m_cloud = _sample()
+                        c_cloud = fut.result()
+            else:
+                with timer.stage(f"bins{bins}_cloud"):
+                    c_cloud = _cloud()
+                with timer.stage(f"bins{bins}_sample"):
+                    m_cloud = _sample()
             with timer.stage(f"bins{bins}_match"):
                 m_match, c_sub = entropic_argmax_match(
                     c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng,

@@ -142,3 +142,27 @@ def test_f32_path_adaptive_tn_pinned():
     rows, _ = run_tracker(cfg)
     assert [r.T_n for r in rows] == [91, 103, 106, 109]
     assert all(r.stop_reason == "kl_threshold_met" for r in rows)
+
+
+def test_cloud_sample_overlap_invariants():
+    """The pallas-path cloud/sample overlap is safe because the eigensweep
+    never consumes the shared RNG stream (so overlap == sequential order),
+    and the overlapped tracker is deterministic run-to-run."""
+    import dataclasses
+
+    from cmtci.kernels import companion
+
+    rng = np.random.RandomState(7)
+    state0 = rng.get_state()[1].copy()
+    companion.inverse_cloud([20, 40, 60], "lucas_all_ones", tol=1e-10)
+    assert np.array_equal(rng.get_state()[1], state0)
+
+    cfg = TrackerConfig(sigma_bins=3.0, t_fixed=3, bins_start=16, bins_max=32,
+                        mandelbrot_grid_start=96, construct_max_start=60,
+                        mandelbrot_samples_start=400,
+                        field_dtype="float32", de_impl="pallas")
+    r1, _ = run_tracker(cfg)
+    r2, _ = run_tracker(cfg)
+    for a, b in zip(r1, r2):
+        assert dataclasses.asdict(a) == {**dataclasses.asdict(b),
+                                         "runtime_sec": a.runtime_sec}
