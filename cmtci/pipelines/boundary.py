@@ -46,8 +46,11 @@ def compute_dwell(cfg: BoundaryConfig) -> np.ndarray:
         dom_pad = (cfg.xlim[0], xmax_pad, cfg.ylim[0], ymax_pad)
         z = mandelbrot_field_pallas(dom_pad, nx, ny, max_iter=cfg.max_iter, kind="dwell")
         return np.asarray(z)[: cfg.res, : cfg.res]
-    cr, ci = mb.complex_grid(domain, cfg.res, cfg.res)
-    return np.asarray(mb.dwell_grid(cr, ci, max_iter=cfg.max_iter)).astype(float)
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():  # f64 escape loop: host CPU by the device policy
+        cr, ci = mb.complex_grid(domain, cfg.res, cfg.res)
+        return np.asarray(mb.dwell_grid(cr, ci, max_iter=cfg.max_iter)).astype(float)
 
 
 def run_boundary(cfg: BoundaryConfig, output_prefix: str | None = None):

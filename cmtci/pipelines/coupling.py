@@ -47,10 +47,15 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     gxx, gyy = np.meshgrid(gx1, gy1)
     cr, ci = np.meshgrid(gx1, gy1)  # same layout as reference meshgrid
 
-    # U_M is static (escape potential, log|z|/(k+1) head, R=10)
-    u_m = np.asarray(mb.escape_potential_grid(cr, ci, max_iter=cfg.max_iter_mb,
-                                              escape_r=cfg.escape_rad,
-                                              normalization="k_plus_1"))
+    from cmtci.utils.device import analysis_cpu
+
+    # U_M is static (escape potential, log|z|/(k+1) head, R=10); f64 escape
+    # loops stay on the host CPU by the device policy (library callers can
+    # run under a TPU-pinned session — the CLI pins cpu, this must too)
+    with analysis_cpu():
+        u_m = np.asarray(mb.escape_potential_grid(cr, ci, max_iter=cfg.max_iter_mb,
+                                                  escape_r=cfg.escape_rad,
+                                                  normalization="k_plus_1"))
     rows = []
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
@@ -58,7 +63,8 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         lags, gamma, counts = vg.point_variogram(c, dists, nbins=cfg.vario_bins)
         a_est = vg.variogram_range(lags, gamma, cfg.vario_percent)
 
-        u_c = np.asarray(cloud_log_potential(gxx, gyy, c, eps=1e-12, sign=1))
+        with analysis_cpu():
+            u_c = np.asarray(cloud_log_potential(gxx, gyy, c, eps=1e-12, sign=1))
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )

@@ -41,7 +41,10 @@ def sample_boundary_band(cfg: Stage1Config, rng) -> np.ndarray:
     xs = np.linspace(-2.25, 1.25, cfg.nx)
     ys = np.linspace(-1.25, 1.25, cfg.ny)
     cr, ci = np.meshgrid(xs, ys, indexing="xy")
-    esc, d = mb.de_field_stage1(cr, ci, max_iter=cfg.max_iter, bailout=cfg.bailout)
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():  # f64 escape loop: host CPU by the device policy
+        esc, d = mb.de_field_stage1(cr, ci, max_iter=cfg.max_iter, bailout=cfg.bailout)
     d = np.asarray(d)
     keep = (d > cfg.threshold_low) & (d < cfg.threshold_high)
     cand = np.column_stack([cr[keep], ci[keep]])
