@@ -32,6 +32,9 @@ if not _os.environ.get("CMTCI_NO_COMPILE_CACHE"):
         _os.environ.get("CMTCI_COMPILE_CACHE",
                         _os.path.expanduser("~/.cache/cmtci_xla")),
     )
-    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist even sub-second executables: the analysis pipelines compile
+    # dozens of ~0.15 s kernels per process (e.g. the symmetry scan's 26),
+    # which the default 1 s threshold silently recompiled on EVERY run
+    _jax_config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 __version__ = "0.1.0"
