@@ -523,6 +523,15 @@ def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
     return jnp.asarray(zr), jnp.asarray(zi), jnp.asarray(valid)
 
 
+def _bucketing_pays(ns) -> bool:
+    """Gate for the degree-bucketed sweep: bucketing pays only when the
+    padded repulsion work is large — each bucket is its own jit trace
+    (~0.5 s of host time per new shape), so small sweeps (e.g. the
+    equipotential's dense n=2..200) stay single-batch while stage-4-scale
+    sweeps (n_max ~1220) split."""
+    return len(set(ns)) > 1 and len(ns) * max(ns) ** 2 > 5e7
+
+
 def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
                          bucketed: bool = True, repulsion_dtype=jnp.float32):
     """Padded inverse-eigenvalue cloud 1/λ. Returns (re, im, valid).
@@ -531,12 +540,7 @@ def inverse_cloud_padded(ns, family: str = "lucas_all_ones",
     where a single traced kernel is required.
     """
     ns = [int(n) for n in ns]
-    # bucketing pays only when the padded repulsion work is large: each
-    # bucket is its own jit trace (~0.5 s of host time per new shape), so
-    # small sweeps (e.g. the equipotential's dense n=2..200) stay single-
-    # batch while stage-4-scale sweeps (n_max ~1220) split.
-    work = len(ns) * max(ns) ** 2
-    if bucketed and len(set(ns)) > 1 and work > 5e7:
+    if bucketed and _bucketing_pays(ns):
         zr, zi, valid = eigvals_bucketed(ns, family, repulsion_dtype=repulsion_dtype)
     else:
         zr, zi, valid = eigvals_batched(ns, family, repulsion_dtype=repulsion_dtype)

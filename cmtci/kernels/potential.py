@@ -50,14 +50,24 @@ def cloud_log_potential(gx, gy, pts, eps: float = 1e-12, sign: int = 1, chunk: i
     n = px.shape[0]
     if n == 0:
         return jnp.zeros_like(jnp.asarray(gx))
+    import contextlib
+
+    from cmtci.utils.device import analysis_cpu
+
     n_pad = ((n + chunk - 1) // chunk) * chunk
     pad = n_pad - n
-    gx = jnp.asarray(gx)
+    dt = np.asarray(gx).dtype if not hasattr(gx, "dtype") else gx.dtype
     # points and weights follow the grid's dtype (an f32 grid selects the
-    # TPU fast path end-to-end; mixed inputs would upcast the carry)
-    px = jnp.asarray(np.pad(px, (0, pad)), dtype=gx.dtype)
-    py = jnp.asarray(np.pad(py, (0, pad)), dtype=gx.dtype)
-    w = jnp.asarray(np.pad(np.ones(n), (0, pad)), dtype=gx.dtype)
-    u = _accumulate(gx, jnp.asarray(gy, dtype=gx.dtype), px, py, w,
-                    gx.dtype.type(eps), 1 if sign > 0 else -1, chunk)
+    # TPU fast path end-to-end; mixed inputs would upcast the carry); the
+    # f64 default self-pins to the host CPU — callers under a TPU-pinned
+    # session must not need to know the device policy (per-kernel pinning,
+    # like sample_boundary_quantile's)
+    dev = analysis_cpu() if dt == np.float64 else contextlib.nullcontext()
+    with dev:
+        gxj = jnp.asarray(gx)
+        px = jnp.asarray(np.pad(px, (0, pad)), dtype=gxj.dtype)
+        py = jnp.asarray(np.pad(py, (0, pad)), dtype=gxj.dtype)
+        w = jnp.asarray(np.pad(np.ones(n), (0, pad)), dtype=gxj.dtype)
+        u = _accumulate(gxj, jnp.asarray(gy, dtype=gxj.dtype), px, py, w,
+                        gxj.dtype.type(eps), 1 if sign > 0 else -1, chunk)
     return u / n

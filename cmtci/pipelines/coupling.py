@@ -63,18 +63,20 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         lags, gamma, counts = vg.point_variogram(c, dists, nbins=cfg.vario_bins)
         a_est = vg.variogram_range(lags, gamma, cfg.vario_percent)
 
-        with analysis_cpu():
-            u_c = np.asarray(cloud_log_potential(gxx, gyy, c, eps=1e-12, sign=1))
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
-        u_c_s = np.asarray(gaussian_filter_nearest(u_c, sigma_px))
-
-        lap_c = np.asarray(fields.laplacian5(u_c_s, h))
-        lap_m = np.asarray(fields.laplacian5(u_m, h))
-        corr_pot = fields.pearson_global(u_c_s, u_m)
-        corr_lap = fields.pearson_global(lap_c, lap_m)
-        local = fields.local_correlation(u_c_s, u_m, cfg.win_local_corr)
+        with analysis_cpu():
+            # ALL per-iteration f64 grid math pins to the host CPU — not just
+            # the potentials: laplacians/correlations are jnp ops that would
+            # otherwise dispatch to an emulated-f64 TPU under a pinned session
+            u_c = np.asarray(cloud_log_potential(gxx, gyy, c, eps=1e-12, sign=1))
+            u_c_s = np.asarray(gaussian_filter_nearest(u_c, sigma_px))
+            lap_c = np.asarray(fields.laplacian5(u_c_s, h))
+            lap_m = np.asarray(fields.laplacian5(u_m, h))
+            corr_pot = fields.pearson_global(u_c_s, u_m)
+            corr_lap = fields.pearson_global(lap_c, lap_m)
+            local = fields.local_correlation(u_c_s, u_m, cfg.win_local_corr)
 
         rows.append(dict(iter=it, vario_range_a=float(a_est) if a_est else np.nan,
                          sigma_px=float(sigma_px), corr_pot=corr_pot, corr_lap=corr_lap,

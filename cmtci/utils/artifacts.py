@@ -66,7 +66,12 @@ def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
     return out
 
 
+import threading as _threading
+
 _fetch_bytes = [0, 0]  # process-wide tallies: [all jax.Array, accelerator-only]
+_fetch_lock = _threading.Lock()  # fetches can race since the tracker's
+# cloud/sample overlap introduced a concurrent window; unsynchronized
+# increments could silently undercount and mask a transfer regression
 
 
 def fetch(x) -> np.ndarray:
@@ -88,9 +93,10 @@ def fetch(x) -> np.ndarray:
     accel = is_device and any(d.platform != "cpu" for d in x.devices())
     out = np.asarray(x)
     if is_device:
-        _fetch_bytes[0] += out.nbytes
-        if accel:
-            _fetch_bytes[1] += out.nbytes
+        with _fetch_lock:
+            _fetch_bytes[0] += out.nbytes
+            if accel:
+                _fetch_bytes[1] += out.nbytes
     return out
 
 

@@ -111,7 +111,8 @@ def test_bucketed_equals_unbucketed():
         # optimal matching: a plain complex sort mispairs near-conjugate
         # roots whose real parts agree to ~1e-13
         assert _match_error(z_b, z_u) < 5e-13, ns[b]
-    # and the gate itself: a stage-4-scale sweep takes the bucketed path
-    assert len([5, 30]) * 300 ** 2 < 5e7  # this test's shape stays single-batch
-    big = list(range(20, 1221, 20))
-    assert len(big) * max(big) ** 2 > 5e7  # the tracker's stage-4 shape buckets
+    # the gate itself (the real predicate, not re-derived constants):
+    # this test's small sweep stays single-batch via inverse_cloud, the
+    # tracker's stage-4 shape routes to the bucketed path
+    assert not companion._bucketing_pays(ns)
+    assert companion._bucketing_pays(list(range(20, 1221, 20)))
