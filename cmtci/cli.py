@@ -123,6 +123,10 @@ def main(argv=None):
                  "spatial-stats", "report", "coupling"):
         p = sub.add_parser(name, help=f"{name} analysis over the stage-1 file bus")
         p.add_argument("--busdir", default="out_clean", help="stage-1 file-bus directory")
+        if name == "symmetry":
+            p.add_argument("--scan-dtype", choices=["float64", "float32"],
+                           default="float64",
+                           help="float32 = 361-angle best-axis scan on the TPU")
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
@@ -168,6 +172,8 @@ def _wants_tpu(args) -> bool:
         return args.map_dtype == "float32"
     if args.cmd == "equipotential":
         return args.green_dtype == "float32"
+    if args.cmd == "symmetry":
+        return args.scan_dtype == "float32"
     return False
 
 
@@ -289,7 +295,11 @@ def _dispatch(args):
             out = analysis.run_embeddings(c, m, out_prefix=args.out)
             print(f"spectral distance: {out['spectral_distance']}")
         elif cmd == "symmetry":
-            out = analysis.run_symmetry(ca, m, matches, out_prefix=args.out)
+            import jax.numpy as jnp
+
+            out = analysis.run_symmetry(
+                ca, m, matches, out_prefix=args.out,
+                scan_dtype=jnp.float32 if args.scan_dtype == "float32" else None)
             print(json.dumps(out["rows"][-1]))
         elif cmd == "spatial-stats":
             out = analysis.run_spatial_stats(ca, m, out_prefix=args.out)

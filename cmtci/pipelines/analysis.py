@@ -76,9 +76,11 @@ def run_embeddings(c_pts, m_pts, k_nn=20, n_eigs=8, eps_scale=0.5, out_prefix=No
             "spectral_distance": dist}
 
 
-def run_symmetry(c_aligned, m_pts, matches=None, tol=0.05, out_prefix=None):
+def run_symmetry(c_aligned, m_pts, matches=None, tol=0.05, out_prefix=None,
+                 scan_dtype=None):
     """Symmetry op table + best axis (symmetry_phase_bestaxis.py)."""
-    rows, best = sym.symmetry_report(c_aligned, m_pts, matches, tol)
+    rows, best = sym.symmetry_report(c_aligned, m_pts, matches, tol,
+                                     scan_dtype=scan_dtype)
     if out_prefix:
         writers.write_dict_rows_csv(f"{out_prefix}_symmetry_report_bestaxis.csv", rows)
         writers.write_config_meta(f"{out_prefix}_meta.txt", {

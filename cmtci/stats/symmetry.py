@@ -101,28 +101,38 @@ def _reflect_batch(p, angles, origin):
     return jnp.stack([xr, yr], axis=-1) + origin
 
 
-def _score_angles(points, angles, tol: float):
-    """Preserved fraction for each reflection angle (vmapped NN queries)."""
+def _score_angles(points, angles, tol: float, dtype=None):
+    """Preserved fraction for each reflection angle (vmapped NN queries).
+
+    dtype=jnp.float32 runs the scan on the default (TPU) device — the NN
+    distances carry ~1e-7 relative noise against a 0.05 tolerance, so
+    fraction flips need a point sitting within f32 noise of the tol shell;
+    the f64 default stays on the host CPU by the device policy.
+    """
+    import contextlib
+
     from cmtci.utils.device import analysis_cpu
 
-    with analysis_cpu():  # f64 NN scans stay off emulated-f64 TPUs
-        p = jnp.asarray(_xy(points))
+    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
+    with dev:  # f64 NN scans stay off emulated-f64 TPUs
+        p = jnp.asarray(_xy(points), dtype=dtype)
         origin = p.mean(axis=0)
-        refl = _reflect_batch(p, jnp.asarray(angles), origin)
+        refl = _reflect_batch(p, jnp.asarray(angles, dtype=p.dtype), origin)
 
         def frac(q):
             d = nearest_distances(q, p)
-            return jnp.mean((d <= tol).astype(p.dtype))
+            return jnp.mean((d <= p.dtype.type(tol)).astype(p.dtype))
 
-        return np.asarray(jax.lax.map(frac, refl))
+        return np.asarray(jax.lax.map(frac, refl), dtype=np.float64)
 
 
 def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 361,
-                         refine: bool = True, mesh=None):
+                         refine: bool = True, mesh=None, dtype=None):
     """Coarse 0..pi scan + bounded refine of the joint preservation score.
 
     Returns dict(angle, frac_a, frac_b, scan_angles, scan_score).
     Score = frac_a + frac_b, maximized (symmetry_phase_bestaxis.py:153-199).
+    dtype=jnp.float32 runs the scans on the default (TPU) device.
     """
     angles = np.linspace(0, np.pi, n_angles)
     if mesh is not None:
@@ -133,8 +143,8 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
         fa = sharded_score_angles(points_a, angles, tol, mesh)
         fb = sharded_score_angles(points_b, angles, tol, mesh)
     else:
-        fa = _score_angles(points_a, angles, tol)
-        fb = _score_angles(points_b, angles, tol)
+        fa = _score_angles(points_a, angles, tol, dtype=dtype)
+        fb = _score_angles(points_b, angles, tol, dtype=dtype)
     score = fa + fb
     best = float(angles[np.argmax(score)])
 
@@ -142,8 +152,8 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
         from scipy.optimize import minimize_scalar
 
         def neg(a):
-            sa = _score_angles(points_a, np.array([a]), tol)[0]
-            sb = _score_angles(points_b, np.array([a]), tol)[0]
+            sa = _score_angles(points_a, np.array([a]), tol, dtype=dtype)[0]
+            sb = _score_angles(points_b, np.array([a]), tol, dtype=dtype)[0]
             return -(sa + sb)
 
         lo = max(0.0, best - math.pi / 36)
@@ -159,8 +169,12 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
             "scan_angles": angles, "scan_score": score}
 
 
-def symmetry_report(c_aligned, m_points, matches=None, tol: float = 0.05):
-    """Full op table + best-axis row (symmetry_phase_bestaxis.py:118-211)."""
+def symmetry_report(c_aligned, m_points, matches=None, tol: float = 0.05,
+                    scan_dtype=None):
+    """Full op table + best-axis row (symmetry_phase_bestaxis.py:118-211).
+
+    scan_dtype=jnp.float32 runs the 361-angle best-axis scan on the default
+    (TPU) device; the op table stays f64-host (cheap)."""
     rows = []
     c = _xy(c_aligned)
     m = _xy(m_points)
@@ -179,7 +193,7 @@ def symmetry_report(c_aligned, m_points, matches=None, tol: float = 0.05):
             row["cross_preserved_frac"] = float((d_cross <= tol).mean())
         rows.append(row)
 
-    best = best_reflection_axis(c, m, tol)
+    best = best_reflection_axis(c, m, tol, dtype=scan_dtype)
     row = {
         "op": "reflect_best_angle", "angle_deg": float(np.degrees(best["angle"])),
         "preserved_construct_frac": best["frac_a"],

@@ -268,3 +268,17 @@ def test_binned_masked_matches_scatter_semantics(rng):
         np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_symmetry_scan_f32_close_to_f64(rng):
+    """The f32 device angle scan tracks the f64 scores (1e-7 NN noise vs a
+    0.05 tolerance) and picks an equivalent best axis."""
+    import jax.numpy as jnp
+
+    pts = rng.normal(size=(300, 2))
+    pts = np.vstack([pts, pts @ np.array([[1, 0], [0, -1.0]])])  # x-symmetric
+    b64 = symmetry.best_reflection_axis(pts, pts, tol=0.05, n_angles=91)
+    b32 = symmetry.best_reflection_axis(pts, pts, tol=0.05, n_angles=91,
+                                        dtype=jnp.float32)
+    np.testing.assert_allclose(b32["scan_score"], b64["scan_score"], atol=0.02)
+    assert abs(b32["frac_a"] - b64["frac_a"]) < 0.02
