@@ -42,6 +42,12 @@ REFERENCE_LAPACK_EIG_S = 44.6   # measured on this host (VALIDATION.md)
 REFERENCE_TRACKER_S = 287.1     # v3_T25_sigma3_dense.csv runtime_sec sum
 REFERENCE_EQUIPOTENTIAL_S = 312.0  # reference script wall time, this host
 REFERENCE_VARIOGRAMS_S = 71.0   # this repo's f64 CPU path (see docstring)
+REFERENCE_GREEN_S = 29.0        # this repo's f64 CPU uniformize-green at the
+#                                 v40 config (n_bdy=2000, 20000 interior;
+#                                 VALIDATION.md round 3)
+REFERENCE_TCI_4X_S = 84.0       # this repo's f64 CPU TCI pipeline at BASELINE
+#                                 configs[4]: 2400^2 DE grid (4x), 25000
+#                                 samples, T=60 (measured this host, r4)
 
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000
@@ -197,6 +203,40 @@ def _bench_variograms(on_tpu: bool) -> float:
     return best
 
 
+def _bench_uniformize_green(on_tpu: bool) -> float:
+    """Warm wall time of the full v40 Riemann-map pipeline (f32 TPU path)."""
+    from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
+    from cmtci.pipelines.uniformize_green import (GreenUniformizeConfig,
+                                                  run_green_uniformization)
+
+    pts = export_lucas_boundary(LucasBoundaryConfig())  # input, not timed
+    cfg = GreenUniformizeConfig(
+        map_dtype="float32" if on_tpu else "float64")
+    best = float("inf")
+    for _ in range(2):  # second run sees warm jit/compile caches
+        t0 = time.time()
+        out = run_green_uniformization(pts, cfg)
+        best = min(best, time.time() - t0)
+    assert 0.99 < out["diagnostics"]["bdy_mod_median"] < 1.01
+    return best
+
+
+def _bench_tci_4x(on_tpu: bool) -> float:
+    """Warm wall time of the TCI/GI-flow pipeline at 4x grid resolution
+    (BASELINE configs[4]: 2400^2 DE grid, 25000 samples, T=60)."""
+    from cmtci.pipelines.analysis import TCIConfig, run_tci
+
+    cfg = TCIConfig(mandelbrot_grid=2400,
+                    de_impl="pallas" if on_tpu else "jax")
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out, kls, _ = run_tci(cfg)
+        best = min(best, time.time() - t0)
+    assert kls[-1] < kls[0] and out["KL_final"] < 1e-5
+    return best
+
+
 def _run(on_tpu: bool):
     import jax
 
@@ -214,31 +254,28 @@ def _run(on_tpu: bool):
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 1),
     }
-    try:
-        eig_s = _bench_eigensweep()
-        result["eigensweep_s"] = round(eig_s, 3)
-        result["eigensweep_vs_lapack"] = round(REFERENCE_LAPACK_EIG_S / eig_s, 1)
-    except Exception:
-        pass
-    try:
-        trk_s = _bench_tracker(on_tpu)
-        result["tracker_warm_s"] = round(trk_s, 2)
-        result["tracker_vs_reference"] = round(REFERENCE_TRACKER_S / trk_s, 1)
-    except Exception:
-        pass
-    try:
-        eq_s = _bench_equipotential(on_tpu)
-        result["equipotential_s"] = round(eq_s, 2)
-        result["equipotential_vs_reference"] = round(
-            REFERENCE_EQUIPOTENTIAL_S / eq_s, 1)
-    except Exception:
-        pass
-    try:
-        vg_s = _bench_variograms(on_tpu)
-        result["variograms_s"] = round(vg_s, 2)
-        result["variograms_vs_f64_cpu"] = round(REFERENCE_VARIOGRAMS_S / vg_s, 1)
-    except Exception:
-        pass
+    def key(name: str, fn, baseline: float, vs_name: str, digits: int = 2):
+        """Record `name` or, on ANY failure, `name_error` — a missing bench
+        key must be impossible to misread as 'not implemented' (VERDICT r3)."""
+        try:
+            s = fn()
+            result[name] = round(s, digits)
+            result[vs_name] = round(baseline / s, 1)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            result[name + "_error"] = repr(e)[:300]
+
+    key("eigensweep_s", _bench_eigensweep, REFERENCE_LAPACK_EIG_S,
+        "eigensweep_vs_lapack", digits=3)
+    key("tracker_warm_s", lambda: _bench_tracker(on_tpu), REFERENCE_TRACKER_S,
+        "tracker_vs_reference")
+    key("equipotential_s", lambda: _bench_equipotential(on_tpu),
+        REFERENCE_EQUIPOTENTIAL_S, "equipotential_vs_reference")
+    key("variograms_s", lambda: _bench_variograms(on_tpu),
+        REFERENCE_VARIOGRAMS_S, "variograms_vs_f64_cpu")
+    key("uniformize_green_s", lambda: _bench_uniformize_green(on_tpu),
+        REFERENCE_GREEN_S, "uniformize_green_vs_f64_cpu")
+    key("tci_4x_s", lambda: _bench_tci_4x(on_tpu), REFERENCE_TCI_4X_S,
+        "tci_4x_vs_f64_cpu")
     print(json.dumps(result))
 
 

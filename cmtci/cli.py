@@ -94,6 +94,13 @@ def main(argv=None):
     _add_cache_trace(p)
 
     p = sub.add_parser("tci", help="TCI flow pipeline (v002_fixed main)")
+    p.add_argument("--grid", type=int, default=600,
+                   help="DE grid resolution (BASELINE configs[4]: 2400 = 4x)")
+    p.add_argument("--samples", type=int, default=25000)
+    p.add_argument("--t-steps", type=int, default=60)
+    p.add_argument("--de-impl", choices=["jax", "numpy", "pallas"], default="jax",
+                   help="pallas = f32 TPU DE head + device quantile band + "
+                        "Gumbel top-k subsample (O(n_samples) relay traffic)")
     _add_common(p)
 
     p = sub.add_parser("equipotential", help="Green-function statistics + family comparison")
@@ -170,6 +177,8 @@ def _wants_tpu(args) -> bool:
         return args.vario_dtype == "float32" or args.field_dtype == "float32"
     if args.cmd == "uniformize-green":
         return args.map_dtype == "float32"
+    if args.cmd == "tci":
+        return args.de_impl == "pallas"
     if args.cmd == "equipotential":
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
@@ -258,7 +267,9 @@ def _dispatch(args):
     elif cmd == "tci":
         from cmtci.pipelines.analysis import TCIConfig, run_tci
 
-        out, kls, _ = run_tci(TCIConfig(), f"{args.out}_tci_results.json")
+        cfg = TCIConfig(mandelbrot_grid=args.grid, mandelbrot_samples=args.samples,
+                        t_steps=args.t_steps, de_impl=args.de_impl)
+        out, kls, _ = run_tci(cfg, f"{args.out}_tci_results.json")
         print(json.dumps(out))
     elif cmd == "equipotential":
         from cmtci.pipelines.equipotential import EquipotentialConfig, run_equipotential

@@ -545,7 +545,7 @@ def host_tracker_cloud(ns, family: str = "lucas_all_ones",
     from cmtci.utils.device import analysis_cpu
 
     with analysis_cpu():
-        ir, ii, valid = companion.inverse_cloud_padded(ns)
+        ir, ii, valid = companion.inverse_cloud_padded(ns, family)
     vflat = np.asarray(valid).reshape(-1)
     cr = np.where(vflat, np.asarray(ir).reshape(-1), 0.0).astype(dtype)
     ci = np.where(vflat, np.asarray(ii).reshape(-1), 0.0).astype(dtype)

@@ -107,11 +107,17 @@ class TCIConfig:
     spectral_sigma: float = 0.05
     seed: int = 7
     cloud_backend: str = "aberth"
+    # "pallas" runs the DE grid + quantile band + Gumbel-top-k subsample on
+    # the TPU f32 head (O(n_samples) relay traffic) — the fast path for the
+    # BASELINE configs[4] 4x-grid run. "jax"/"numpy" are the f64 host paths.
+    de_impl: str = "jax"
 
 
 def run_tci(cfg: TCIConfig, out_json: str | None = None):
     """The v002_fixed main pipeline (tci_construct_mandelbrot_v002_fixed.py:120-170)."""
     import time
+
+    import jax.numpy as jnp
 
     from cmtci.kernels import companion, mandelbrot as mb
 
@@ -120,7 +126,10 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
     c_pts = companion.inverse_cloud(list(cfg.construct_ns), backend=cfg.cloud_backend)
     m_pts = mb.sample_boundary_quantile(cfg.domain, cfg.mandelbrot_grid,
                                         cfg.mandelbrot_samples, cfg.max_iter,
-                                        cfg.escape_r, cfg.eps, rng)
+                                        cfg.escape_r, cfg.eps, rng,
+                                        impl=cfg.de_impl,
+                                        dtype=jnp.float32 if cfg.de_impl == "pallas"
+                                        else jnp.float64)
     m_match, c_trim = entropic_argmax_match(c_pts, m_pts, cfg.sinkhorn_eps, rng)
     c_aligned = procrustes_align_no_scale(c_trim, m_match, convention="reference")
 

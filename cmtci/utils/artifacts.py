@@ -140,15 +140,17 @@ class StageTimer:
                 ctx = jax.profiler.trace(timer.trace_dir)
                 ctx.__enter__()
             t0 = time.time()
-            b0, a0 = _fetch_bytes
+            with _fetch_lock:
+                b0, a0 = _fetch_bytes
             try:
                 yield
             finally:
                 timer.times[name] = timer.times.get(name, 0.0) + time.time() - t0
-                timer.bytes[name] = (timer.bytes.get(name, 0)
-                                     + _fetch_bytes[0] - b0)
+                with _fetch_lock:
+                    b1, a1 = _fetch_bytes
+                timer.bytes[name] = timer.bytes.get(name, 0) + b1 - b0
                 timer.accel_bytes[name] = (timer.accel_bytes.get(name, 0)
-                                           + _fetch_bytes[1] - a0)
+                                           + a1 - a0)
                 if ctx is not None:
                     ctx.__exit__(None, None, None)
 

@@ -130,6 +130,24 @@ def test_tci_pipeline_small():
     assert np.isfinite(out["Hausdorff_before"])
 
 
+def test_tci_pipeline_pallas_impl():
+    """de_impl='pallas' (the BASELINE configs[4] 4x-grid fast path) is
+    statistically equivalent to the f64 host path: same KL scale, same
+    monotone GI-flow descent (the f32 head + device Gumbel subsample draw a
+    different but equally-distributed boundary sample)."""
+    from cmtci.pipelines.analysis import TCIConfig, run_tci
+
+    base = dict(construct_ns=(20, 40, 60), mandelbrot_grid=96,
+                mandelbrot_samples=800, grid_bins=32, t_steps=10)
+    out_p, kls_p, _ = run_tci(TCIConfig(**base, de_impl="pallas"))
+    out_j, kls_j, _ = run_tci(TCIConfig(**base, de_impl="jax"))
+    assert np.all(np.diff(kls_p) <= 1e-12)
+    assert out_p["KL_final"] < out_p["KL_initial"]
+    # same histogram-KL scale between the two samplers (not bitwise: the
+    # device sampler is a different RNG stream by design)
+    assert abs(out_p["KL_initial"] - out_j["KL_initial"]) < 0.2 * out_j["KL_initial"]
+
+
 def test_coupling_pipeline(bus):
     cfg = CouplingConfig(n_iter=2, grid_res=60, max_iter_mb=80, win_local_corr=6)
     rows, c_new = run_coupling(bus["C_aligned"], bus["M"], bus["matches"], cfg)
