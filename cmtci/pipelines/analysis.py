@@ -130,7 +130,9 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
                                         impl=cfg.de_impl,
                                         dtype=jnp.float32 if cfg.de_impl == "pallas"
                                         else jnp.float64)
-    m_match, c_trim = entropic_argmax_match(c_pts, m_pts, cfg.sinkhorn_eps, rng)
+    m_match, c_trim = entropic_argmax_match(
+        c_pts, m_pts, cfg.sinkhorn_eps, rng,
+        dtype=np.float32 if cfg.de_impl == "pallas" else None)
     c_aligned = procrustes_align_no_scale(c_trim, m_match, convention="reference")
 
     # defensive metrics like the reference (tci_..._v002_fixed.py:129-145:
@@ -142,9 +144,10 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
         c_sub = rng.choice(c_aligned, n, replace=False)
         m_sub = rng.choice(m_pts, n, replace=False)
         h0 = ps.hausdorff(c_sub, m_sub)
+        ecc_dt = jnp.float32 if cfg.de_impl == "pallas" else None
         curv_corr = float(np.corrcoef(
-            curv.pca_eccentricity(c_sub, cfg.curvature_k),
-            curv.pca_eccentricity(m_sub, cfg.curvature_k),
+            curv.pca_eccentricity(c_sub, cfg.curvature_k, dtype=ecc_dt),
+            curv.pca_eccentricity(m_sub, cfg.curvature_k, dtype=ecc_dt),
         )[0, 1])
     except Exception:
         h0, curv_corr = float("nan"), float("nan")

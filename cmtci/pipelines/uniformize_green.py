@@ -65,25 +65,27 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
     if cfg.polygon_source not in ("alpha", "ordered"):
         raise ValueError(f"unknown polygon_source '{cfg.polygon_source}'")
     pts = np.ascontiguousarray(np.asarray(lucas_points_xy, dtype=float))
-    if cfg.polygon_source == "ordered":
-        from cmtci.geometry.polygon import Polygon
-        from cmtci.geometry.resample import enforce_ccw
+    with timer.stage("polygon"):
+        if cfg.polygon_source == "ordered":
+            from cmtci.geometry.polygon import Polygon
+            from cmtci.geometry.resample import enforce_ccw
 
-        poly_l = Polygon(enforce_ccw(pts))
-    else:
-        pts = np.unique(pts, axis=0)
-        if cfg.enable_jitter:
-            rng = np.random.default_rng(0)
-            pts = pts + 1e-12 * rng.standard_normal(pts.shape)
-        poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
+            poly_l = Polygon(enforce_ccw(pts))
+        else:
+            pts = np.unique(pts, axis=0)
+            if cfg.enable_jitter:
+                rng = np.random.default_rng(0)
+                pts = pts + 1e-12 * rng.standard_normal(pts.shape)
+            poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
 
     def _fit():
-        # the f32 perf path also takes the fast Cholesky fit (σ to 1.4e-8 of
-        # the reference lstsq, ~8x); the f64 parity path keeps np.linalg.lstsq
+        # the f32 perf path takes the device-f32 QR fit (σ to 1.9e-7 of the
+        # reference lstsq, dense flops on the MXU, f64 host-residual
+        # refinement); the f64 parity path keeps np.linalg.lstsq
         rm = riemann.fit_riemann_map(poly_l, n_bdy=cfg.n_bdy, ridge=cfg.ridge,
                                      inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
                                      verbose=verbose,
-                                     solver="normal" if cfg.map_dtype == "float32"
+                                     solver="qr32" if cfg.map_dtype == "float32"
                                      else "lstsq")
         return {"bdy_z": rm.bdy_z, "ds": rm.ds, "sigma": rm.sigma,
                 "a": np.complex128(rm.a), "c": np.float64(rm.c),
@@ -107,8 +109,13 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
 
     dt = jnp.float32 if cfg.map_dtype == "float32" else None
     with timer.stage("phi_f_eval"):
-        re_phi = rm.phi(z_int, dtype=dt).real
-        w_raw = rm.f(z_int, dtype=dt)
+        # one g_real + one phi_raw evaluation; Re Φ IS g (v40:259-264) and
+        # f = exp(-g)·exp(-i·Im Φ_raw), so rm.phi + rm.f would evaluate both
+        # kernels twice for nothing (2 extra relay calls on the TPU)
+        g_int = rm.g_real(z_int, dtype=dt)
+        im_int = rm.phi_raw(z_int, dtype=dt).imag
+        re_phi = g_int
+        w_raw = riemann.safe_exp_minus_real(g_int) * np.exp(-1j * im_int)
     rad_raw = np.abs(w_raw)
     finite = np.isfinite(rad_raw)
     rad_f = rad_raw[finite]
@@ -126,10 +133,13 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         err = np.abs(cardioid_to_disk(mapped) - w)
         err = err[np.isfinite(err)]
 
-    z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
-    mod_bdy = np.abs(rm.f(z_bdy_in, dtype=dt))
-    resid = rm.boundary_residual()
-    g_in = rm.g_real(z_bdy_in, dtype=dt)
+    with timer.stage("diagnostics"):
+        z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
+        # |f| = exp(-g) exactly (the phase factor has unit modulus), so the
+        # boundary-modulus contract needs only g_real — no Φ quadrature
+        g_in = rm.g_real(z_bdy_in, dtype=dt)
+        mod_bdy = riemann.safe_exp_minus_real(g_in)
+        resid = rm.boundary_residual()
 
     row = dict(
         version="cmtci_green_uniformization",

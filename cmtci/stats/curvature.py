@@ -114,19 +114,35 @@ def _pca_ecc(xy, k: int):
     neigh = xy[idx]  # (N, k, 2)
     z = neigh - neigh.mean(axis=1, keepdims=True)
     cov = jnp.einsum("nki,nkj->nij", z, z) / (k - 1)
-    eig = jnp.linalg.eigvalsh(cov)
-    return eig[:, 0] / jnp.maximum(eig.sum(axis=1), 1e-300)
+    # closed-form symmetric 2x2 eigenvalues (no lapack dependency; exact):
+    # λ = m ± sqrt(((a-d)/2)² + b²)
+    a, b, d = cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]
+    m = 0.5 * (a + d)
+    s = jnp.sqrt(jnp.maximum(0.25 * (a - d) ** 2 + b * b, 0.0))
+    lam_min, tr = m - s, a + d
+    tiny = jnp.asarray(1e-300 if xy.dtype == jnp.float64 else 1e-30, xy.dtype)
+    return lam_min / jnp.maximum(tr, tiny)
 
 
-def pca_eccentricity(pts, k: int = 6):
+def pca_eccentricity(pts, k: int = 6, dtype=None):
     """kNN covariance λ_min/Σλ (tci_construct_mandelbrot_v002_fixed.py:100-108).
 
     The reference queries a KDTree per point; here it's a dense blocked
-    top-k (fine for the ≤25k-point clouds involved).
+    top-k (fine for the ≤25k-point clouds involved). dtype=None runs f64 on
+    the host CPU (device policy: the N² distance matrix off emulated-f64
+    TPUs); dtype=jnp.float32 keeps the default device — the TPU fast path
+    the 4x-grid TCI pipeline uses (the eccentricity feeds a correlation
+    coefficient; f32 is far below that statistic's sampling noise).
     """
+    from cmtci.utils.device import analysis_cpu
+
     pts = np.asarray(pts)
     if np.iscomplexobj(pts):
         xy = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
     else:
         xy = pts
-    return np.asarray(_pca_ecc(jnp.asarray(xy), int(k)))
+    if dtype is not None and dtype != jnp.float64:
+        with jax.enable_x64(False):
+            return np.asarray(_pca_ecc(jnp.asarray(xy, dtype), int(k)))
+    with analysis_cpu():  # f64 all-pairs stay off emulated-f64 TPUs
+        return np.asarray(_pca_ecc(jnp.asarray(xy), int(k)))

@@ -85,12 +85,18 @@ def tci_flow(p, x0, alpha: float, t_steps: int, eps: float = 1e-12):
 
     Returns (kls array of length T+1, trajectory list incl. X_0).
     """
-    p = jnp.asarray(p)
-    x = jnp.asarray(x0)
-    kls = [kl(p, x, eps)]
-    traj = [np.asarray(x)]
-    for _ in range(int(t_steps)):
-        x = (1.0 - alpha) * x + alpha * p
-        kls.append(kl(p, x, eps))
-        traj.append(np.asarray(x))
+    from cmtci.utils.device import analysis_cpu
+
+    # f64 analysis math stays on the host CPU (device policy): under a
+    # TPU-pinned session the unpinned loop was 2 relay RPCs + a grid fetch
+    # per step — T=60 of them dominated the 4x-grid TCI pipeline's wall time
+    with analysis_cpu():
+        p = jnp.asarray(p)
+        x = jnp.asarray(x0)
+        kls = [kl(p, x, eps)]
+        traj = [np.asarray(x)]
+        for _ in range(int(t_steps)):
+            x = (1.0 - alpha) * x + alpha * p
+            kls.append(kl(p, x, eps))
+            traj.append(np.asarray(x))
     return np.asarray(kls), traj

@@ -174,6 +174,23 @@ class TestQC:
         assert out[1][2] == 4.0 and out[1][3] == 3
 
 
+def test_riemann_qr32_solver_matches_lstsq():
+    """Device-f32 QR + f64-residual refinement (the f32 pipeline's fit)
+    reproduces the reference lstsq fit within the σ error budget."""
+    t = np.linspace(0, 2 * np.pi, 500, endpoint=False)
+    xy = np.column_stack([(1 + 0.1 * np.cos(3 * t)) * np.cos(t),
+                          (1 + 0.1 * np.cos(3 * t)) * np.sin(t)])
+    poly = Polygon(xy)
+    rm_ref = riemann.fit_riemann_map(poly, n_bdy=400, solver="lstsq")
+    rm_qr = riemann.fit_riemann_map(poly, n_bdy=400, solver="qr32")
+    assert np.abs(rm_qr.sigma - rm_ref.sigma).max() < 1e-5
+    assert abs(rm_qr.c - rm_ref.c) < 1e-8
+    assert abs(rm_qr.g_shift - rm_ref.g_shift) < 1e-8
+    # the v40 self-check contract holds on the qr32 fit
+    z_in = slightly_inside(rm_qr.bdy_z, rm_qr.a, 1e-3)
+    assert abs(np.median(np.abs(rm_qr.f(z_in))) - 1.0) < 1e-3
+
+
 def test_riemann_f32_eval_budget():
     """f32 evaluation path (the TPU fast path, 186x at full scale): Im Phi
     mod 2pi and |f| within the documented error budget vs f64."""
