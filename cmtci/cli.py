@@ -134,6 +134,15 @@ def main(argv=None):
             p.add_argument("--scan-dtype", choices=["float64", "float32"],
                            default="float64",
                            help="float32 = 361-angle best-axis scan on the TPU")
+        if name == "embeddings":
+            p.add_argument("--eig-backend", choices=["scipy", "device"],
+                           default="scipy",
+                           help="device = dense-Lanczos eigensolver on the "
+                                "default jax device (scipy = eigsh oracle)")
+            p.add_argument("--eig-dtype", choices=["float64", "float32"],
+                           default="float64",
+                           help="float32 = Lanczos on the TPU (agreement "
+                                "~1e-6; float64 runs on the host CPU)")
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
@@ -179,6 +188,8 @@ def _wants_tpu(args) -> bool:
         return args.map_dtype == "float32"
     if args.cmd == "tci":
         return args.de_impl == "pallas"
+    if args.cmd == "embeddings":
+        return args.eig_dtype == "float32"
     if args.cmd == "equipotential":
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
@@ -303,7 +314,11 @@ def _dispatch(args):
             analysis.run_multifractal(c, m, out_prefix=args.out)
             print("multifractal done")
         elif cmd == "embeddings":
-            out = analysis.run_embeddings(c, m, out_prefix=args.out)
+            import jax.numpy as jnp
+
+            out = analysis.run_embeddings(
+                c, m, out_prefix=args.out, eig_backend=args.eig_backend,
+                eig_dtype=jnp.float32 if args.eig_dtype == "float32" else None)
             print(f"spectral distance: {out['spectral_distance']}")
         elif cmd == "symmetry":
             import jax.numpy as jnp
