@@ -134,6 +134,14 @@ def main(argv=None):
             p.add_argument("--scan-dtype", choices=["float64", "float32"],
                            default="float64",
                            help="float32 = 361-angle best-axis scan on the TPU")
+        if name == "multifractal":
+            p.add_argument("--box-backend", choices=["host", "device"],
+                           default="host",
+                           help="device = box counts/partition sums on the "
+                                "default jax device (fixed-shape count grid)")
+            p.add_argument("--box-dtype", choices=["float64", "float32"],
+                           default="float64",
+                           help="float32 = device count grid on the TPU")
         if name == "embeddings":
             p.add_argument("--eig-backend", choices=["scipy", "device"],
                            default="scipy",
@@ -190,6 +198,8 @@ def _wants_tpu(args) -> bool:
         return args.de_impl == "pallas"
     if args.cmd == "embeddings":
         return args.eig_dtype == "float32"
+    if args.cmd == "multifractal":
+        return args.box_dtype == "float32"
     if args.cmd == "equipotential":
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
@@ -311,7 +321,11 @@ def _dispatch(args):
             out = run_spectral(c, m, SpectralConfig(), args.out)
             print(json.dumps(out["power_slopes_bootstrap"]))
         elif cmd == "multifractal":
-            analysis.run_multifractal(c, m, out_prefix=args.out)
+            import jax.numpy as jnp
+
+            analysis.run_multifractal(
+                c, m, out_prefix=args.out, box_backend=args.box_backend,
+                box_dtype=jnp.float32 if args.box_dtype == "float32" else None)
             print("multifractal done")
         elif cmd == "embeddings":
             import jax.numpy as jnp

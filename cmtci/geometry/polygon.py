@@ -86,18 +86,68 @@ class Polygon:
         return np.concatenate([[0.0], np.cumsum(self.seg_lengths)])[:-1]
 
     # --- queries ----------------------------------------------------------
+    def _ybuckets(self):
+        """Lazy y-bucket edge index for the crossing test.
+
+        An edge is active for a query y iff y lies in the edge's half-open
+        y-span, so only edges whose span overlaps the point's y-bucket can
+        contribute a crossing — the candidate set is a superset of the
+        active set and the exact crossing predicate is still evaluated on
+        it, so the accelerated result is bitwise identical to the full
+        test. Typical reduction for arclength-resampled boundaries: E=2000
+        edges -> ~10-40 candidates/point (the interior rejection sampler's
+        dominant cost, v40:149-162)."""
+        cached = getattr(self, "_ybucket_cache", None)
+        if cached is not None:
+            return cached
+        p0, p1 = self._segs
+        e = len(p0)
+        nb = int(min(max(e // 4, 8), 512))
+        ylo = float(np.minimum(p0[:, 1], p1[:, 1]).min())
+        yhi = float(np.maximum(p0[:, 1], p1[:, 1]).max())
+        h = max((yhi - ylo) / nb, 1e-300)
+        elo = np.floor((np.minimum(p0[:, 1], p1[:, 1]) - ylo) / h).astype(np.int64)
+        ehi = np.floor((np.maximum(p0[:, 1], p1[:, 1]) - ylo) / h).astype(np.int64)
+        elo = np.clip(elo, 0, nb - 1)
+        ehi = np.clip(ehi, 0, nb - 1)
+        buckets = [[] for _ in range(nb)]
+        for j in range(e):
+            for b in range(elo[j], ehi[j] + 1):
+                buckets[b].append(j)
+        k = max(1, max(len(b) for b in buckets))
+        idx = np.zeros((nb, k), dtype=np.int64)
+        cnt = np.zeros(nb, dtype=np.int64)
+        for b, lst in enumerate(buckets):
+            idx[b, : len(lst)] = lst
+            cnt[b] = len(lst)
+        self._ybucket_cache = (ylo, h, nb, idx, cnt)
+        return self._ybucket_cache
+
     def contains(self, pts, include_boundary: bool = False, tol: float = 0.0):
         """Even-odd crossing test, vectorized over (P,2) points.
 
         include_boundary=True emulates shapely .covers() up to `tol` (points
-        within tol of the boundary count as inside).
+        within tol of the boundary count as inside). For polygons with
+        ≥48 edges the y-bucket index prunes the per-point edge set
+        (bitwise-identical result — see _ybuckets).
         """
         pts = _as_xy(pts)
-        x, y = pts[:, 0][:, None], pts[:, 1][:, None]
         p0, p1 = self._segs
-        x0, y0 = p0[:, 0][None, :], p0[:, 1][None, :]
-        x1, y1 = p1[:, 0][None, :], p1[:, 1][None, :]
-        cond = (y0 <= y) != (y1 <= y)
+        e = len(p0)
+        if e >= 48 and len(pts) > 8:
+            ylo, h, nb, idx, cnt = self._ybuckets()
+            b = np.clip(np.floor((pts[:, 1] - ylo) / h).astype(np.int64), 0, nb - 1)
+            eidx = idx[b]                      # (P, K) candidate edges
+            valid = np.arange(idx.shape[1])[None, :] < cnt[b][:, None]
+            x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+            x0, y0 = p0[eidx, 0], p0[eidx, 1]
+            x1, y1 = p1[eidx, 0], p1[eidx, 1]
+        else:
+            valid = True
+            x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+            x0, y0 = p0[:, 0][None, :], p0[:, 1][None, :]
+            x1, y1 = p1[:, 0][None, :], p1[:, 1][None, :]
+        cond = ((y0 <= y) != (y1 <= y)) & valid
         with np.errstate(divide="ignore", invalid="ignore"):
             xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
         crossings = np.sum(cond & (x < xint), axis=1)

@@ -519,10 +519,12 @@ def _tci_sample_padded(params, grid_n, key, n_samples, nx, ny, max_iter,
 
     Gumbel top-k over the band mask is a uniform subsample without
     replacement (the jit analogue of the reference's rng.choice,
-    tci_construct_mandelbrot_v002_fixed.py:56-59). Returns (idx, n_band,
-    n_escaped): idx indexes the flattened PADDED (ny, nx) grid; entries past
-    n_band are garbage lanes of -inf score — callers truncate to
-    min(n_samples, n_band), matching the reference's keep-all-when-small.
+    tci_construct_mandelbrot_v002_fixed.py:56-59). Returns ONE packed int32
+    array [n_band, n_escaped, idx...] so the host retrieves everything in a
+    single relay roundtrip (three separate fetches cost 3 RPCs/stage): idx
+    indexes the flattened PADDED (ny, nx) grid; entries past n_band are
+    garbage lanes of -inf score — callers truncate to min(n_samples,
+    n_band), matching the reference's keep-all-when-small.
     """
     sel, cnt, _ = _tci_selection_core(params, grid_n, nx, ny, max_iter,
                                       escape_r, tile, inner, interpret)
@@ -530,7 +532,8 @@ def _tci_sample_padded(params, grid_n, key, n_samples, nx, ny, max_iter,
     g = jax.random.gumbel(key, selv.shape, dtype=jnp.float32)
     score = jnp.where(selv, g, -jnp.inf)
     _, idx = jax.lax.top_k(score, n_samples)
-    return idx.astype(jnp.int32), jnp.sum(selv), cnt
+    head = jnp.stack([jnp.sum(selv).astype(jnp.int32), cnt.astype(jnp.int32)])
+    return jnp.concatenate([head, idx.astype(jnp.int32)])
 
 
 def tci_boundary_sample(domain, grid_n: int, n_samples: int, seed: int,
@@ -553,15 +556,17 @@ def tci_boundary_sample(domain, grid_n: int, n_samples: int, seed: int,
     with jax.enable_x64(False):
         params = jnp.asarray([xmin, ymin, dx, dy], dtype=jnp.float32)
         key = jax.random.key(seed)
-        idx, n_band, cnt = _tci_sample_padded(
+        packed = _tci_sample_padded(
             params, jnp.int32(grid_n), key, n_samples, nx, ny, max_iter,
             escape_r, (th, tw), inner, interpret)
     from cmtci.utils.artifacts import fetch
 
-    if int(cnt) == 0:
+    packed = fetch(packed)  # one roundtrip: [n_band, n_escaped, idx...]
+    n_band, cnt = int(packed[0]), int(packed[1])
+    if cnt == 0:
         raise RuntimeError("No escape points")
-    take = min(n_samples, int(n_band))
-    idx = fetch(idx)[:take]
+    take = min(n_samples, n_band)
+    idx = packed[2 : 2 + take]
     xs = np.linspace(domain[0], domain[1], grid_n)
     ys = np.linspace(domain[2], domain[3], grid_n)
     return xs[idx % nx] + 1j * ys[idx // nx]

@@ -75,7 +75,7 @@ def _g_real_blocked(zr, zi, br, bi, sigw, ar, ai, c_plus_shift, chunk: int = 600
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def _phi_raw_blocked(zr, zi, br, bi, sigds, ar, ai, c_const, gx, gw, chunk: int = 256):
+def _phi_raw_blocked(zr, zi, br, bi, sigds, ar, ai, c_const, gx, gw, chunk: int = 512):
     """Path-integrated Φ at each z (v40:213-238), blocked over z.
 
     Returns (re, im). Quadrature nodes xi = z0 + gx*seg with z0 = a + ε·dir.
@@ -137,6 +137,19 @@ def _phi_raw_blocked(zr, zi, br, bi, sigds, ar, ai, c_const, gx, gw, chunk: int 
     init = (jnp.zeros(mp, dtype=zr.dtype), jnp.zeros(mp, dtype=zr.dtype))
     or_, oi_ = jax.lax.fori_loop(0, mp // chunk, body, init)
     return or_[:m], oi_[:m]
+
+
+@jax.jit
+def _g_phi_fused(gzr, gzi, pzr, pzi, br, bi, sigw, sigds, ar, ai,
+                 c_plus_shift, c_const, gx, gw):
+    """g_real on (gzr,gzi) + Φ_raw on (pzr,pzi) in ONE compiled call.
+
+    The pipeline evaluates g on interior+boundary-in points and Φ on the
+    interior points; fusing them halves the relay roundtrips on a TPU
+    session (each dispatch is an RPC)."""
+    g = _g_real_blocked(gzr, gzi, br, bi, sigw, ar, ai, c_plus_shift)
+    pre, pim = _phi_raw_blocked(pzr, pzi, br, bi, sigds, ar, ai, c_const, gx, gw)
+    return g, pre, pim
 
 
 @dataclass
@@ -201,6 +214,21 @@ class RiemannMapGreenModulus:
         """Composite Φ: Re from g_real, Im from phi_raw (v40:259-264)."""
         return self.g_real(z, dtype) + 1j * self.phi_raw(z, dtype).imag
 
+    def eval_g_phi(self, z_g, z_phi, dtype=None):
+        """(g(z_g), Im Φ_raw(z_phi)) in one device call (see _g_phi_fused)."""
+        z_g = np.asarray(z_g, dtype=complex).ravel()
+        z_phi = np.asarray(z_phi, dtype=complex).ravel()
+        br, bi, sigds, ar, ai = self._args(dtype)
+        dt = dtype or jnp.float64
+        with (analysis_cpu() if dt == jnp.float64 else _null_ctx()):
+            g, _, pim = _g_phi_fused(
+                jnp.asarray(z_g.real, dt), jnp.asarray(z_g.imag, dt),
+                jnp.asarray(z_phi.real, dt), jnp.asarray(z_phi.imag, dt),
+                br, bi, sigds, sigds, ar, ai,
+                np.asarray(self.c + self.g_shift, dt), np.asarray(self.c, dt),
+                jnp.asarray(self._gx, dt), jnp.asarray(self._gw, dt))
+            return np.asarray(g, np.float64), np.asarray(pim, np.float64)
+
     def f(self, z, dtype=None):
         """f(z) = exp(-g) · exp(-i Im Φ_raw) (v40:266-272)."""
         g = self.g_real(z, dtype)
@@ -221,14 +249,32 @@ def _log_kernel_ds(z: np.ndarray, ds: np.ndarray):
     return k * ds[None, :]
 
 
+def _log_kernel_ds_fast(z: np.ndarray, ds: np.ndarray):
+    """log|z_i-z_j| via 0.5·log(d²) — skips the hypot that dominates
+    _log_kernel_ds (np.abs on complex). Differs from the exact form by
+    ≤1 ulp per entry, far below the qr32 fit's refinement limit; the
+    parity lstsq path keeps _log_kernel_ds."""
+    x, y = z.real, z.imag
+    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+    k = 0.5 * np.log(d2 + 1e-300)
+    di = np.diag_indices_from(k)
+    k[di] = np.log(np.maximum(ds, 1e-300) / 2.0) - 1.0
+    return k * ds[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
-def _qr_r_device(zr, zi, ds, cn, n: int, ridge):
-    """R factor of the column-equilibrated stacked v40 fit matrix, f32.
+def _qr_r_device(zr, zi, ds, ar, ai, n: int, ridge):
+    """R factor + direct solve of the column-equilibrated v40 fit, f32.
 
     Stacked system (v40:300-321): N log-kernel rows [kds | 1], one
     constraint row [ds | 0], N ridge rows sqrt(ridge)·[I | 0]; columns
-    scaled by 1/cn. QR(mode='r') on the default device — the 2·(2N+1)·N²
-    flops that were the host-f64 fit's dominant cost land on the MXU.
+    scaled by 1/cn, with cn (the column norms) computed device-side so the
+    call needs NOTHING from the host f64 kernel assembly — jax dispatch is
+    async, so the host assembles its f64 kds for the refinement residuals
+    WHILE the device runs the QR. QR(mode='r') on the default device — the
+    2·(2N+1)·N² flops that were the host-f64 fit's dominant cost land on
+    the MXU — and the x0 corrected-semi-normal direct solve is fused in.
+    Returns (R, cn, x0).
     """
     dr = zr[:, None] - zr[None, :]
     di_ = zi[:, None] - zi[None, :]
@@ -238,12 +284,20 @@ def _qr_r_device(zr, zi, ds, cn, n: int, ridge):
                   jnp.log(jnp.maximum(ds, 1e-30) / 2.0)[None, :] - 1.0,
                   jnp.log(absd + 1e-30))
     kds = k * ds[None, :]
+    cn = jnp.concatenate([
+        jnp.sqrt(jnp.sum(kds * kds, axis=0) + ds * ds + ridge),
+        jnp.sqrt(jnp.asarray(n, zr.dtype))[None],
+    ])
     a_top = jnp.concatenate([kds, jnp.ones((n, 1), zr.dtype)], axis=1)
     a_con = jnp.concatenate([ds, jnp.zeros((1,), zr.dtype)])[None, :]
     a_reg = jnp.concatenate(
         [jnp.sqrt(ridge) * eye, jnp.zeros((n, 1), zr.dtype)], axis=1)
     a0 = jnp.concatenate([a_top, a_con, a_reg], axis=0) / cn[None, :]
-    return jnp.linalg.qr(a0, mode="r")
+    r_mat = jnp.linalg.qr(a0, mode="r")
+    b = jnp.log(jnp.hypot(zr - ar, zi - ai) + 1e-30)
+    atb = jnp.concatenate([kds.T @ b, jnp.sum(b)[None]]) / cn
+    x0 = _seminormal_solve_device(r_mat, atb) / cn
+    return r_mat, cn, x0
 
 
 @jax.jit
@@ -253,37 +307,46 @@ def _seminormal_solve_device(r_mat, atr_scaled):
     return jax.scipy.linalg.solve_triangular(r_mat, y, trans=0, lower=False)
 
 
-def _fit_sigma_qr32(z, ds, kds, b, ridge, refine: int = 2):
+@jax.jit
+def _seminormal_solve_scaled(r_mat, cn, atr):
+    """Semi-normal step with the device-resident column scaling."""
+    return _seminormal_solve_device(r_mat, atr / cn) / cn
+
+
+def _fit_sigma_qr32(z, ds, b, a, ridge, refine: int = 2):
     """Device-f32 QR + host-f64 iterative refinement for the v40 fit.
 
     The preconditioner (QR of the f32 column-equilibrated stacked matrix)
-    lives on the device; each round the host computes the FULL f64 residual
-    of the stacked system (O(N²) matvecs against the already-assembled f64
-    kds) and only (N+1)-vectors cross the host↔device link. Measured at
-    n_bdy=2000: max|σ−σ_lstsq| = 1.9e-7 after 2 refinement rounds — two
-    orders below the 7.6e-5 boundary-residual budget (VALIDATION.md); the
-    all-f32 variant stalls at 2e-4, which is why the residuals are f64.
+    lives on the device and the direct solve is fused into the same
+    roundtrip; each refinement round the host computes the FULL f64
+    residual of the stacked system (O(N²) matvecs against the
+    already-assembled f64 kds) and only (N+1)-vectors cross the
+    host↔device link. Measured at n_bdy=2000: max|σ−σ_lstsq| = 1.9e-7
+    after 2 refinement rounds — two orders below the 7.6e-5
+    boundary-residual budget (VALIDATION.md); the all-f32 variant stalls
+    at 2e-4, which is why the residuals are f64.
     """
     n = len(z)
     sridge = math.sqrt(ridge)
-    # analytic column norms of the stacked system (host f64)
-    cn = np.sqrt((kds ** 2).sum(axis=0) + ds ** 2 + ridge)
-    cn = np.append(cn, math.sqrt(n))
     with jax.enable_x64(False):
         f32 = jnp.float32
-        r_mat = _qr_r_device(jnp.asarray(z.real, f32), jnp.asarray(z.imag, f32),
-                             jnp.asarray(ds, f32), jnp.asarray(cn, f32),
-                             n, np.float32(ridge))
-        x = np.zeros(n + 1)
-        for _ in range(refine + 1):  # first round (x=0) IS the direct solve
+        # async dispatch: the device starts the f32 assembly+QR while the
+        # host builds the f64 log kernel the refinement residuals need
+        r_mat, cn_dev, x0 = _qr_r_device(
+            jnp.asarray(z.real, f32), jnp.asarray(z.imag, f32),
+            jnp.asarray(ds, f32), np.float32(a.real), np.float32(a.imag),
+            n, np.float32(ridge))
+        kds = _log_kernel_ds_fast(z, ds)
+        x = np.asarray(x0, dtype=np.float64)
+        for _ in range(refine):
             r_top = b - (kds @ x[:n] + x[n])
             atr = (kds.T @ r_top + ds * (-(ds @ x[:n]))
                    + sridge * (-sridge * x[:n]))
             atr = np.append(atr, r_top.sum())
-            dx = np.asarray(_seminormal_solve_device(
-                r_mat, jnp.asarray(atr / cn, f32)), dtype=np.float64)
-            x = x + dx / cn
-    return x
+            dx = np.asarray(_seminormal_solve_scaled(
+                r_mat, cn_dev, jnp.asarray(atr, f32)), dtype=np.float64)
+            x = x + dx
+    return x, kds
 
 
 def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
@@ -306,12 +369,13 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
     a = ensure_interior_point(poly, a)
     n = len(z)
 
-    kds = _log_kernel_ds(z, ds)
     b = np.log(np.abs(z - a) + 1e-300)
 
     if solver == "qr32":
-        x = _fit_sigma_qr32(z, ds, kds, b, ridge)
+        # kds is assembled inside (host f64, overlapped with the device QR)
+        x, kds = _fit_sigma_qr32(z, ds, b, a, ridge)
     elif solver in ("normal", "lstsq"):
+        kds = _log_kernel_ds(z, ds)
         a_mat = np.zeros((n, n + 1))
         a_mat[:, :n] = kds
         a_mat[:, n] = 1.0
@@ -339,7 +403,18 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
     rm = RiemannMapGreenModulus(bdy_z=z, ds=ds, sigma=sigma, a=a, c=c, gauss_n=gauss_n)
     rm._kds = kds
     z_in = slightly_inside(z, a, inward_eps)
-    rm.g_shift = -float(np.median(rm.g_real(z_in)))
+    if solver == "qr32":
+        # g_shift calibration with the direct host log-kernel (0.5·log d²
+        # form, no diagonal: z_in is strictly inside) — the generic
+        # rm.g_real roundtrip was the fit's single largest cost (0.165 s of
+        # a 0.38 s fit, profiled on the TPU session)
+        d2 = ((z_in.real[:, None] - z.real[None, :]) ** 2
+              + (z_in.imag[:, None] - z.imag[None, :]) ** 2)
+        g_in = (-np.log(np.abs(z_in - a) + 1e-300)
+                + (0.5 * np.log(d2 + 1e-300)) @ (sigma * ds) + c)
+        rm.g_shift = -float(np.median(g_in))
+    else:
+        rm.g_shift = -float(np.median(rm.g_real(z_in)))
 
     if verbose:
         mod = np.abs(rm.f(z_in))

@@ -26,10 +26,16 @@ from cmtci.transport.procrustes import procrustes_align_no_scale
 from cmtci.transport.sinkhorn import entropic_argmax_match
 
 
-def run_multifractal(c_pts, m_pts, q_values=None, scales=None, out_prefix=None):
-    """Both clouds through the box-counting spectrum; CSV per cloud."""
-    res_c = mf.multifractal_spectrum(c_pts, q_values, scales)
-    res_m = mf.multifractal_spectrum(m_pts, q_values, scales)
+def run_multifractal(c_pts, m_pts, q_values=None, scales=None, out_prefix=None,
+                     box_backend="host", box_dtype=None):
+    """Both clouds through the box-counting spectrum; CSV per cloud.
+
+    box_backend="device" computes the counts/partition sums on the default
+    jax device (pass box_dtype=jnp.float32 on a TPU session)."""
+    res_c = mf.multifractal_spectrum(c_pts, q_values, scales,
+                                     backend=box_backend, dtype=box_dtype)
+    res_m = mf.multifractal_spectrum(m_pts, q_values, scales,
+                                     backend=box_backend, dtype=box_dtype)
     if out_prefix:
         for res, name in ((res_c, "construct"), (res_m, "mandel")):
             out = np.column_stack((res["q"], res["tau"], res["Dq"], res["alpha"], res["f_alpha"]))

@@ -91,29 +91,38 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                 "a": np.complex128(rm.a), "c": np.float64(rm.c),
                 "g_shift": np.float64(rm.g_shift)}
 
-    with timer.stage("fit"):
-        fit_key = {**asdict(cfg), "points": artifacts.array_digest(lucas_points_xy)}
-        st = artifacts.cached("riemann_fit", fit_key, _fit,
-                              cache_dir=cache_dir or ".cmtci_cache",
-                              enabled=cache_dir is not None)
-        rm = riemann.RiemannMapGreenModulus(
-            bdy_z=np.asarray(st["bdy_z"]), ds=np.asarray(st["ds"]),
-            sigma=np.asarray(st["sigma"]), a=complex(st["a"]),
-            c=float(st["c"]), g_shift=float(st["g_shift"]), gauss_n=cfg.gauss_n,
-        )
+    # the interior rejection sampler (pure host numpy, its own RNG) and the
+    # fit (device QR + host refinement) are independent — overlap them,
+    # the same pattern as the tracker's cloud/sample overlap
+    from concurrent.futures import ThreadPoolExecutor
 
-    with timer.stage("interior_sample"):
-        z_int, tries = sample_interior_points(poly_l, cfg.interior_n, cfg.interior_seed,
-                                              cfg.interior_max_tries)
+    with timer.stage("fit+interior_sample"):
+        with ThreadPoolExecutor(1) as ex:
+            fut_int = ex.submit(sample_interior_points, poly_l, cfg.interior_n,
+                                cfg.interior_seed, cfg.interior_max_tries)
+            fit_key = {**asdict(cfg), "points": artifacts.array_digest(lucas_points_xy)}
+            st = artifacts.cached("riemann_fit", fit_key, _fit,
+                                  cache_dir=cache_dir or ".cmtci_cache",
+                                  enabled=cache_dir is not None)
+            rm = riemann.RiemannMapGreenModulus(
+                bdy_z=np.asarray(st["bdy_z"]), ds=np.asarray(st["ds"]),
+                sigma=np.asarray(st["sigma"]), a=complex(st["a"]),
+                c=float(st["c"]), g_shift=float(st["g_shift"]), gauss_n=cfg.gauss_n,
+            )
+            z_int, tries = fut_int.result()
     import jax.numpy as jnp
 
     dt = jnp.float32 if cfg.map_dtype == "float32" else None
     with timer.stage("phi_f_eval"):
-        # one g_real + one phi_raw evaluation; Re Φ IS g (v40:259-264) and
-        # f = exp(-g)·exp(-i·Im Φ_raw), so rm.phi + rm.f would evaluate both
-        # kernels twice for nothing (2 extra relay calls on the TPU)
-        g_int = rm.g_real(z_int, dtype=dt)
-        im_int = rm.phi_raw(z_int, dtype=dt).imag
+        # ONE fused device call: g on interior+boundary-in points, Im Φ_raw
+        # on the interior points. Re Φ IS g (v40:259-264) and
+        # f = exp(-g)·exp(-i·Im Φ_raw), so the rm.phi + rm.f + rm.f(bdy) +
+        # rm.g_real(bdy) sequence would evaluate the same two kernels six
+        # times across four relay roundtrips for nothing.
+        z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
+        g_all, im_int = rm.eval_g_phi(np.concatenate([z_int, z_bdy_in]),
+                                      z_int, dtype=dt)
+        g_int, g_in = g_all[: len(z_int)], g_all[len(z_int):]
         re_phi = g_int
         w_raw = riemann.safe_exp_minus_real(g_int) * np.exp(-1j * im_int)
     rad_raw = np.abs(w_raw)
@@ -134,10 +143,8 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         err = err[np.isfinite(err)]
 
     with timer.stage("diagnostics"):
-        z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
         # |f| = exp(-g) exactly (the phase factor has unit modulus), so the
-        # boundary-modulus contract needs only g_real — no Φ quadrature
-        g_in = rm.g_real(z_bdy_in, dtype=dt)
+        # boundary-modulus contract needs only the g_in already evaluated
         mod_bdy = riemann.safe_exp_minus_real(g_in)
         resid = rm.boundary_residual()
 

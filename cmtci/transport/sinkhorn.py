@@ -54,6 +54,17 @@ def _argmax_kernel_rows(a, b, mean, eps, chunk: int = 2048):
     return out[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _match_fused(a, b, eps, chunk: int = 2048):
+    """mean pairwise distance + kernel-argmax rows in ONE compiled call.
+
+    Identical math to _blocked_mean_dist followed by _argmax_kernel_rows;
+    fused so a TPU-session tracker/TCI stage spends one relay roundtrip on
+    the matcher instead of two."""
+    mean = _blocked_mean_dist(a, b, chunk=chunk)
+    return _argmax_kernel_rows(a, b, mean, eps, chunk=chunk)
+
+
 def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax",
                           mesh=None, dtype=None):
     """tci_construct_mandelbrot_v002_fixed.py:62-71 semantics.
@@ -111,10 +122,7 @@ def entropic_argmax_match(x, y, eps: float = 0.8, rng=None, backend: str = "jax"
             # (emulated f64); the f32 path (dtype=float32) runs on-device
             from cmtci.utils.artifacts import fetch
 
-            mean = _blocked_mean_dist(jnp.asarray(ax), jnp.asarray(by))
-            match = fetch(
-                _argmax_kernel_rows(jnp.asarray(ax), jnp.asarray(by), mean, eps)
-            )
+            match = fetch(_match_fused(jnp.asarray(ax), jnp.asarray(by), eps))
     return y[match], x
 
 

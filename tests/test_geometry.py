@@ -32,6 +32,25 @@ class TestPolygon:
         got = poly.contains(pts)
         assert (got == ref).mean() > 0.995  # boundary-adjacent ties may differ
 
+    def test_contains_ybucket_accel_bitwise(self, rng):
+        """The y-bucket pruned crossing test (polygons >=256 edges) must be
+        bitwise identical to the full all-edges test."""
+        t = np.linspace(0, 2 * np.pi, 1024, endpoint=False)
+        rr = 1.0 + 0.3 * np.cos(7 * t)
+        poly = Polygon(np.column_stack([rr * np.cos(t), rr * np.sin(t)]))
+        pts = rng.uniform(-1.5, 1.5, size=(5000, 2))
+        fast = poly.contains(pts)
+        # full test computed inline (the un-pruned reference predicate)
+        p0, p1 = poly._segs
+        x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+        x0, y0 = p0[:, 0][None, :], p0[:, 1][None, :]
+        x1, y1 = p1[:, 0][None, :], p1[:, 1][None, :]
+        cond = (y0 <= y) != (y1 <= y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x0 + (y - y0) * (x1 - x0) / (y1 - y0)
+        full = (np.sum(cond & (x < xint), axis=1) % 2) == 1
+        assert np.array_equal(fast, full)
+
     def test_project_interpolate_roundtrip(self):
         poly = _circle_poly(400)
         s = np.array([0.1, 1.0, 3.0, 5.5])

@@ -117,7 +117,7 @@ def test_green_uniformization_fit_cache(tmp_path, monkeypatch):
     out2 = run_green_uniformization(pts, cfg, cache_dir=cache)
     assert out2["diagnostics"]["g_shift"] == out1["diagnostics"]["g_shift"]
     assert out2["diagnostics"]["bdy_mod_median"] == out1["diagnostics"]["bdy_mod_median"]
-    assert "fit" in out2["stage_times"]
+    assert "fit+interior_sample" in out2["stage_times"]
 
 
 def test_uniform_meta_dumps(tmp_path):
