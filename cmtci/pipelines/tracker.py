@@ -146,6 +146,30 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
     cloud_backend = "lapack" if cfg.parity else "aberth"
     matcher_backend = "numpy" if cfg.parity else "jax"
 
+    # The per-stage cloud schedule is fully determined by the config (the
+    # cloud never consumes the shared RNG stream — invariant pinned in
+    # tests/test_tracker_regression.py), so on the fast path ALL stage
+    # eigensweeps start on one background worker immediately: stage k's
+    # host Aberth sweep overlaps stage k-1's matcher/histograms/GI-flow,
+    # not just its own device DE sample. Stage 4 (n<=1220, ~0.19 s) was
+    # the warm floor's largest term.
+    cloud_futures: dict = {}
+    cloud_ex = None
+    if cfg.de_impl == "pallas" and not cfg.parity and cache_dir is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        cloud_ex = ThreadPoolExecutor(1)
+        b_pre, cm_pre, n_pre = bins, construct_max, 0
+        while b_pre <= int(cfg.bins_max) and (max_stages is None or n_pre < max_stages):
+            ns_pre = list(range(cfg.construct_step, cm_pre + 1, cfg.construct_step))
+            cloud_futures[cm_pre] = cloud_ex.submit(
+                companion.inverse_cloud, ns_pre, cfg.family, tol=1e-10,
+                backend=cloud_backend)
+            b_pre *= 2
+            cm_pre = int(round((cm_pre * cfg.construct_max_growth)
+                               / cfg.construct_step)) * cfg.construct_step
+            n_pre += 1
+
     while bins <= int(cfg.bins_max):
         if max_stages is not None and len(rows) >= max_stages:
             break
@@ -159,6 +183,9 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
 
         def _stage_kernels():
             def _cloud():
+                fut = cloud_futures.pop(construct_max, None)
+                if fut is not None:
+                    return fut.result()
                 return companion.inverse_cloud(ns, cfg.family, tol=1e-10,
                                                backend=cloud_backend)
 
@@ -210,20 +237,24 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
         outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
         outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
 
+        hist_np = cfg.de_impl == "pallas" and not cfg.parity and stage_mesh is None
         with timer.stage(f"bins{bins}_hist"):
-            p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
-            p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh))
+            p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
+            p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
         kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
 
         with timer.stage(f"bins{bins}_giflow"):
             if cfg.t_fixed > 0:
                 mode = f"fixedT={cfg.t_fixed}"
-                x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps)
+                x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(
+                    p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps,
+                    host_numpy=hist_np)
                 stop_reason = "fixed_T"
             else:
                 mode = "adaptive"
                 x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
-                    p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps
+                    p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps,
+                    host_numpy=hist_np and bins <= 128,
                 )
                 stop_reason = (
                     "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
@@ -275,6 +306,8 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
         grid = int(round(grid * cfg.mandelbrot_grid_growth))
         samples = min(cfg.mandelbrot_samples_max, int(round(samples * cfg.mandelbrot_samples_growth)))
 
+    if cloud_ex is not None:
+        cloud_ex.shutdown(wait=False, cancel_futures=True)
     meta = {
         **{k: (list(v) if isinstance(v, tuple) else v) for k, v in dataclasses.asdict(cfg).items()},
         "global_stop_reason": global_stop,

@@ -37,8 +37,23 @@ def _fixed_t(p, x0, alpha, t_steps: int, eps):
     return x, kl0, _kl_jit(p, x, eps)
 
 
-def gi_flow_fixed_t(p, x0, alpha: float, t_steps: int, eps: float = 1e-12):
-    """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:128-134."""
+def gi_flow_fixed_t(p, x0, alpha: float, t_steps: int, eps: float = 1e-12,
+                    host_numpy: bool = False):
+    """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:128-134.
+
+    host_numpy=True runs the identical mixture loop in numpy (no XLA-CPU
+    dispatch — the tracker fast path's stages contend with its background
+    eigensweeps for the host stream; only KL endpoints are computed, so
+    the numpy loop is O(T·bins²) mults and cheap at every stage size)."""
+    if host_numpy:
+        from cmtci.transport.histogram import kl as _kl_np
+
+        p = np.asarray(p)
+        x = np.asarray(x0)
+        kl0 = _kl_np(p, x, eps)
+        for _ in range(int(t_steps)):
+            x = (1.0 - alpha) * x + alpha * p
+        return x, int(t_steps), float(kl0), float(_kl_np(p, x, eps))
     from cmtci.utils.device import analysis_cpu
 
     with analysis_cpu():
@@ -68,9 +83,26 @@ def _adaptive(p, x0, alpha, kl_threshold, max_steps: int, min_steps: int, eps):
 
 def gi_flow_to_threshold(
     p, x0, alpha: float, kl_threshold: float, max_steps: int, min_steps: int = 1,
-    eps: float = 1e-12,
+    eps: float = 1e-12, host_numpy: bool = False,
 ):
-    """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:137-148."""
+    """Returns (X_T, T, kl0, klT) — gi_assumption_tracker_v3.py:137-148.
+
+    host_numpy: same rationale as gi_flow_fixed_t, but the adaptive loop
+    evaluates KL per step (O(T·bins²) logs) — callers should use it only
+    for small grids (the tracker picks it for bins ≤ 128, exactly the
+    stages that overlap its background eigensweeps)."""
+    if host_numpy:
+        from cmtci.transport.histogram import kl as _kl_np
+
+        p = np.asarray(p)
+        x = np.asarray(x0)
+        kl0 = _kl_np(p, x, eps)
+        t, klv = 0, kl0
+        while t < int(max_steps) and (t < int(min_steps) or klv > kl_threshold):
+            x = (1.0 - alpha) * x + alpha * p
+            t += 1
+            klv = _kl_np(p, x, eps)
+        return x, int(t), float(kl0), float(klv)
     from cmtci.utils.device import analysis_cpu
 
     with analysis_cpu():

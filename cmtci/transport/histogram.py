@@ -146,15 +146,51 @@ def to_prob(cloud, bins: int, domain, eps: float = 1e-12):
         return h / h.sum()
 
 
+def _histogram2d_np(x, y, bins: int, domain):
+    """Pure-numpy histogram2d with the exact jnp-path semantics.
+
+    searchsorted on identical f64 inputs returns identical indices and the
+    counts are small-integer sums, so the counts are bitwise-equal to the
+    histogram2d jit (downstream normalization differs only in reduction
+    order, ~1e-19/bin) — and it never touches the host XLA stream, which
+    the tracker's background eigensweeps keep busy (a host-jit histogram
+    there waits ~0.1 s/stage behind a 0.19 s Aberth execution)."""
+    xmin, xmax, ymin, ymax = domain
+    xedges = np.linspace(xmin, xmax, bins + 1)
+    yedges = np.linspace(ymin, ymax, bins + 1)
+    ix = np.searchsorted(xedges, x, side="right") - 1
+    iy = np.searchsorted(yedges, y, side="right") - 1
+    ix = np.where(x == xmax, bins - 1, ix)
+    iy = np.where(y == ymax, bins - 1, iy)
+    ok = (ix >= 0) & (ix < bins) & (iy >= 0) & (iy < bins)
+    flat = ix[ok] * bins + iy[ok]
+    return np.bincount(flat, minlength=bins * bins).astype(float).reshape(bins, bins)
+
+
 def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float = 1e-12,
-                        mesh=None):
+                        mesh=None, host_numpy: bool = False):
     """gi_assumption_tracker_v3.py:109-125 semantics.
 
     With a `mesh`, the scatter-add is point-sharded over the devices and
     psum-reduced (bitwise-identical: per-bin counts are small integers, so
     f64 addition is exact in any order); the mollifier runs replicated.
+    host_numpy=True computes everything in numpy/scipy-order host code (no
+    XLA stream) — the tracker fast path's choice while background
+    eigensweeps occupy the host CPU stream.
     """
     cloud = np.asarray(cloud)
+    if host_numpy and mesh is None:
+        from scipy.ndimage import gaussian_filter as _scipy_gauss
+
+        h = _histogram2d_np(cloud.real.ravel(), cloud.imag.ravel(), bins, domain)
+        h = np.maximum(h, eps)
+        if sigma_bins and sigma_bins > 0:
+            # the reference's own scipy call (gi_assumption_tracker_v3.py:
+            # 109-125); gaussian_filter_nearest reproduces it bitwise, so
+            # using scipy here keeps identical values at C speed
+            h = _scipy_gauss(h, float(sigma_bins), mode="nearest")
+            h = np.maximum(h, eps)
+        return h / h.sum()
     if mesh is not None:
         from cmtci.parallel.sharded import sharded_histogram
 
@@ -179,21 +215,23 @@ def mollified_histogram(cloud, bins: int, domain, sigma_bins: float, eps: float 
 
 
 def kl(p, x, eps: float = 1e-12):
-    """KL(P||X) with clipping (tci_..._v002_fixed.py:86-88)."""
-    with analysis_cpu():
-        p = jnp.clip(jnp.asarray(p), eps, None)
-        x = jnp.clip(jnp.asarray(x), eps, None)
-        return float(jnp.sum(p * (jnp.log(p) - jnp.log(x))))
+    """KL(P||X) with clipping (tci_..._v002_fixed.py:86-88).
+
+    Pure numpy on the host: these are O(bins²) scalar reductions called
+    between device stages — an XLA-CPU dispatch here queues behind whatever
+    the host stream is running (e.g. the tracker's background eigensweeps).
+    Jitted flows use giflow._kl_jit instead."""
+    p = np.clip(np.asarray(p), eps, None)
+    x = np.clip(np.asarray(x), eps, None)
+    return float(np.sum(p * (np.log(p) - np.log(x))))
 
 
 def tv_distance(p, q) -> float:
-    with analysis_cpu():
-        return 0.5 * float(jnp.sum(jnp.abs(jnp.asarray(p) - jnp.asarray(q))))
+    return 0.5 * float(np.sum(np.abs(np.asarray(p) - np.asarray(q))))
 
 
 def overlap_mass(p, q) -> float:
-    with analysis_cpu():
-        return float(jnp.sum(jnp.minimum(jnp.asarray(p), jnp.asarray(q))))
+    return float(np.sum(np.minimum(np.asarray(p), np.asarray(q))))
 
 
 def pinsker_bound(delta: float) -> float:

@@ -45,6 +45,12 @@ class TestHistogram:
         h = np.maximum(h, 1e-12)
         ref = h / h.sum()
         np.testing.assert_allclose(got, ref, rtol=1e-12)
+        # the tracker fast path's pure-numpy variant: identical counts and
+        # filter; only the normalization sum's reduction order differs
+        # (np pairwise vs XLA tree), ~1e-19 per bin
+        got_np = hg.mollified_histogram(cloud, 64, DOMAIN, sigma_bins=3.0,
+                                        host_numpy=True)
+        np.testing.assert_allclose(got_np, got, rtol=1e-13, atol=1e-18)
 
     def test_kl_tv_overlap_identities(self, rng):
         p = rng.uniform(size=(32, 32))
