@@ -196,7 +196,7 @@ def _bench_variograms(on_tpu: bool) -> float:
     cfg = VariogramConfig(vario_dtype="float32" if on_tpu else "float64",
                           field_dtype="float32" if on_tpu else "float64")
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: sub-second warm, relay-noise sensitive
         t0 = time.time()
         out = run_variograms(cfg)
         best = min(best, time.time() - t0)

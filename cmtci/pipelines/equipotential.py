@@ -133,11 +133,29 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
 
     timer = timer if timer is not None else StageTimer()
     ns = list(range(cfg.n_min, cfg.n_max + 1))
+    # the non-lucas family eigensweeps are independent of everything until
+    # the families stage and never touch shared RNG state — start them on a
+    # background worker so they overlap the main cloud/potential/per-n path
+    # (they serialize with OTHER host-XLA work on the host stream, but run
+    # free while the device computes the main potential)
+    fam_futs = []
+    fam_ex = None
+    others = [f for f in cfg.families if f != "lucas_all_ones"]
     with timer.stage("cloud"):
         clouds = companion.inverse_cloud_split(ns, "lucas_all_ones",
                                                tol=cfg.eig_tol,
                                                backend=cfg.cloud_backend)
         c_inv = np.concatenate(clouds)
+    if cfg.run_family_comparison and others:
+        # submitted AFTER the main cloud (both are host-XLA Aberth sweeps and
+        # would serialize on the host stream); they now overlap the device
+        # potential solve and the numpy per-n statistics
+        from concurrent.futures import ThreadPoolExecutor
+
+        fam_ex = ThreadPoolExecutor(1)
+        fam_futs = [fam_ex.submit(companion.inverse_cloud, ns, f,
+                                  tol=cfg.eig_tol, backend=cfg.cloud_backend)
+                    for f in others]
     with timer.stage("potential"):
         g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius,
                                      cache_dir=cache_dir,
@@ -158,12 +176,9 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
             # lucas reuses the main g (same construction bitwise); the other
             # families run ONE concatenated compaction-staged solve — g is a
             # per-point quantity, so batch composition cannot change it
-            others = [f for f in cfg.families if f != "lucas_all_ones"]
             fam_g = {"lucas_all_ones": g}
             if others:
-                fam_clouds = [companion.inverse_cloud(ns, f, tol=cfg.eig_tol,
-                                                      backend=cfg.cloud_backend)
-                              for f in others]
+                fam_clouds = [f.result() for f in fam_futs]
                 g_all, _, _ = batch_potential(np.concatenate(fam_clouds),
                                               cfg.max_iter, cfg.escape_radius,
                                               cache_dir=cache_dir,
@@ -178,6 +193,8 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                 s["family"] = fam
                 fam_rows.append(s)
             out["family_summary"] = fam_rows
+    if fam_ex is not None:
+        fam_ex.shutdown(wait=False)
     out["stage_times"] = dict(timer.times)
     if out_dir:
         writers.write_config_meta(f"{out_dir}/meta.txt", cfg,

@@ -184,6 +184,23 @@ class TestGIFlow:
             steps += 1
         np.testing.assert_allclose(xt, x, rtol=1e-10)
 
+    def test_host_numpy_variants_match_jit(self, rng):
+        """The tracker fast path's numpy flow loops (off the host XLA
+        stream) give the same realization as the jitted paths: identical
+        T_n / stop behavior, values to FMA-level tolerance."""
+        p, x0 = self._p_x(rng)
+        xt_j, t_j, kl0_j, klt_j = giflow.gi_flow_fixed_t(p, x0, 0.1, 25)
+        xt_n, t_n, kl0_n, klt_n = giflow.gi_flow_fixed_t(p, x0, 0.1, 25,
+                                                         host_numpy=True)
+        assert t_n == t_j
+        np.testing.assert_allclose(xt_n, xt_j, rtol=1e-13)
+        np.testing.assert_allclose([kl0_n, klt_n], [kl0_j, klt_j], rtol=1e-10)
+        a_j = giflow.gi_flow_to_threshold(p, x0, 0.1, 1e-6, 800, 5)
+        a_n = giflow.gi_flow_to_threshold(p, x0, 0.1, 1e-6, 800, 5,
+                                          host_numpy=True)
+        assert a_n[1] == a_j[1]  # same adaptive T_n
+        np.testing.assert_allclose(a_n[0], a_j[0], rtol=1e-12)
+
 
 def test_gaussian_filter_bitwise_vs_scipy():
     """The mollifier must equal scipy.ndimage to the LAST BIT: the tracker's
