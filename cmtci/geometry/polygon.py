@@ -157,16 +157,33 @@ class Polygon:
             inside = inside | (d <= max(tol, 1e-12))
         return inside
 
+    def _nearest(self, pts):
+        """(d, seg_idx, t) nearest-segment query; KDTree-pruned for large
+        polygons (exact — see _nearest_on_segments_pruned)."""
+        p0, p1 = self._segs
+        if len(p0) >= 64 and len(pts) > 4:
+            cached = getattr(self, "_seg_tree_cache", None)
+            if cached is None:
+                from scipy.spatial import cKDTree
+
+                mid = 0.5 * (p0 + p1)
+                hl = 0.5 * float(np.sqrt(((p1 - p0) ** 2).sum(axis=1)).max())
+                cached = (cKDTree(mid), hl)
+                self._seg_tree_cache = cached
+            tree, hl = cached
+            return _nearest_on_segments_pruned(pts, p0, p1, tree, hl)
+        return _nearest_on_segments(pts, p0, p1)
+
     def exterior_distance(self, pts) -> np.ndarray:
         """Min distance from each point to the boundary polyline."""
         pts = _as_xy(pts)
-        d, _, _ = _nearest_on_segments(pts, *self._segs)
+        d, _, _ = self._nearest(pts)
         return d
 
     def project(self, pts) -> np.ndarray:
         """Arclength of the nearest boundary point (shapely .project)."""
         pts = _as_xy(pts)
-        d, seg_idx, t = _nearest_on_segments(pts, *self._segs)
+        d, seg_idx, t = self._nearest(pts)
         s0 = self.arclengths
         return s0[seg_idx] + t * self.seg_lengths[seg_idx]
 
@@ -202,6 +219,46 @@ def _nearest_on_segments(pts, p0, p1):
     seg_idx = np.argmin(dist2, axis=1)
     rows = np.arange(len(pts))
     return np.sqrt(dist2[rows, seg_idx]), seg_idx, t[rows, seg_idx]
+
+
+def _nearest_on_segments_pruned(pts, p0, p1, tree, half_len_max):
+    """Exact nearest-segment query via a midpoint KDTree prune.
+
+    Candidates = the k nearest segment MIDPOINTS. Correctness bound: for
+    any segment, |d_seg − d_midpoint| ≤ half_len_max, so if the best exact
+    candidate distance dc satisfies dc < D_k − half_len_max (D_k = k-th
+    midpoint distance), no non-candidate segment can reach dc — the result
+    (incl. the argmin tie rule: smallest segment index among minima, which
+    is what np.argmin over index order returns) is identical to the full
+    scan. Points failing the bound fall back to the full scan. This is the
+    v18 mesher/arclength hot spot (exterior_distance/project were 3.7 s of
+    the 5 s L3 level)."""
+    e = len(p0)
+    k = min(e, 16)
+    dk, cand = tree.query(pts, k=k)
+    dk_last = dk[:, -1]
+    cand = np.sort(cand, axis=1)  # argmin tie rule = smallest segment index
+    d01 = p1 - p0
+    len2 = np.maximum((d01**2).sum(axis=1), 1e-300)
+    c0 = p0[cand]                      # (P,k,2)
+    cd = d01[cand]
+    dp = pts[:, None, :] - c0
+    t = np.clip((dp * cd).sum(axis=2) / len2[cand], 0.0, 1.0)
+    closest = c0 + t[:, :, None] * cd
+    dist2 = ((pts[:, None, :] - closest) ** 2).sum(axis=2)
+    j = np.argmin(dist2, axis=1)
+    rows = np.arange(len(pts))
+    d = np.sqrt(dist2[rows, j])
+    ok = (k == e) | (d < dk_last - half_len_max)
+    seg_idx = cand[rows, j]
+    tt = t[rows, j]
+    if not ok.all():
+        bad = ~ok
+        d_f, s_f, t_f = _nearest_on_segments(pts[bad], p0, p1)
+        d[bad] = d_f
+        seg_idx[bad] = s_f
+        tt[bad] = t_f
+    return d, seg_idx, tt
 
 
 def ensure_interior_point(poly: Polygon, z0: complex) -> complex:

@@ -51,6 +51,25 @@ class TestPolygon:
         full = (np.sum(cond & (x < xint), axis=1) % 2) == 1
         assert np.array_equal(fast, full)
 
+    def test_nearest_segment_pruned_bitwise(self, rng):
+        """The KDTree-pruned nearest-segment query (polygons >=64 edges)
+        must equal the full scan bitwise, including the argmin tie rule."""
+        from cmtci.geometry.polygon import _nearest_on_segments
+
+        t = np.linspace(0, 2 * np.pi, 800, endpoint=False)
+        rr = 1.0 + 0.25 * np.cos(9 * t)
+        poly = Polygon(np.column_stack([rr * np.cos(t), rr * np.sin(t)]))
+        pts = rng.uniform(-1.5, 1.5, size=(3000, 2))
+        d1, s1, t1 = poly._nearest(pts)
+        d2, s2, t2 = _nearest_on_segments(pts, *poly._segs)
+        assert np.array_equal(d1, d2)
+        assert np.array_equal(s1, s2)
+        assert np.array_equal(t1, t2)
+        # boundary vertices themselves (exact ties between adjacent segs)
+        dv, sv, tv = poly._nearest(poly.xy[::7])
+        dv2, sv2, tv2 = _nearest_on_segments(poly.xy[::7], *poly._segs)
+        assert np.array_equal(sv, sv2) and np.array_equal(tv, tv2)
+
     def test_project_interpolate_roundtrip(self):
         poly = _circle_poly(400)
         s = np.array([0.1, 1.0, 3.0, 5.5])
