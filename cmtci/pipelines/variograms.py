@@ -94,9 +94,11 @@ def run_variograms(cfg: VariogramConfig, out_csv: str | None = None):
     import jax.numpy as jnp
 
     dt = jnp.float32 if cfg.vario_dtype == "float32" else None
-    r_c, g_c, _ = vg.grid_semivariogram(u_c_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt)
-    r_m, g_m, _ = vg.grid_semivariogram(u_m_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt)
-    r_x, g_x, _ = vg.cross_semivariogram(u_c_n, u_m_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt)
+    # one fused device call for all three binnings on the f32 path (same
+    # host-RNG draw order as the sequential calls); f64 stays sequential
+    # on the host CPU
+    r_c, g_c, g_m, g_x, _, _, _ = vg.three_semivariograms(
+        u_c_n, u_m_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt)
 
     out = {
         "r": r_c, "gamma_construct": g_c, "gamma_mandelbrot": g_m, "gamma_cross": g_x,
@@ -104,7 +106,7 @@ def run_variograms(cfg: VariogramConfig, out_csv: str | None = None):
     }
     if cfg.fit_model:
         out["fit_construct"] = vg.fit_exponential_variogram(r_c, g_c)
-        out["fit_mandelbrot"] = vg.fit_exponential_variogram(r_m, g_m)
+        out["fit_mandelbrot"] = vg.fit_exponential_variogram(r_c, g_m)
     if out_csv:
         import os as _os
 

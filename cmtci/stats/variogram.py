@@ -180,6 +180,72 @@ def cross_semivariogram(field1, field2, gx, gy, r_bins, m_target: int = 15000,
     return r_centers, gamma, counts
 
 
+@functools.partial(jax.jit, static_argnames=("nbins", "chunk"))
+def _binned_three_masked(cc, vc, cm, vm, c1, v1, c2, v2, edges, nbins: int,
+                         chunk: int):
+    """The variogram pipeline's three binnings in ONE compiled call.
+
+    γ_C, γ_M (upper-triangle self pairs) and the cross variogram (full
+    rectangle, independent subsamples) — identical math to three separate
+    _binned_sq_diff_masked dispatches, fused so a TPU session pays one
+    relay roundtrip + one packed fetch instead of three dispatches and six
+    fetches."""
+    s_c, n_c = _binned_sq_diff_masked(cc, vc, cc, vc, edges, nbins, chunk, True)
+    s_m, n_m = _binned_sq_diff_masked(cm, vm, cm, vm, edges, nbins, chunk, True)
+    s_x, n_x = _binned_sq_diff_masked(c1, v1, c2, v2, edges, nbins, chunk, False)
+    return jnp.stack([s_c, n_c.astype(s_c.dtype), s_m, n_m.astype(s_c.dtype),
+                      s_x, n_x.astype(s_c.dtype)])
+
+
+def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000,
+                         rng=None, chunk: int = 1024, dtype=None):
+    """(γ_C, γ_M, γ_cross) with the pipeline's exact RNG draw order.
+
+    Draws the four location subsamples in the same host-RNG order as the
+    sequential grid_semivariogram/grid_semivariogram/cross_semivariogram
+    calls (idx_C, idx_M, i1, i2), then runs all three binnings in one
+    device call (f32 path) or falls back to the sequential host path.
+    Returns (r_centers, gamma_c, gamma_m, gamma_x, counts_c, counts_m,
+    counts_x)."""
+    if dtype is None:
+        r_c, g_c, n_c = grid_semivariogram(field_c, gx, gy, r_bins, m_target,
+                                           rng, chunk, dtype)
+        _, g_m, n_m = grid_semivariogram(field_m, gx, gy, r_bins, m_target,
+                                         rng, chunk, dtype)
+        _, g_x, n_x = cross_semivariogram(field_c, field_m, gx, gy, r_bins,
+                                          m_target, rng, chunk, dtype)
+        return r_c, g_c, g_m, g_x, n_c, n_m, n_x
+    coords = np.column_stack([np.asarray(gx).ravel(), np.asarray(gy).ravel()])
+    vc_all = np.asarray(field_c).ravel()
+    vm_all = np.asarray(field_m).ravel()
+    r = rng if rng is not None else np.random
+    m = min(m_target, coords.shape[0])
+    idx_c = r.choice(coords.shape[0], size=m, replace=False)
+    idx_m = r.choice(coords.shape[0], size=m, replace=False)
+    i1 = r.choice(coords.shape[0], size=m, replace=False)
+    i2 = r.choice(coords.shape[0], size=m, replace=False)
+    nbins = len(r_bins) - 1
+    edges = jnp.asarray(np.asarray(r_bins, dtype=float), dtype)
+    packed = np.asarray(_binned_three_masked(
+        jnp.asarray(coords[idx_c], dtype), jnp.asarray(vc_all[idx_c], dtype),
+        jnp.asarray(coords[idx_m], dtype), jnp.asarray(vm_all[idx_m], dtype),
+        jnp.asarray(coords[i1], dtype), jnp.asarray(vc_all[i1], dtype),
+        jnp.asarray(coords[i2], dtype), jnp.asarray(vm_all[i2], dtype),
+        edges, nbins, chunk))
+
+    def gamma_of(sums, counts):
+        g = np.zeros(nbins)
+        nz = counts > 0
+        g[nz] = 0.5 * sums[nz] / counts[nz]
+        return g
+
+    r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
+    g_c = gamma_of(packed[0].astype(np.float64), packed[1])
+    g_m = gamma_of(packed[2].astype(np.float64), packed[3])
+    g_x = gamma_of(packed[4].astype(np.float64), packed[5])
+    return r_centers, g_c, g_m, g_x, packed[1], packed[3], packed[5]
+
+
 def point_variogram(locs, values=None, max_dist=None, nbins: int = 50):
     """pdist-style variogram (Iterative_Variogram_Laplacian.py:53-87).
 

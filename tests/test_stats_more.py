@@ -288,6 +288,34 @@ def test_semivariogram_f32_close_to_f64(rng):
     assert np.abs(c32 - c64).max() <= max(5, 0.001 * c64.max())
 
 
+def test_three_semivariograms_fused_matches_sequential(rng):
+    """The fused one-call variogram path (f32 TPU) equals the three
+    sequential calls exactly: same RNG draw order, same kernels."""
+    import jax.numpy as jnp
+
+    from cmtci.stats import variogram as vg
+
+    gx, gy = np.meshgrid(np.linspace(0, 1, 40), np.linspace(0, 1, 40))
+    fc = np.log1p(gx**2 + gy**2) + 0.05 * rng.normal(size=(40, 40))
+    fm = np.sqrt(gx + gy) + 0.05 * rng.normal(size=(40, 40))
+    r_bins = np.linspace(0, 0.9, 12)
+    rs = np.random.RandomState(3)
+    _, gc1, _ = vg.grid_semivariogram(fc, gx, gy, r_bins, 500, rs, dtype=jnp.float32)
+    _, gm1, _ = vg.grid_semivariogram(fm, gx, gy, r_bins, 500, rs, dtype=jnp.float32)
+    _, gx1, _ = vg.cross_semivariogram(fc, fm, gx, gy, r_bins, 500, rs, dtype=jnp.float32)
+    rs2 = np.random.RandomState(3)
+    _, gc2, gm2, gx2, _, _, _ = vg.three_semivariograms(
+        fc, fm, gx, gy, r_bins, 500, rs2, dtype=jnp.float32)
+    np.testing.assert_array_equal(gc2, gc1)
+    np.testing.assert_array_equal(gm2, gm1)
+    np.testing.assert_array_equal(gx2, gx1)
+    # f64 fallback path delegates to the sequential functions
+    rs3 = np.random.RandomState(3)
+    _, gc3, gm3, gx3, _, _, _ = vg.three_semivariograms(
+        fc, fm, gx, gy, r_bins, 500, rs3, dtype=None)
+    assert np.all(np.isfinite(gc3[1:])) and np.all(np.isfinite(gm3[1:]))
+
+
 def test_binned_masked_matches_scatter_semantics(rng):
     """The scatter-free TPU binning (round 3) bins identically to the
     searchsorted/scatter kernel: exact counts, sums to reduction-order
