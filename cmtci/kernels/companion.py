@@ -524,12 +524,26 @@ def eigvals_bucketed(ns, family: str = "lucas_all_ones", max_iters: int = 200,
 
 
 def _bucketing_pays(ns) -> bool:
-    """Gate for the degree-bucketed sweep: bucketing pays only when the
-    padded repulsion work is large — each bucket is its own jit trace
-    (~0.5 s of host time per new shape), so small sweeps (e.g. the
-    equipotential's dense n=2..200) stay single-batch while stage-4-scale
-    sweeps (n_max ~1220) split."""
-    return len(set(ns)) > 1 and len(ns) * max(ns) ** 2 > 5e7
+    """Gate for the degree-bucketed sweep. Bucketing pays when either
+
+    * the padded repulsion work is large (stage-4-scale sweeps,
+      n_max ~1220), or
+    * the sweep spans the curve-init threshold: rows below
+      _CURVE_INIT_MIN_DEG use the circle init (~10 Aberth iterations)
+      while curve-registered rows converge in ~3, and a single batch's
+      while_loop runs EVERY row for the worst row's count — a dense
+      n=2..200 sweep is 0.20 s single-batch vs 0.04 s bucketed
+      (root-for-root equal; the small rows ride in the first bucket).
+
+    Each bucket is its own jit trace (~0.5 s of host time per new shape,
+    amortized by the persistent compile cache), so uniform small sweeps
+    stay single-batch."""
+    ns = [int(n) for n in ns]
+    if len(set(ns)) <= 1:
+        return False
+    if min(ns) < _CURVE_INIT_MIN_DEG < max(ns):
+        return True
+    return len(ns) * max(ns) ** 2 > 5e7
 
 
 def inverse_cloud_padded(ns, family: str = "lucas_all_ones",

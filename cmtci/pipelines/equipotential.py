@@ -118,10 +118,14 @@ def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None,
     """Cumulative-N rows (:310-327) from the same single batched solve."""
     per_n_g = per_n_g or _per_n_potentials(cfg, family)
     rows = []
-    g_acc = []
+    # the concatenation of the per-n list up to n IS the prefix of the full
+    # flat concatenation — slice one array instead of re-concatenating a
+    # growing list per row (bitwise-identical inputs to summarize_g)
+    g_flat = np.concatenate([g for _, g in per_n_g])
+    off = 0
     for n, g in per_n_g:
-        g_acc.append(g)
-        rows.append({"N": n, **laws.summarize_g(np.concatenate(g_acc))})
+        off += len(g)
+        rows.append({"N": n, **laws.summarize_g(g_flat[:off])})
     return rows
 
 
@@ -133,33 +137,33 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
 
     timer = timer if timer is not None else StageTimer()
     ns = list(range(cfg.n_min, cfg.n_max + 1))
-    # the non-lucas family eigensweeps are independent of everything until
-    # the families stage and never touch shared RNG state — start them on a
-    # background worker so they overlap the main cloud/potential/per-n path
-    # (they serialize with OTHER host-XLA work on the host stream, but run
-    # free while the device computes the main potential)
-    fam_futs = []
-    fam_ex = None
-    others = [f for f in cfg.families if f != "lucas_all_ones"]
+    others = ([f for f in cfg.families if f != "lucas_all_ones"]
+              if cfg.run_family_comparison else [])
     with timer.stage("cloud"):
+        # all four family eigensweeps are cheap host-XLA Aberth calls now
+        # that threshold-spanning sweeps bucket (companion._bucketing_pays:
+        # ~0.04 s each vs 0.20 s single-batch) — the round-3 worker-thread
+        # overlap machinery bought nothing once the sweeps stopped
+        # dominating, so the clouds are just computed inline
         clouds = companion.inverse_cloud_split(ns, "lucas_all_ones",
                                                tol=cfg.eig_tol,
                                                backend=cfg.cloud_backend)
         c_inv = np.concatenate(clouds)
-    if cfg.run_family_comparison and others:
-        # submitted AFTER the main cloud (both are host-XLA Aberth sweeps and
-        # would serialize on the host stream); they now overlap the device
-        # potential solve and the numpy per-n statistics
-        from concurrent.futures import ThreadPoolExecutor
-
-        fam_ex = ThreadPoolExecutor(1)
-        fam_futs = [fam_ex.submit(companion.inverse_cloud, ns, f,
-                                  tol=cfg.eig_tol, backend=cfg.cloud_backend)
-                    for f in others]
+        fam_clouds = [companion.inverse_cloud(ns, f, tol=cfg.eig_tol,
+                                              backend=cfg.cloud_backend)
+                      for f in others]
     with timer.stage("potential"):
-        g, it, phi = batch_potential(c_inv, cfg.max_iter, cfg.escape_radius,
-                                     cache_dir=cache_dir,
-                                     dtype=cfg.potential_dtype)
+        # ONE device solve for lucas + the other families: g is a per-point
+        # quantity, so batch composition cannot change it (the same reason
+        # the per-n split can reuse this solve) — one relay roundtrip
+        # replaces the round-3 two-solve structure
+        all_pts = (np.concatenate([c_inv, *fam_clouds]) if fam_clouds
+                   else c_inv)
+        g_all, it_all, phi_all = batch_potential(
+            all_pts, cfg.max_iter, cfg.escape_radius, cache_dir=cache_dir,
+            dtype=cfg.potential_dtype)
+        g, it, phi = (g_all[: len(c_inv)], it_all[: len(c_inv)],
+                      phi_all[: len(c_inv)])
     out = {
         "summary": laws.summarize_g(g),
         "laws": laws.compare_reference_laws(g[g > 0]),
@@ -173,28 +177,17 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
             out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
     if cfg.run_family_comparison:
         with timer.stage("families"):
-            # lucas reuses the main g (same construction bitwise); the other
-            # families run ONE concatenated compaction-staged solve — g is a
-            # per-point quantity, so batch composition cannot change it
             fam_g = {"lucas_all_ones": g}
-            if others:
-                fam_clouds = [f.result() for f in fam_futs]
-                g_all, _, _ = batch_potential(np.concatenate(fam_clouds),
-                                              cfg.max_iter, cfg.escape_radius,
-                                              cache_dir=cache_dir,
-                                              dtype=cfg.potential_dtype)
-                off = 0
-                for f, c in zip(others, fam_clouds):
-                    fam_g[f] = g_all[off : off + len(c)]
-                    off += len(c)
+            off = len(c_inv)
+            for f, c in zip(others, fam_clouds):
+                fam_g[f] = g_all[off : off + len(c)]
+                off += len(c)
             fam_rows = []
             for fam in cfg.families:
                 s = laws.summarize_g(fam_g[fam])
                 s["family"] = fam
                 fam_rows.append(s)
             out["family_summary"] = fam_rows
-    if fam_ex is not None:
-        fam_ex.shutdown(wait=False)
     out["stage_times"] = dict(timer.times)
     if out_dir:
         writers.write_config_meta(f"{out_dir}/meta.txt", cfg,

@@ -112,7 +112,11 @@ def test_bucketed_equals_unbucketed():
         # roots whose real parts agree to ~1e-13
         assert _match_error(z_b, z_u) < 5e-13, ns[b]
     # the gate itself (the real predicate, not re-derived constants):
-    # this test's small sweep stays single-batch via inverse_cloud, the
-    # tracker's stage-4 shape routes to the bucketed path
-    assert not companion._bucketing_pays(ns)
+    # sweeps spanning the curve-init threshold bucket (iteration-count
+    # decoupling: circle-init rows force ~10 iterations on a single
+    # batch), stage-4-scale sweeps bucket on padded work, and uniform
+    # small curve-init sweeps stay single-batch
+    assert companion._bucketing_pays(ns)  # 5 < _CURVE_INIT_MIN_DEG < 300
     assert companion._bucketing_pays(list(range(20, 1221, 20)))
+    assert not companion._bucketing_pays([30, 64, 130, 300])
+    assert not companion._bucketing_pays([300, 300])
