@@ -237,8 +237,12 @@ class RiemannMapGreenModulus:
 
     def boundary_residual(self):
         """Fit residual on boundary nodes (v40:347,592-599)."""
-        kds = self._kds if self._kds is not None else _log_kernel_ds(self.bdy_z, self.ds)
-        return (kds @ self.sigma) + self.c - np.log(np.abs(self.bdy_z - self.a) + 1e-300)
+        if self._kds is None:
+            # memoized: a map reconstructed from a cached/serialized fit
+            # state arrives without the N×N kernel, and re-assembling it on
+            # every diagnostics call was ~0.1 s at N=2000
+            self._kds = _log_kernel_ds(self.bdy_z, self.ds)
+        return (self._kds @ self.sigma) + self.c - np.log(np.abs(self.bdy_z - self.a) + 1e-300)
 
 
 def _log_kernel_ds(z: np.ndarray, ds: np.ndarray):
@@ -249,17 +253,39 @@ def _log_kernel_ds(z: np.ndarray, ds: np.ndarray):
     return k * ds[None, :]
 
 
-def _log_kernel_ds_fast(z: np.ndarray, ds: np.ndarray):
+def _log_kernel_ds_fast(z: np.ndarray, ds: np.ndarray, workers: int = 4):
     """log|z_i-z_j| via 0.5·log(d²) — skips the hypot that dominates
     _log_kernel_ds (np.abs on complex). Differs from the exact form by
     ≤1 ulp per entry, far below the qr32 fit's refinement limit; the
-    parity lstsq path keeps _log_kernel_ds."""
+    parity lstsq path keeps _log_kernel_ds.
+
+    Row-blocked across a small thread pool: the N² f64 log was the qr32
+    fit's largest single host cost (~0.09 s at N=2000), and numpy's big
+    ufuncs release the GIL, so 4 workers cut it ~3x. Each row's values are
+    computed by the identical expressions in the identical order —
+    bitwise-equal to the single-thread result."""
     x, y = z.real, z.imag
-    d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
-    k = 0.5 * np.log(d2 + 1e-300)
+    n = len(z)
+    k = np.empty((n, n))
+    dsw = ds[None, :]
+
+    def _rows(lo, hi):
+        d2 = ((x[lo:hi, None] - x[None, :]) ** 2
+              + (y[lo:hi, None] - y[None, :]) ** 2)
+        np.multiply(0.5 * np.log(d2 + 1e-300), dsw, out=k[lo:hi])
+
+    if workers > 1 and n >= 512:
+        from concurrent.futures import ThreadPoolExecutor
+
+        step = (n + workers - 1) // workers
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(lambda lo: _rows(lo, min(lo + step, n)),
+                        range(0, n, step)))
+    else:
+        _rows(0, n)
     di = np.diag_indices_from(k)
-    k[di] = np.log(np.maximum(ds, 1e-300) / 2.0) - 1.0
-    return k * ds[None, :]
+    k[di] = (np.log(np.maximum(ds, 1e-300) / 2.0) - 1.0) * ds
+    return k
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -352,7 +378,7 @@ def _fit_sigma_qr32(z, ds, b, a, ridge, refine: int = 2):
 def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
                     ridge: float = RIDGE_LAMBDA, inward_eps: float = 1e-3,
                     gauss_n: int = PATH_GAUSS_N, verbose: bool = False,
-                    solver: str = "lstsq"):
+                    solver: str = "lstsq", calibrate_g_shift: bool = True):
     """Fit (σ, C, g_shift) — lucas_to_cardioid_v40_reference.py:278-360.
 
     solver="lstsq" is the reference's np.linalg.lstsq (SVD — the parity
@@ -402,6 +428,12 @@ def fit_riemann_map(poly: Polygon, n_bdy: int = 2000, a: complex | None = None,
 
     rm = RiemannMapGreenModulus(bdy_z=z, ds=ds, sigma=sigma, a=a, c=c, gauss_n=gauss_n)
     rm._kds = kds
+    if not calibrate_g_shift:
+        # caller derives g_shift from its own g(boundary-in) evaluation
+        # (the uniformize-green pipeline's fused device call evaluates the
+        # same inward-shifted nodes anyway — the host N×N d2 block below
+        # was ~0.06 s of pure duplication); rm.g_shift stays 0.0
+        return rm
     z_in = slightly_inside(z, a, inward_eps)
     if solver == "qr32":
         # g_shift calibration with the direct host log-kernel (0.5·log d²

@@ -78,6 +78,8 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                 pts = pts + 1e-12 * rng.standard_normal(pts.shape)
             poly_l = alpha_shape.alpha_shape_polygon(pts, cfg.alpha)
 
+    fresh_kds = []
+
     def _fit():
         # the f32 perf path takes the device-f32 QR fit (σ to 1.9e-7 of the
         # reference lstsq, dense flops on the MXU, f64 host-residual
@@ -86,7 +88,17 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                                      inward_eps=cfg.inward_eps, gauss_n=cfg.gauss_n,
                                      verbose=verbose,
                                      solver="qr32" if cfg.map_dtype == "float32"
-                                     else "lstsq")
+                                     else "lstsq",
+                                     # f32 path: g_shift derives from the
+                                     # fused phi_f_eval call below, which
+                                     # evaluates the same inward-shifted
+                                     # boundary nodes anyway — the fit's
+                                     # host N×N calibration block was pure
+                                     # duplication
+                                     calibrate_g_shift=cfg.map_dtype != "float32")
+        # the N×N kernel is too big for the cached state; hand the fresh
+        # one to the caller so a cache MISS doesn't pay a second assembly
+        fresh_kds.append(rm._kds)
         return {"bdy_z": rm.bdy_z, "ds": rm.ds, "sigma": rm.sigma,
                 "a": np.complex128(rm.a), "c": np.float64(rm.c),
                 "g_shift": np.float64(rm.g_shift)}
@@ -109,6 +121,15 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
                 sigma=np.asarray(st["sigma"]), a=complex(st["a"]),
                 c=float(st["c"]), g_shift=float(st["g_shift"]), gauss_n=cfg.gauss_n,
             )
+            if fresh_kds and fresh_kds[0] is not None:
+                rm._kds = fresh_kds[0]
+            elif cfg.map_dtype == "float32":
+                # reconstructed from a cached state (no kernel); the
+                # diagnostics stage's boundary_residual needs one. The fast
+                # threaded form matches the qr32 fit's own kds (the f64
+                # parity path keeps boundary_residual's exact-form
+                # memoized assembly)
+                rm._kds = riemann._log_kernel_ds_fast(rm.bdy_z, rm.ds)
             z_int, tries = fut_int.result()
     import jax.numpy as jnp
 
@@ -120,8 +141,17 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         # rm.g_real(bdy) sequence would evaluate the same two kernels six
         # times across four relay roundtrips for nothing.
         z_bdy_in = slightly_inside(rm.bdy_z, rm.a, cfg.inward_eps)
+        if cfg.map_dtype == "float32":
+            # derive g_shift from THIS evaluation (median g(bdy-in) = 0,
+            # the v40 calibration contract); zeroing first makes the result
+            # independent of whether a cached fit recorded a shift
+            rm.g_shift = 0.0
         g_all, im_int = rm.eval_g_phi(np.concatenate([z_int, z_bdy_in]),
                                       z_int, dtype=dt)
+        if cfg.map_dtype == "float32":
+            shift = -float(np.median(g_all[len(z_int):]))
+            rm.g_shift = shift
+            g_all = g_all + shift
         g_int, g_in = g_all[: len(z_int)], g_all[len(z_int):]
         re_phi = g_int
         w_raw = riemann.safe_exp_minus_real(g_int) * np.exp(-1j * im_int)

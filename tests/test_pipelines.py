@@ -212,6 +212,10 @@ def test_green_uniformization_f32_map_path(tmp_path):
     assert o32["map"].a == o64["map"].a
     np.testing.assert_allclose(o32["map"].sigma, o64["map"].sigma,
                                rtol=0, atol=1e-7)
+    # the f32 path defers g_shift calibration into the fused phi_f_eval
+    # call (median g(bdy-in) = 0 contract); it must land on the f64 path's
+    # fit-time host calibration within the map error budget
+    assert abs(o32["map"].g_shift - o64["map"].g_shift) < 1e-4
     w64, w32 = o64["disk"], o32["disk"]
     ok = np.isfinite(w64) & np.isfinite(w32)
     assert np.abs(w32[ok] - w64[ok]).max() < 1e-3
