@@ -537,6 +537,20 @@ def boundary_points_threshold(
     with analysis_cpu() if dtype == jnp.float64 else _null_ctx():
         cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
         esc, dist, _, _ = de_field_std(cr, ci, max_iter=max_iter, escape_r=escape_r)
+        if dtype != jnp.float64:
+            # TPU session: compact on the device — fetching the full dist +
+            # cr/ci grids (~6 MB at grid_n=700) was the variogram
+            # pipeline's single largest relay cost. Only the count scalar
+            # and the selected coordinates cross the link; jnp.nonzero on
+            # the row-major ravel selects the same points in the same
+            # order as the host boolean indexing below, with the device
+            # grid's exact values.
+            mask = (esc & (dist <= dist_thresh)).ravel()
+            n_sel = int(jnp.sum(mask))
+            idx = jnp.nonzero(mask, size=n_sel)[0]
+            pts = np.asarray(jnp.stack([cr.ravel()[idx], ci.ravel()[idx]]),
+                             dtype=np.float64)
+            return pts[0] + 1j * pts[1]
     esc = np.asarray(esc)
     dist = np.asarray(dist)
     c = np.asarray(cr) + 1j * np.asarray(ci)
