@@ -78,12 +78,18 @@ def main():
             stdout = e.stdout or ""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
-        last = None
-        for line in stdout.splitlines():
+        obj = None
+        for line in reversed(stdout.splitlines()):
             if line.startswith("{"):
-                last = line
-        if last is not None:
-            obj = json.loads(last)
+                try:
+                    obj = json.loads(line)
+                    break
+                except ValueError:
+                    # a child killed mid-print leaves a truncated JSON
+                    # prefix as the final line — fall back to the last
+                    # COMPLETE cumulative line instead of crashing
+                    continue
+        if obj is not None:
             if "tci_4x_s" not in obj and "tci_4x_s_error" not in obj:
                 obj["timed_out"] = True  # partial: the child was killed
             print(json.dumps(obj))

@@ -170,144 +170,150 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
                                / cfg.construct_step)) * cfg.construct_step
             n_pre += 1
 
-    while bins <= int(cfg.bins_max):
-        if max_stages is not None and len(rows) >= max_stages:
-            break
-        t0 = time.time()
-        ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
+    try:
+        while bins <= int(cfg.bins_max):
+            if max_stages is not None and len(rows) >= max_stages:
+                break
+            t0 = time.time()
+            ns = list(range(cfg.construct_step, construct_max + 1, cfg.construct_step))
 
-        stage_mesh = None if cfg.parity else mesh
-        stage_cfg = {**{k: v for k, v in dataclasses.asdict(cfg).items()},
-                     "stage_bins": bins, "construct_max": construct_max,
-                     "grid": grid, "samples": samples, "n_stage": len(rows)}
+            stage_mesh = None if cfg.parity else mesh
+            stage_cfg = {**{k: v for k, v in dataclasses.asdict(cfg).items()},
+                         "stage_bins": bins, "construct_max": construct_max,
+                         "grid": grid, "samples": samples, "n_stage": len(rows)}
 
-        def _stage_kernels():
-            def _cloud():
-                fut = cloud_futures.pop(construct_max, None)
-                if fut is not None:
-                    return fut.result()
-                return companion.inverse_cloud(ns, cfg.family, tol=1e-10,
-                                               backend=cloud_backend)
+            def _stage_kernels():
+                def _cloud():
+                    fut = cloud_futures.pop(construct_max, None)
+                    if fut is not None:
+                        return fut.result()
+                    return companion.inverse_cloud(ns, cfg.family, tol=1e-10,
+                                                   backend=cloud_backend)
 
-            def _sample():
-                return mandelbrot.sample_boundary_quantile(
-                    cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
-                    eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
-                    dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
-                    mesh=stage_mesh,
-                )
+                def _sample():
+                    return mandelbrot.sample_boundary_quantile(
+                        cfg.domain, grid, samples, max_iter=cfg.max_iter, escape_r=cfg.escape_r,
+                        eps=cfg.eps, rng=rng, impl="numpy" if cfg.parity else cfg.de_impl,
+                        dtype=jnp.float32 if cfg.field_dtype == "float32" else jnp.float64,
+                        mesh=stage_mesh,
+                    )
 
-            if cfg.de_impl == "pallas" and not cfg.parity:
-                # the eigensweep (host CPU Aberth) and the DE sample (TPU
-                # Pallas + relay) are independent until the matcher — overlap
-                # them. The shared RNG stream is untouched by the cloud, so
-                # the realization is identical to the sequential order; jax
-                # device/x64 contexts are thread-local, so the worker's
-                # analysis_cpu pin can't leak into the device calls.
-                from concurrent.futures import ThreadPoolExecutor
+                if cfg.de_impl == "pallas" and not cfg.parity:
+                    # the eigensweep (host CPU Aberth) and the DE sample (TPU
+                    # Pallas + relay) are independent until the matcher — overlap
+                    # them. The shared RNG stream is untouched by the cloud, so
+                    # the realization is identical to the sequential order; jax
+                    # device/x64 contexts are thread-local, so the worker's
+                    # analysis_cpu pin can't leak into the device calls.
+                    from concurrent.futures import ThreadPoolExecutor
 
-                with timer.stage(f"bins{bins}_cloud+sample"):
-                    with ThreadPoolExecutor(1) as ex:
-                        fut = ex.submit(_cloud)
+                    with timer.stage(f"bins{bins}_cloud+sample"):
+                        with ThreadPoolExecutor(1) as ex:
+                            fut = ex.submit(_cloud)
+                            m_cloud = _sample()
+                            c_cloud = fut.result()
+                else:
+                    with timer.stage(f"bins{bins}_cloud"):
+                        c_cloud = _cloud()
+                    with timer.stage(f"bins{bins}_sample"):
                         m_cloud = _sample()
-                        c_cloud = fut.result()
-            else:
-                with timer.stage(f"bins{bins}_cloud"):
-                    c_cloud = _cloud()
-                with timer.stage(f"bins{bins}_sample"):
-                    m_cloud = _sample()
-            with timer.stage(f"bins{bins}_match"):
-                m_match, c_sub = entropic_argmax_match(
-                    c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng,
-                    backend=matcher_backend, mesh=stage_mesh,
-                    dtype=np.float32 if (cfg.field_dtype == "float32"
-                                         and not cfg.parity) else None,
-                )
-            c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
-            return {"c_aligned": c_aligned, "m_aligned": m_match,
-                    **artifacts.rng_state_arrays(rng)}
+                with timer.stage(f"bins{bins}_match"):
+                    m_match, c_sub = entropic_argmax_match(
+                        c_cloud, m_cloud, eps=cfg.sinkhorn_eps, rng=rng,
+                        backend=matcher_backend, mesh=stage_mesh,
+                        dtype=np.float32 if (cfg.field_dtype == "float32"
+                                             and not cfg.parity) else None,
+                    )
+                c_aligned = procrustes_align_no_scale(c_sub, m_match, convention="reference")
+                return {"c_aligned": c_aligned, "m_aligned": m_match,
+                        **artifacts.rng_state_arrays(rng)}
 
-        stage_out = artifacts.cached("tracker_stage", stage_cfg, _stage_kernels,
-                                     cache_dir=cache_dir or ".cmtci_cache",
-                                     enabled=cache_dir is not None)
-        artifacts.restore_rng_state(rng, stage_out)
-        c_aligned = np.asarray(stage_out["c_aligned"])
-        m_aligned = np.asarray(stage_out["m_aligned"])
+            stage_out = artifacts.cached("tracker_stage", stage_cfg, _stage_kernels,
+                                         cache_dir=cache_dir or ".cmtci_cache",
+                                         enabled=cache_dir is not None)
+            artifacts.restore_rng_state(rng, stage_out)
+            c_aligned = np.asarray(stage_out["c_aligned"])
+            m_aligned = np.asarray(stage_out["m_aligned"])
 
-        outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
-        outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
+            outside_c = hg.fraction_outside_domain(c_aligned, cfg.domain)
+            outside_m = hg.fraction_outside_domain(m_aligned, cfg.domain)
 
-        hist_np = cfg.de_impl == "pallas" and not cfg.parity and stage_mesh is None
-        with timer.stage(f"bins{bins}_hist"):
-            p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
-            p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
-        kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
+            hist_np = cfg.de_impl == "pallas" and not cfg.parity and stage_mesh is None
+            with timer.stage(f"bins{bins}_hist"):
+                p_m = np.asarray(hg.mollified_histogram(m_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
+                p_c = np.asarray(hg.mollified_histogram(c_aligned, bins, cfg.domain, cfg.sigma_bins, cfg.eps, mesh=stage_mesh, host_numpy=hist_np))
+            kl_pm_pc = hg.kl(p_m, p_c, cfg.eps)
 
-        with timer.stage(f"bins{bins}_giflow"):
-            if cfg.t_fixed > 0:
-                mode = f"fixedT={cfg.t_fixed}"
-                x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(
-                    p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps,
-                    host_numpy=hist_np)
-                stop_reason = "fixed_T"
-            else:
-                mode = "adaptive"
-                x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
-                    p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps,
-                    host_numpy=hist_np and bins <= 128,
-                )
-                stop_reason = (
-                    "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
-                )
+            with timer.stage(f"bins{bins}_giflow"):
+                if cfg.t_fixed > 0:
+                    mode = f"fixedT={cfg.t_fixed}"
+                    x_t, t_n, kl0, delta = giflow.gi_flow_fixed_t(
+                        p_m, p_c, cfg.alpha, cfg.t_fixed, cfg.eps,
+                        host_numpy=hist_np)
+                    stop_reason = "fixed_T"
+                else:
+                    mode = "adaptive"
+                    x_t, t_n, kl0, delta = giflow.gi_flow_to_threshold(
+                        p_m, p_c, cfg.alpha, cfg.kl_threshold, cfg.max_steps, cfg.min_steps, cfg.eps,
+                        host_numpy=hist_np and bins <= 128,
+                    )
+                    stop_reason = (
+                        "kl_threshold_met" if delta <= cfg.kl_threshold else "max_steps_reached"
+                    )
 
-        tv_xt_pm = hg.tv_distance(x_t, p_m)
-        tv_pc_pm = hg.tv_distance(p_c, p_m)
-        ov = hg.overlap_mass(p_c, p_m)
-        pinsker = hg.pinsker_bound(delta)
-        factor = (1.0 - cfg.alpha) ** (-int(t_n)) if t_n > 0 else float("inf")
+            tv_xt_pm = hg.tv_distance(x_t, p_m)
+            tv_pc_pm = hg.tv_distance(p_c, p_m)
+            ov = hg.overlap_mass(p_c, p_m)
+            pinsker = hg.pinsker_bound(delta)
+            factor = (1.0 - cfg.alpha) ** (-int(t_n)) if t_n > 0 else float("inf")
 
-        rows.append(TrackerRow(
-            bins=bins,
-            mesh_proxy=1.0 / bins,
-            construct_max_n=construct_max,
-            construct_step=cfg.construct_step,
-            n_construct_pts=int(c_aligned.size),
-            mandelbrot_grid=grid,
-            mandelbrot_samples=samples,
-            n_mandel_pts=int(m_aligned.size),
-            alpha=cfg.alpha,
-            sigma_bins=cfg.sigma_bins,
-            mode=mode,
-            T_n=int(t_n),
-            kl_initial=float(kl0),
-            delta_n=float(delta),
-            kl_PM_PC=float(kl_pm_pc),
-            pinsker_tv_bound_XT_PM=float(pinsker),
-            tv_XT_PM=float(tv_xt_pm),
-            tv_PC_PM=float(tv_pc_pm),
-            overlap_mass_PC_PM=float(ov),
-            mass_outside_domain_C=float(outside_c),
-            mass_outside_domain_M=float(outside_m),
-            tv_bound_PC_PM=float(factor * pinsker),
-            compound=float(factor * np.sqrt(delta)),
-            compound_with_pinsker=float(factor * pinsker),
-            stop_reason=stop_reason,
-            runtime_sec=float(time.time() - t0),
-        ))
+            rows.append(TrackerRow(
+                bins=bins,
+                mesh_proxy=1.0 / bins,
+                construct_max_n=construct_max,
+                construct_step=cfg.construct_step,
+                n_construct_pts=int(c_aligned.size),
+                mandelbrot_grid=grid,
+                mandelbrot_samples=samples,
+                n_mandel_pts=int(m_aligned.size),
+                alpha=cfg.alpha,
+                sigma_bins=cfg.sigma_bins,
+                mode=mode,
+                T_n=int(t_n),
+                kl_initial=float(kl0),
+                delta_n=float(delta),
+                kl_PM_PC=float(kl_pm_pc),
+                pinsker_tv_bound_XT_PM=float(pinsker),
+                tv_XT_PM=float(tv_xt_pm),
+                tv_PC_PM=float(tv_pc_pm),
+                overlap_mass_PC_PM=float(ov),
+                mass_outside_domain_C=float(outside_c),
+                mass_outside_domain_M=float(outside_m),
+                tv_bound_PC_PM=float(factor * pinsker),
+                compound=float(factor * np.sqrt(delta)),
+                compound_with_pinsker=float(factor * pinsker),
+                stop_reason=stop_reason,
+                runtime_sec=float(time.time() - t0),
+            ))
 
-        if (delta <= cfg.kl_threshold and rows[-1].compound <= cfg.compound_threshold
-                and tv_pc_pm <= cfg.tv_threshold):
-            global_stop = ("global_stop: kl<=threshold AND compound<=threshold "
-                           "AND TV(P_C,P_M)<=tv_threshold")
-            break
+            if (delta <= cfg.kl_threshold and rows[-1].compound <= cfg.compound_threshold
+                    and tv_pc_pm <= cfg.tv_threshold):
+                global_stop = ("global_stop: kl<=threshold AND compound<=threshold "
+                               "AND TV(P_C,P_M)<=tv_threshold")
+                break
 
-        bins *= 2
-        construct_max = int(round((construct_max * cfg.construct_max_growth) / cfg.construct_step)) * cfg.construct_step
-        grid = int(round(grid * cfg.mandelbrot_grid_growth))
-        samples = min(cfg.mandelbrot_samples_max, int(round(samples * cfg.mandelbrot_samples_growth)))
+            bins *= 2
+            construct_max = int(round((construct_max * cfg.construct_max_growth) / cfg.construct_step)) * cfg.construct_step
+            grid = int(round(grid * cfg.mandelbrot_grid_growth))
+            samples = min(cfg.mandelbrot_samples_max, int(round(samples * cfg.mandelbrot_samples_growth)))
 
-    if cloud_ex is not None:
-        cloud_ex.shutdown(wait=False, cancel_futures=True)
+    finally:
+        # a stage that raises (relay timeout, no-escape-points, ...) must
+        # not leak the precompute executor: Python's atexit hook would
+        # otherwise drain every still-queued Aberth sweep before the
+        # process can exit
+        if cloud_ex is not None:
+            cloud_ex.shutdown(wait=False, cancel_futures=True)
     meta = {
         **{k: (list(v) if isinstance(v, tuple) else v) for k, v in dataclasses.asdict(cfg).items()},
         "global_stop_reason": global_stop,

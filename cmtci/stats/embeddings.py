@@ -150,13 +150,9 @@ def spectral_embedding_device(p, n_eigs: int = 8, m: int = 0, dtype=None):
     # Ritz pairs converge slowly: m=40 leaves O(1e-2..1) errors at the
     # reference shapes, m~20k reaches machine precision (test-pinned)
     m = int(m) if m else min(max(20 * k, 120), n)
-    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    import contextlib
+    from cmtci.utils.device import analysis_dtype_ctx
 
-    from cmtci.utils.device import analysis_cpu
-
-    dev = analysis_cpu() if dt == jnp.float64 else contextlib.nullcontext()
-    x64_ctx = contextlib.nullcontext() if dt == jnp.float64 else jax.enable_x64(False)
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:
         sd = _dense_from_sparse_device(s, dt)
         alphas, betas, q = _lanczos_dense(sd, m)

@@ -41,13 +41,16 @@ def box_counts(points, eps: float):
 
 @functools.partial(jax.jit, static_argnames=("grid",))
 def _z_device(x, y, scales, q_values, grid: int):
-    """Z(q, eps) partition sums on a fixed-shape device count grid.
+    """log Z(q, eps) partition sums on a fixed-shape device count grid.
 
     One scatter-add per scale into a grid² dense count field (the box keys
     of multifractal_phase6.py:41-56 with the same floor-of-shifted-coords
-    partition), then Σ p^q over non-empty boxes for every q — all scales in
-    one lax.map, one device call. Requires eps ≥ range/grid (boxes beyond
-    the grid edge would alias); callers check host-side.
+    partition), then log Σ p^q over non-empty boxes for every q — all
+    scales in one lax.map, one device call. The sum runs in log-sum-exp
+    form: the raw Σ p^q overflows f32 for q=-5 on multi-million-point
+    clouds (a singleton box contributes n^5), while max|q·log p| ≈
+    5·log n ≈ 76 keeps the shifted exponentials in range at any realistic
+    n. Requires floor(range/eps) ≤ grid-1 boxes; callers check host-side.
     """
     xmin, ymin = x.min(), y.min()
     n = x.shape[0]
@@ -60,13 +63,18 @@ def _z_device(x, y, scales, q_values, grid: int):
         logp = jnp.where(h > 0, jnp.log(h) - jnp.log(jnp.asarray(n, x.dtype)), 0.0)
 
         def per_q(q):
-            return jnp.where(q == 0, nonempty.astype(x.dtype),
-                             jnp.sum(jnp.where(h > 0, jnp.exp(q * logp), 0.0)))
+            t = jnp.where(h > 0, q * logp, -jnp.inf)
+            m = jnp.max(t)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            s = jnp.sum(jnp.where(h > 0, jnp.exp(t - m), 0.0))
+            return jnp.where(q == 0,
+                             jnp.log(nonempty.astype(x.dtype)),
+                             m + jnp.log(s))
 
         return jax.lax.map(per_q, q_values), nonempty
 
-    zq, nonempty = jax.lax.map(per_scale, scales)
-    return zq.T, nonempty  # (n_q, n_scales), (n_scales,)
+    logz, nonempty = jax.lax.map(per_scale, scales)
+    return logz.T, nonempty  # (n_q, n_scales), (n_scales,)
 
 
 def box_counts_grid_device(points, scales, q_values, grid: int = 2048, dtype=None):
@@ -79,23 +87,26 @@ def box_counts_grid_device(points, scales, q_values, grid: int = 2048, dtype=Non
     rng_y = pts[:, 1].max() - pts[:, 1].min()
     min_eps = float(np.min(scales))
     need = max(rng_x, rng_y) / min_eps
-    if need > grid:
+    # the max-coordinate point lands at index floor(range/eps) — its OWN
+    # box in the host partition — so the grid needs floor(need)+1 boxes;
+    # one extra box of slack absorbs f32 index rounding near the boundary
+    # (need == grid used to pass the old `need > grid` check and alias the
+    # edge points into the neighbouring box via the clip)
+    if need >= grid - 1:
         raise ValueError(
             f"device grid {grid} too small for eps={min_eps:g} over range "
-            f"{max(rng_x, rng_y):g} (needs ≥{int(np.ceil(need))}); raise "
+            f"{max(rng_x, rng_y):g} (needs ≥{int(np.ceil(need)) + 2}); raise "
             "grid= or drop the smallest scales")
-    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    import contextlib
+    from cmtci.utils.device import analysis_dtype_ctx
 
-    from cmtci.utils.device import analysis_cpu
-
-    dev = analysis_cpu() if dt == jnp.float64 else contextlib.nullcontext()
-    x64_ctx = contextlib.nullcontext() if dt == jnp.float64 else jax.enable_x64(False)
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:
-        z, nonempty = _z_device(jnp.asarray(pts[:, 0], dt), jnp.asarray(pts[:, 1], dt),
-                                jnp.asarray(scales, dt), jnp.asarray(q_values, dt),
-                                int(grid))
-        return np.asarray(z, np.float64), np.asarray(nonempty)
+        logz, nonempty = _z_device(jnp.asarray(pts[:, 0], dt), jnp.asarray(pts[:, 1], dt),
+                                   jnp.asarray(scales, dt), jnp.asarray(q_values, dt),
+                                   int(grid))
+        # exponentiate in f64 on the host: the device carries log Z (f32
+        # Z itself overflows for strongly negative q at large n)
+        return np.exp(np.asarray(logz, np.float64)), np.asarray(nonempty)
 
 
 def multifractal_spectrum(points, q_values=None, scales=None, min_count_boxes: int = 5,

@@ -156,8 +156,7 @@ def _histogram2d_np(x, y, bins: int, domain):
     the tracker's background eigensweeps keep busy (a host-jit histogram
     there waits ~0.1 s/stage behind a 0.19 s Aberth execution)."""
     xmin, xmax, ymin, ymax = domain
-    xedges = np.linspace(xmin, xmax, bins + 1)
-    yedges = np.linspace(ymin, ymax, bins + 1)
+    xedges, yedges = np_edges(bins, domain)
     ix = np.searchsorted(xedges, x, side="right") - 1
     iy = np.searchsorted(yedges, y, side="right") - 1
     ix = np.where(x == xmax, bins - 1, ix)

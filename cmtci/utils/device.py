@@ -28,3 +28,19 @@ def analysis_cpu():
     if on_tpu():
         return jax.default_device(jax.devices("cpu")[0])
     return contextlib.nullcontext()
+
+
+def analysis_dtype_ctx(dtype=None):
+    """(dtype, device ctx, x64 ctx) for a dual-backend analysis stage.
+
+    The one policy both device-backend stats stages share (embeddings
+    Lanczos, multifractal count grid): dtype=None follows x64; f64 math
+    pins to the host CPU (TPU f64 is emulated and f64 loop compiles are
+    the documented relay wedge), f32 math runs on the default device with
+    x64 tracing disabled (Mosaic aborts on 64-bit scalars)."""
+    import jax.numpy as jnp
+
+    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    if dt == jnp.float64:
+        return dt, analysis_cpu(), contextlib.nullcontext()
+    return dt, contextlib.nullcontext(), jax.enable_x64(False)

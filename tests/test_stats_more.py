@@ -140,6 +140,39 @@ class TestMultifractal:
             multifractal.multifractal_spectrum(pts, backend="device", grid=16,
                                                scales=np.array([1e-4, 0.5]))
 
+    def test_device_backend_grid_guard_exact_fit(self, rng):
+        """need == grid must be rejected: the max-coordinate point keys to
+        index floor(range/eps) == grid in the host partition, and the old
+        `need > grid` guard let the device clip alias it into the edge box
+        (review r4: 18/54 Z entries drifted up to 1.6e-3)."""
+        pts = np.vstack([rng.uniform(size=(500, 2)), [[0.0, 0.0], [1.0, 1.0]]])
+        with pytest.raises(ValueError, match="too small"):
+            multifractal.multifractal_spectrum(
+                pts, backend="device", grid=64,
+                scales=np.array([1.0 / 64, 0.25, 0.5]))
+
+    def test_device_backend_extreme_q_no_overflow(self, rng):
+        """The device path carries log Z (log-sum-exp) and exponentiates in
+        f64 on the host: raw f32 Σ p^q overflows for strongly negative q
+        (a singleton box contributes n^|q|), which silently NaN'd tau on
+        the advertised beyond-reference-scale clouds (review r4)."""
+        import jax.numpy as jnp
+
+        pts = rng.uniform(size=(3000, 2))
+        q = np.array([-40.0, -5.0, 0.0, 2.0])
+        scales = np.array([0.01, 0.05, 0.2])
+        # q=-40 with singleton boxes: p^q ~ 3000^40 ≈ 1e139 — far beyond
+        # f32 max (3.4e38); the host f64 reference handles it directly
+        res_h = multifractal.multifractal_spectrum(pts, q_values=q, scales=scales)
+        res_d = multifractal.multifractal_spectrum(pts, q_values=q, scales=scales,
+                                                   backend="device", grid=512,
+                                                   dtype=jnp.float32)
+        assert np.isfinite(res_d["Z"]).all()
+        # f32 log-p noise is amplified by |q|; compare in log space
+        np.testing.assert_allclose(np.log(res_d["Z"]), np.log(res_h["Z"]),
+                                   rtol=0, atol=5e-3)
+        np.testing.assert_allclose(res_d["tau"], res_h["tau"], rtol=5e-3)
+
 
 class TestEmbeddings:
     def test_identical_clouds_zero_distance(self, rng):
