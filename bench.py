@@ -58,6 +58,28 @@ REPS = 50  # amortizes the ~30 ms relay roundtrip (device-side per-grid ~1.7 ms)
 STAGE4_NS = list(range(20, 1221, 20))
 
 
+def salvage_result(stdout: str):
+    """Last complete cumulative result from a (possibly killed) child.
+
+    The child prints a CUMULATIVE result line after every key, so a relay
+    wedge mid-run still yields every number measured up to that point. A
+    child killed mid-print leaves a truncated JSON prefix as its final
+    line — walk backwards to the last line that parses instead of
+    crashing (and losing the keys that WERE measured). Returns the dict,
+    with a timed_out marker when the final key never ran, or None.
+    """
+    for line in reversed(stdout.splitlines()):
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if "tci_4x_s" not in obj and "tci_4x_s_error" not in obj:
+                obj["timed_out"] = True  # partial: the child was killed
+            return obj
+    return None
+
+
 def main():
     """Try the TPU benchmark in a subprocess (the relay can wedge or take
     minutes to initialize); fall back to an in-process CPU measurement."""
@@ -71,27 +93,11 @@ def main():
                                  timeout=1500, capture_output=True, text=True)
             stdout = out.stdout or ""
         except subprocess.TimeoutExpired as e:
-            # the child prints a CUMULATIVE result line after every key, so
-            # a relay wedge mid-run still yields every number measured up
-            # to that point (plus a timeout marker) instead of dropping to
-            # the CPU fallback
             stdout = e.stdout or ""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
-        obj = None
-        for line in reversed(stdout.splitlines()):
-            if line.startswith("{"):
-                try:
-                    obj = json.loads(line)
-                    break
-                except ValueError:
-                    # a child killed mid-print leaves a truncated JSON
-                    # prefix as the final line — fall back to the last
-                    # COMPLETE cumulative line instead of crashing
-                    continue
+        obj = salvage_result(stdout)
         if obj is not None:
-            if "tci_4x_s" not in obj and "tci_4x_s_error" not in obj:
-                obj["timed_out"] = True  # partial: the child was killed
             print(json.dumps(obj))
             return
         _run(on_tpu=False)
@@ -234,10 +240,11 @@ def _bench_uniformize_green(on_tpu: bool) -> float:
     cfg = GreenUniformizeConfig(
         map_dtype="float32" if on_tpu else "float64")
     best = float("inf")
-    # best-of-3: the first run pays jit/compile caches and the sub-second
-    # warm time is sensitive to leftover host-stream work from the
-    # preceding bench keys
-    for _ in range(3):
+    # best-of-5: the first run pays jit/compile caches, and the fit's
+    # three relay roundtrips make the sub-second warm time the noisiest
+    # key (measured spread 0.33-1.2 s in one session; clean-process best
+    # 0.334 s) — three reps were not reliably enough to catch a quiet run
+    for _ in range(5):
         t0 = time.time()
         out = run_green_uniformization(pts, cfg)
         best = min(best, time.time() - t0)
