@@ -22,22 +22,37 @@ except Exception:  # pragma: no cover
     HAVE_SCIPY = False
 
 
-def summarize_g(g, label: str = "") -> dict:
-    """Escaped-fraction and outside-g stats (lucas_equipotential_test_v3.py:168-184)."""
-    g = np.asarray(g, dtype=float)
-    outside = g > 0
+def summarize_outside(g_out, n_total: int) -> dict:
+    """summarize_g given the already-extracted outside (g>0) values.
+
+    Value-identical to summarize_g on the full array: the outside subset is
+    extracted in order, ``outside.mean()`` equals the exact integer ratio
+    escaped/count in f64, and every statistic runs the same numpy call on
+    the same values. Exposed so per-prefix callers (cumulative convergence
+    rows, equipotential.py) can extract the escaped values ONCE — a prefix
+    of the full array's escaped extraction IS the prefix's escaped
+    extraction — instead of re-masking the prefix per row.
+    """
+    g_out = np.asarray(g_out, dtype=float)
+    any_out = len(g_out) > 0
     def q(p):
-        return float(np.quantile(g[outside], p)) if outside.any() else float("nan")
+        return float(np.quantile(g_out, p)) if any_out else float("nan")
     return {
-        "count": int(len(g)),
-        "escaped": int(outside.sum()),
-        "escaped_frac": float(outside.mean()) if len(g) else float("nan"),
-        "g_median": float(np.median(g[outside])) if outside.any() else float("nan"),
-        "g_mean": float(np.mean(g[outside])) if outside.any() else float("nan"),
-        "g_std": float(np.std(g[outside])) if outside.any() else float("nan"),
+        "count": int(n_total),
+        "escaped": int(len(g_out)),
+        "escaped_frac": float(len(g_out) / n_total) if n_total else float("nan"),
+        "g_median": float(np.median(g_out)) if any_out else float("nan"),
+        "g_mean": float(np.mean(g_out)) if any_out else float("nan"),
+        "g_std": float(np.std(g_out)) if any_out else float("nan"),
         "g_p10": q(0.10),
         "g_p90": q(0.90),
     }
+
+
+def summarize_g(g, label: str = "") -> dict:
+    """Escaped-fraction and outside-g stats (lucas_equipotential_test_v3.py:168-184)."""
+    g = np.asarray(g, dtype=float)
+    return summarize_outside(g[g > 0], len(g))
 
 
 def kde_or_smooth_hist(samples, grid, hist_bins: int = 120):

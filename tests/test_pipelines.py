@@ -79,6 +79,42 @@ def test_equipotential_small(tmp_path):
     assert len(out["family_summary"]) == 4
 
 
+def test_equipotential_prefix_stats_exact():
+    """per_n/cumulative rows from the single-extraction prefix path equal
+    the naive per-row re-masking summarize_g EXACTLY — an escaped
+    extraction of a prefix IS a prefix of the global escaped extraction."""
+    from cmtci.pipelines import equipotential as eq
+    from cmtci.stats import laws
+
+    rng = np.random.default_rng(5)
+    per_n_g = []
+    for n in range(2, 40):
+        g = rng.normal(0.001, 0.01, size=n)  # mixed escaped/interior
+        g[rng.random(n) < 0.3] = 0.0
+        per_n_g.append((n, g))
+    cfg = EquipotentialConfig()
+    pn = eq.per_n_stats(cfg, per_n_g=per_n_g)
+    cu = eq.cumulative_stats(cfg, per_n_g=per_n_g)
+    def same(a, b):
+        assert a.keys() == b.keys()
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, float) and np.isnan(va):
+                assert np.isnan(vb), k
+            else:
+                assert va == vb, k  # exact, not approx
+
+    g_flat = np.concatenate([g for _, g in per_n_g])
+    off = 0
+    for i, (n, g) in enumerate(per_n_g):
+        same(pn[i], {"n": n, **laws.summarize_g(g)})
+        off += len(g)
+        same(cu[i], {"N": n, **laws.summarize_g(g_flat[:off])})
+    # all-interior group: NaN stats, zero escaped
+    empty = laws.summarize_outside(np.array([]), 7)
+    assert empty["escaped"] == 0 and np.isnan(empty["g_median"])
+
+
 def test_variograms_small(tmp_path):
     cfg = VariogramConfig(n_list=(30, 60), boundary_grid=120, boundary_max_iter=150,
                           grid_nx=64, grid_ny=64, potential_max_iter=150,
