@@ -689,6 +689,12 @@ def _cloud_green(cr, ci, zr0, zi0, iters, escape_r, tile, inner, interpret):
     )(cr, ci, zr0, zi0)
 
 
+@jax.jit
+def _stack_outputs(arrs):
+    """Pack same-shape f32 outputs for a single host fetch (bit-preserving)."""
+    return jnp.stack(arrs)
+
+
 def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
                     stage_iters: int | None = None, tile: tuple = (8, 128),
                     inner: int = DEFAULT_INNER):
@@ -753,14 +759,22 @@ def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
         def _pad(a):
             return jnp.asarray(np.pad(a, (0, npad - m)).reshape(ntiles * th, tw))
 
+        final = iters >= max_iter - k0
         with jax.enable_x64(False):
             out = _cloud_green(_pad(cr_h), _pad(ci_h), _pad(zr_h), _pad(zi_h),
                                iters, escape_r, (th, tw), inner, interpret)
-        k_rel = fetch(out[0]).ravel()[:m].astype(np.float64)
+            # ONE packed fetch per stage: every per-array fetch is a relay
+            # roundtrip, and the final stage doesn't need the survivor state
+            # (out[3:5]) at all — the five separate fetches were 5 roundtrips
+            # + the whole padded (zr, zi) transfer wasted in the default
+            # single-launch mode. All five outputs are f32; stacking cannot
+            # change bits.
+            packed = fetch(_stack_outputs(out[:3] if final else out))
+        k_rel = packed[0].ravel()[:m].astype(np.float64)
         esc = k_rel > 0
         if esc.any():
-            zer = fetch(out[1]).ravel()[:m][esc].astype(np.float64)
-            zei = fetch(out[2]).ravel()[:m][esc].astype(np.float64)
+            zer = packed[1].ravel()[:m][esc].astype(np.float64)
+            zei = packed[2].ravel()[:m][esc].astype(np.float64)
             k_abs = k0 + k_rel[esc]
             scale = np.exp2(-k_abs)  # f64: no underflow until k > 1074
             logr = 0.5 * np.log(np.maximum(zer * zer + zei * zei, 1e-300))
@@ -773,11 +787,12 @@ def green_cloud_f32(points, max_iter: int = 20000, escape_r: float = 2.0,
             keep = ~esc
             idx = idx[keep]
             cr_h, ci_h = cr_h[keep], ci_h[keep]
-            zr_h = fetch(out[3]).ravel()[:m][keep]
-            zi_h = fetch(out[4]).ravel()[:m][keep]
-        else:
-            zr_h = fetch(out[3]).ravel()[:m]
-            zi_h = fetch(out[4]).ravel()[:m]
+            if not final:
+                zr_h = packed[3].ravel()[:m][keep]
+                zi_h = packed[4].ravel()[:m][keep]
+        elif not final:
+            zr_h = packed[3].ravel()[:m]
+            zi_h = packed[4].ravel()[:m]
         k0 += iters
     return g, kk, phi
 
