@@ -212,3 +212,25 @@ def test_dryrun_multichip_large_mesh(n_dev):
                          capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     assert f"[dryrun_multichip] n={n_dev}" in out.stdout
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_analysis_step_runs_on_mesh(n_dev):
+    """The full sharded analysis step (eigensweep -> cloud histogram ->
+    dwell grid -> escape-proxy histogram -> GI-flow) compiles and executes
+    over the mesh, and its diagnostics agree across mesh sizes (psum
+    reduction order may differ, so KL matches to tolerance while the
+    root/escape counts are exact)."""
+    ns = [5, 8, 11, 14, 17, 20, 23, 26]
+    out = {}
+    for nd in (1, n_dev):
+        mesh = sharded.device_mesh(nd)
+        d = sharded.analysis_step(ns, DOMAIN, grid_n=48, bins=16,
+                                  max_iter=40, mesh=mesh)
+        out[nd] = {k: float(v) for k, v in d.items()}
+    ref, got = out[1], out[n_dev]
+    assert got["n_roots"] == ref["n_roots"] == sum(ns)
+    assert got["escaped_frac"] == ref["escaped_frac"]
+    assert 0.0 < got["escaped_frac"] < 1.0
+    assert np.isfinite(got["kl"]) and got["kl"] > 0
+    assert abs(got["kl"] - ref["kl"]) < 1e-5
