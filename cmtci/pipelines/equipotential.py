@@ -182,6 +182,7 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
             per_n_g = _per_n_potentials(cfg, clouds=clouds, g=g)
             out["per_n"] = per_n_stats(cfg, per_n_g=per_n_g)
             out["cumulative"] = cumulative_stats(cfg, per_n_g=per_n_g)
+    fam_g = None
     if cfg.run_family_comparison:
         with timer.stage("families"):
             fam_g = {"lucas_all_ones": g}
@@ -208,4 +209,13 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
             writers.write_dict_rows_csv(f"{out_dir}/cumulative_stats.csv", out["cumulative"])
         if cfg.run_family_comparison:
             writers.write_dict_rows_csv(f"{out_dir}/family_summary.csv", out["family_summary"])
+        from cmtci.io import plots
+
+        # density figures (lucas_equipotential_test_v3.py:251-288,417-446)
+        if out["laws"] is not None:
+            plots.plot_g_density_compare(out["laws"], g[g > 0],
+                                         f"{out_dir}/equipotential")
+        if fam_g is not None:
+            plots.plot_family_kde_overlay(fam_g,
+                                          f"{out_dir}/family_kde_overlay.png")
     return out

@@ -165,3 +165,29 @@ def test_curvature_hotspots(tmp_path):
     km = 1 + 3 * np.abs(np.cos(np.linspace(0, 6 * np.pi, len(m))))
     p = plots.plot_curvature_hotspots(c, m, kc, km, str(tmp_path / "ch.png"))
     _check(p, "curvature_hotspots.png")
+
+
+def test_g_density_compare(tmp_path):
+    from cmtci.stats.laws import compare_reference_laws
+
+    rng = np.random.default_rng(11)
+    g_out = rng.exponential(0.05, size=4000)
+    laws_out = compare_reference_laws(g_out)
+    p_g, p_phi = plots.plot_g_density_compare(laws_out, g_out,
+                                              str(tmp_path / "eq"))
+    _check(p_g, "g_density_compare.png")
+    _check(p_phi, "phi_density_logunif.png")
+
+
+def test_family_kde_overlay(tmp_path):
+    rng = np.random.default_rng(12)
+    fam_g = {
+        "lucas_all_ones": rng.exponential(0.05, size=3000),
+        "pell_like_all_twos": rng.exponential(0.08, size=3000),
+        "tiny_family_skipped": np.array([0.1] * 10),  # <=50 outside: dropped
+    }
+    p = plots.plot_family_kde_overlay(fam_g, str(tmp_path / "fam.png"))
+    _check(p, "family_kde_overlay.png")
+    # all-interior families -> no figure, no crash
+    assert plots.plot_family_kde_overlay(
+        {"f": np.zeros(100)}, str(tmp_path / "none.png")) is None
