@@ -112,6 +112,10 @@ def main(argv=None):
                    default="float64",
                    help="float32 = cloud Green potential on the TPU "
                         "(Pallas head; identical escape set, g ~1e-7 rel)")
+    p.add_argument("--curve-npy", default=None,
+                   help="stored boundary curve (.npy) to analyze too: its "
+                        "Green potential is summarized, law-compared, and "
+                        "saved as g_curve.npy (reference section C)")
     _add_common(p)
     _add_cache_trace(p)
 
@@ -297,7 +301,8 @@ def _dispatch(args):
 
         cfg = EquipotentialConfig(n_min=args.n_min, n_max=args.n_max,
                                   max_iter=args.max_iter,
-                                  potential_dtype=args.green_dtype)
+                                  potential_dtype=args.green_dtype,
+                                  curve_npy=args.curve_npy)
         out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n,
                                 cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps(out["summary"]))

@@ -40,6 +40,10 @@ class EquipotentialConfig:
     # head (kernels/mandelbrot_pallas.green_cloud_f32): identical escape
     # set / k on measured clouds, g rel err ~1e-7 median (deep escapers
     # carry chaotic f32 trajectory noise at negligible absolute size)
+    # optional stored-curve analysis (lucas_equipotential_test_v3.py:390-403):
+    # path to an .npy of boundary points ((N,2) xy or complex); its Green
+    # potential is summarized, law-compared, and saved as g_curve.npy
+    curve_npy: str | None = None
 
 
 def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
@@ -196,6 +200,22 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                 s["family"] = fam
                 fam_rows.append(s)
             out["family_summary"] = fam_rows
+    if cfg.curve_npy is not None:
+        with timer.stage("stored_curve"):
+            # optional stored-curve analysis (reference section C,
+            # lucas_equipotential_test_v3.py:390-403): Green potential of a
+            # saved boundary polyline, e.g. lucas_points.npy
+            pts = np.load(cfg.curve_npy)
+            if pts.ndim == 2 and pts.shape[1] == 2:
+                c_curve = pts[:, 0] + 1j * pts[:, 1]
+            else:
+                c_curve = np.asarray(pts, dtype=complex).ravel()
+            g_c, _, _ = batch_potential(c_curve, cfg.max_iter,
+                                        cfg.escape_radius, cache_dir=cache_dir,
+                                        dtype=cfg.potential_dtype)
+            out["curve_summary"] = laws.summarize_g(g_c)
+            out["curve_laws"] = laws.compare_reference_laws(g_c[g_c > 0])
+            out["curve_g"] = g_c
     out["stage_times"] = dict(timer.times)
     if out_dir:
         writers.write_config_meta(f"{out_dir}/meta.txt", cfg,
@@ -218,4 +238,10 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
         if fam_g is not None:
             plots.plot_family_kde_overlay(fam_g,
                                           f"{out_dir}/family_kde_overlay.png")
+        if "curve_g" in out:
+            np.save(f"{out_dir}/g_curve.npy", out["curve_g"])
+            if out["curve_laws"] is not None:
+                plots.plot_g_density_compare(
+                    out["curve_laws"], out["curve_g"][out["curve_g"] > 0],
+                    f"{out_dir}/lucas_curve")
     return out

@@ -115,6 +115,36 @@ def test_equipotential_prefix_stats_exact():
     assert empty["escaped"] == 0 and np.isnan(empty["g_median"])
 
 
+def test_equipotential_stored_curve(tmp_path):
+    """--curve-npy analyzes a stored boundary polyline (reference section C,
+    lucas_equipotential_test_v3.py:390-403): both (N,2) xy and complex
+    layouts load, g_curve.npy is written, and the summary equals a direct
+    batch_potential of the same points."""
+    from cmtci.pipelines import equipotential as eq
+    from cmtci.stats import laws
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1.2, 0.8, size=(40, 2))  # mixed interior/escaping
+    np.save(tmp_path / "curve_xy.npy", pts)
+    np.save(tmp_path / "curve_c.npy", pts[:, 0] + 1j * pts[:, 1])
+    cfg = EquipotentialConfig(n_min=2, n_max=8, max_iter=300,
+                              run_family_comparison=False,
+                              curve_npy=str(tmp_path / "curve_xy.npy"))
+    out = run_equipotential(cfg, str(tmp_path / "out"), with_per_n=False)
+    g_direct, _, _ = eq.batch_potential(pts[:, 0] + 1j * pts[:, 1],
+                                        cfg.max_iter, cfg.escape_radius)
+    assert np.array_equal(out["curve_g"], g_direct)
+    assert out["curve_summary"] == laws.summarize_g(g_direct)
+    saved = np.load(tmp_path / "out" / "g_curve.npy")
+    assert np.array_equal(saved, g_direct)
+    # complex layout loads to the same cloud
+    cfg2 = EquipotentialConfig(n_min=2, n_max=8, max_iter=300,
+                               run_family_comparison=False,
+                               curve_npy=str(tmp_path / "curve_c.npy"))
+    out2 = run_equipotential(cfg2, None, with_per_n=False)
+    assert np.array_equal(out2["curve_g"], g_direct)
+
+
 def test_variograms_small(tmp_path):
     cfg = VariogramConfig(n_list=(30, 60), boundary_grid=120, boundary_max_iter=150,
                           grid_nx=64, grid_ny=64, potential_max_iter=150,
