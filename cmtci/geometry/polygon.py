@@ -153,8 +153,10 @@ class Polygon:
         crossings = np.sum(cond & (x < xint), axis=1)
         inside = (crossings % 2) == 1
         if include_boundary:
-            d = self.exterior_distance(pts)
-            inside = inside | (d <= max(tol, 1e-12))
+            need = ~inside  # interior points qualify already; only the rest
+            if need.any():  # need the (pruned, exact) boundary distance
+                d = self.exterior_distance(pts[need])
+                inside[need] = d <= max(tol, 1e-12)
         return inside
 
     def _nearest(self, pts):
@@ -166,12 +168,26 @@ class Polygon:
             if cached is None:
                 from scipy.spatial import cKDTree
 
-                mid = 0.5 * (p0 + p1)
-                hl = 0.5 * float(np.sqrt(((p1 - p0) ** 2).sum(axis=1)).max())
-                cached = (cKDTree(mid), hl)
+                # boundary samples (spacing <= L/512 per segment, endpoints
+                # included) tagged with their parent segment: the prune
+                # bound is then half the sample spacing instead of the max
+                # segment half-length, which one long alpha-shape edge blew
+                # up to ~0.17 (20% full-scan fallback in the FEM study).
+                # L/512 balances bound tightness against candidate-set
+                # diversity: the k needed for the bound to hold scales as
+                # 1/(2*sqrt(half)), so OVER-dense samples make far points
+                # fail (all k nearest samples collapse onto one segment).
+                seg_len = np.sqrt(((p1 - p0) ** 2).sum(axis=1))
+                delta = max(float(seg_len.sum()) / 512.0, 1e-12)
+                reps = np.maximum(np.ceil(seg_len / delta).astype(np.int64), 1)
+                seg_of = np.repeat(np.arange(len(p0)), reps + 1)
+                t = np.concatenate([np.linspace(0.0, 1.0, r + 1) for r in reps])
+                samples = p0[seg_of] + t[:, None] * (p1 - p0)[seg_of]
+                half = 0.5 * float((seg_len / reps).max())
+                cached = (cKDTree(samples), seg_of, half)
                 self._seg_tree_cache = cached
-            tree, hl = cached
-            return _nearest_on_segments_pruned(pts, p0, p1, tree, hl)
+            tree, seg_of, half = cached
+            return _nearest_on_segments_pruned(pts, p0, p1, tree, seg_of, half)
         return _nearest_on_segments(pts, p0, p1)
 
     def exterior_distance(self, pts) -> np.ndarray:
@@ -221,23 +237,12 @@ def _nearest_on_segments(pts, p0, p1):
     return np.sqrt(dist2[rows, seg_idx]), seg_idx, t[rows, seg_idx]
 
 
-def _nearest_on_segments_pruned(pts, p0, p1, tree, half_len_max):
-    """Exact nearest-segment query via a midpoint KDTree prune.
+def _exact_over_candidate_segs(pts, p0, p1, cand):
+    """Exact (d, seg, t) restricted to per-point candidate segment lists.
 
-    Candidates = the k nearest segment MIDPOINTS. Correctness bound: for
-    any segment, |d_seg − d_midpoint| ≤ half_len_max, so if the best exact
-    candidate distance dc satisfies dc < D_k − half_len_max (D_k = k-th
-    midpoint distance), no non-candidate segment can reach dc — the result
-    (incl. the argmin tie rule: smallest segment index among minima, which
-    is what np.argmin over index order returns) is identical to the full
-    scan. Points failing the bound fall back to the full scan. This is the
-    v18 mesher/arclength hot spot (exterior_distance/project were 3.7 s of
-    the 5 s L3 level)."""
-    e = len(p0)
-    k = min(e, 16)
-    dk, cand = tree.query(pts, k=k)
-    dk_last = dk[:, -1]
-    cand = np.sort(cand, axis=1)  # argmin tie rule = smallest segment index
+    `cand` rows must be sorted ascending so the first-occurrence argmin
+    reproduces the full scan's tie rule (smallest segment index among
+    minima); duplicate entries are harmless."""
     d01 = p1 - p0
     len2 = np.maximum((d01**2).sum(axis=1), 1e-300)
     c0 = p0[cand]                      # (P,k,2)
@@ -248,16 +253,43 @@ def _nearest_on_segments_pruned(pts, p0, p1, tree, half_len_max):
     dist2 = ((pts[:, None, :] - closest) ** 2).sum(axis=2)
     j = np.argmin(dist2, axis=1)
     rows = np.arange(len(pts))
-    d = np.sqrt(dist2[rows, j])
-    ok = (k == e) | (d < dk_last - half_len_max)
-    seg_idx = cand[rows, j]
-    tt = t[rows, j]
-    if not ok.all():
-        bad = ~ok
-        d_f, s_f, t_f = _nearest_on_segments(pts[bad], p0, p1)
-        d[bad] = d_f
-        seg_idx[bad] = s_f
-        tt[bad] = t_f
+    return np.sqrt(dist2[rows, j]), cand[rows, j], t[rows, j]
+
+
+def _nearest_on_segments_pruned(pts, p0, p1, tree, samp_seg, half_spacing):
+    """Exact nearest-segment query via a boundary-sample KDTree prune.
+
+    Candidates = parent segments of the k nearest boundary SAMPLES (samples
+    spaced ≤ 2·half_spacing along every segment, endpoints included).
+    Correctness bound: any boundary point lies within half_spacing of some
+    sample on its segment, so a segment with no sample among the k nearest
+    has d_seg ≥ D_k − half_spacing (D_k = k-th sample distance); if the
+    best exact candidate distance dc < D_k − half_spacing, every other
+    segment is STRICTLY farther — the result (incl. the argmin tie rule,
+    see _exact_over_candidate_segs) is identical to the full scan. Points
+    failing the bound escalate k (×8 per round, ending at a round over all
+    samples, which IS the full scan), so exactness never depends on the
+    bound holding. This is the v18 mesher/arclength hot spot
+    (exterior_distance/project were 3.7 s of the 5 s L3 level)."""
+    n_samp = len(samp_seg)
+    n_pts = len(pts)
+    d = np.empty(n_pts)
+    seg_idx = np.empty(n_pts, dtype=np.int64)
+    tt = np.empty(n_pts)
+    active = np.arange(n_pts)
+    k = 16
+    while len(active):
+        kk = min(n_samp, k)
+        dk, cand_s = tree.query(pts[active], k=kk)
+        if kk == 1:
+            dk, cand_s = dk[:, None], cand_s[:, None]
+        cand = np.sort(samp_seg[cand_s], axis=1)
+        da, ja, ta = _exact_over_candidate_segs(pts[active], p0, p1, cand)
+        ok = (da < dk[:, -1] - half_spacing) if kk < n_samp else np.ones(len(active), bool)
+        done = active[ok]
+        d[done], seg_idx[done], tt[done] = da[ok], ja[ok], ta[ok]
+        active = active[~ok]
+        k *= 8
     return d, seg_idx, tt
 
 

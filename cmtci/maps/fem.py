@@ -186,21 +186,57 @@ def theta_iteration(
     iters: int = 6, relax: float = 0.7, smooth: int = 7,
     unwrap_anchor: int = 0, periodic_enforce: bool = True,
     feedback: bool = True, method: str = "spsolve", verbose: bool = False,
+    bnd_data=None,
 ):
     """Disk uniformization by FEM θ-iteration (v18:701-761).
 
     Returns (u, v, center, radius, period_mismatch) with (u+iv) normalized by
-    the final boundary circle fit.
+    the final boundary circle fit. `bnd_data` optionally supplies a
+    precomputed boundary_order_by_arclength(points, triangles, poly) result.
+
+    The iteration solves the SAME two linear systems every pass — the
+    Dirichlet K_ff (boundary set is fixed) and the pinned conjugate K_ff —
+    so both are LU-factorized once and the iters+1 passes reuse the
+    factors (the reference re-runs spsolve per pass, v18:726-727; 7
+    SuperLU factorizations per system collapse to 1).
     """
-    bnd_ord, s_b, big_l = boundary_order_by_arclength(points, triangles, poly)
+    bnd_ord, s_b, big_l = (bnd_data if bnd_data is not None
+                           else boundary_order_by_arclength(points, triangles, poly))
     theta = -np.pi + 2.0 * np.pi * (s_b / big_l)
     t_param = s_b / big_l
     k = assemble_stiffness(points, triangles)
+    grads, area = p1_grads_areas(points, triangles)
+    n = len(points)
     period_mis = np.nan
 
+    free_d = np.ones(n, dtype=bool)
+    free_d[bnd_ord] = False
+    k_fb_d = k[free_d][:, bnd_ord].tocsr()
+    k_ff_d = k[free_d][:, free_d].tocsr()
+    free_c = np.ones(n, dtype=bool)
+    free_c[0] = False  # pin=0
+    k_ff_c = k[free_c][:, free_c].tocsr()
+    if method == "cg":
+        solve_d = lambda b: _cg_solve(k_ff_d, b)  # noqa: E731
+        solve_c = lambda b: _cg_solve(k_ff_c, b)  # noqa: E731
+    else:
+        solve_d = sp.linalg.splu(k_ff_d.tocsc()).solve
+        solve_c = sp.linalg.splu(k_ff_c.tocsc()).solve
+
     def solve_uv(th_bnd):
-        u = dirichlet_solve(k, bnd_ord, np.cos(th_bnd), method=method)
-        v = harmonic_conjugate(points, triangles, u, pin=0, method=method)
+        g = np.cos(th_bnd)
+        u = np.zeros(n)
+        u[bnd_ord] = g
+        u[free_d] = solve_d(-(k_fb_d @ g))
+        # conjugate RHS over ALL triangles (harmonic_conjugate semantics:
+        # unfiltered grads; the stiffness filter only drops degenerates)
+        grad_u = np.einsum("ta,tad->td", u[triangles], grads)
+        ju = np.column_stack([-grad_u[:, 1], grad_u[:, 0]])
+        contrib = area[:, None] * np.einsum("td,tad->ta", ju, grads)
+        rhs = np.bincount(triangles.reshape(-1), weights=contrib.reshape(-1),
+                          minlength=n)
+        v = np.zeros(n)
+        v[free_c] = solve_c(rhs[free_c])
         return u, v
 
     for it in range(1, iters + 1):

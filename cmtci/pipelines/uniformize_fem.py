@@ -58,12 +58,13 @@ def run_level(cfg: FEMUniformizeConfig, h_l: float, h_c: float, boundary_h: floa
 
     kw = dict(iters=cfg.theta_iters, relax=cfg.theta_relax, smooth=cfg.theta_smooth,
               feedback=cfg.feedback, method=cfg.solver)
-    u_l, v_l, _, _, per_l = fem.theta_iteration(p_l, t_l, poly_l, **kw)
-    u_c, v_c, _, _, per_c = fem.theta_iteration(p_c, t_c, poly_c, **kw)
+    bd_l = fem.boundary_order_by_arclength(p_l, t_l, poly_l)
+    bd_c = fem.boundary_order_by_arclength(p_c, t_c, poly_c)
+    u_l, v_l, _, _, per_l = fem.theta_iteration(p_l, t_l, poly_l, bnd_data=bd_l, **kw)
+    u_c, v_c, _, _, per_c = fem.theta_iteration(p_c, t_c, poly_c, bnd_data=bd_c, **kw)
 
     # boundary rotation alignment after normalization (v18:857-872)
-    b_l, _, _ = fem.boundary_order_by_arclength(p_l, t_l, poly_l)
-    b_c, _, _ = fem.boundary_order_by_arclength(p_c, t_c, poly_c)
+    b_l, b_c = bd_l[0], bd_c[0]
     w_lb = u_l[b_l] + 1j * v_l[b_l]
     w_cb = u_c[b_c] + 1j * v_c[b_c]
     m = min(len(w_lb), len(w_cb))

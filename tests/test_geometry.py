@@ -70,6 +70,27 @@ class TestPolygon:
         dv2, sv2, tv2 = _nearest_on_segments(poly.xy[::7], *poly._segs)
         assert np.array_equal(sv, sv2) and np.array_equal(tv, tv2)
 
+    def test_nearest_pruned_long_segment_and_escalation(self, rng):
+        """Exactness through the k-escalation rounds: a polygon with one
+        very long edge (the alpha-shape case that defeated the old global
+        midpoint bound) and query points far outside / deep inside, where
+        the first k=16 sample round cannot satisfy the prune bound."""
+        from cmtci.geometry.polygon import _nearest_on_segments
+
+        t = np.linspace(0, np.pi, 200)  # half-circle arc...
+        arc = np.column_stack([np.cos(t), np.sin(t)])
+        poly = Polygon(arc)  # ...closed by ONE chord of length 2
+        far = rng.uniform(-6, 6, size=(800, 2))
+        near = poly.interpolate(rng.uniform(0, poly.length, 200))
+        deep = np.column_stack([rng.uniform(-0.3, 0.3, 200),
+                                rng.uniform(0.2, 0.6, 200)])
+        pts = np.vstack([far, near, deep])
+        d1, s1, t1 = poly._nearest(pts)
+        d2, s2, t2 = _nearest_on_segments(pts, *poly._segs)
+        assert np.array_equal(d1, d2)
+        assert np.array_equal(s1, s2)
+        assert np.array_equal(t1, t2)
+
     def test_project_interpolate_roundtrip(self):
         poly = _circle_poly(400)
         s = np.array([0.1, 1.0, 3.0, 5.5])
