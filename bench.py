@@ -45,6 +45,11 @@ REFERENCE_VARIOGRAMS_S = 71.0   # this repo's f64 CPU path (see docstring)
 REFERENCE_GREEN_S = 29.0        # this repo's f64 CPU uniformize-green at the
 #                                 v40 config (n_bdy=2000, 20000 interior;
 #                                 VALIDATION.md round 3)
+REFERENCE_FEM_S = 6.8           # this repo's rounds-1-3 f64 CPU v18 4-level
+#                                 study (VALIDATION.md; the reference v18
+#                                 script publishes no runtime and is too slow
+#                                 to time per round — Python-loop assembly +
+#                                 shapely per-point loops at 4 mesh levels)
 REFERENCE_TCI_4X_S = 64.3       # this repo's f64 CPU TCI pipeline at BASELINE
 #                                 configs[4]: 2400^2 DE grid (4x), 25000
 #                                 samples, T=60 (measured this host, r4:
@@ -252,6 +257,25 @@ def _bench_uniformize_green(on_tpu: bool) -> float:
     return best
 
 
+def _bench_uniformize_fem() -> float:
+    """Warm wall time of the v18 FEM quasiconformal study, all 4 levels.
+
+    Host-CPU pipeline by design (SuperLU solves + qhull meshing; the
+    eigensweep rides the usual host-XLA Aberth path), so the number is
+    backend-independent."""
+    from cmtci.pipelines.uniformize_fem import (FEMUniformizeConfig,
+                                                run_fem_uniformization)
+
+    cfg = FEMUniformizeConfig()
+    best = float("inf")
+    for _ in range(2):  # second run sees warm jit/alpha-shape caches
+        t0 = time.time()
+        res = run_fem_uniformization(cfg)
+        best = min(best, time.time() - t0)
+    assert len(res) == 4 and res[-1]["all"]["K_median"] < res[0]["all"]["K_median"]
+    return best
+
+
 def _bench_tci_4x(on_tpu: bool) -> float:
     """Warm wall time of the TCI/GI-flow pipeline at 4x grid resolution
     (BASELINE configs[4]: 2400^2 DE grid, 25000 samples, T=60)."""
@@ -308,6 +332,8 @@ def _run(on_tpu: bool):
         REFERENCE_VARIOGRAMS_S, "variograms_vs_f64_cpu")
     key("uniformize_green_s", lambda: _bench_uniformize_green(on_tpu),
         REFERENCE_GREEN_S, "uniformize_green_vs_f64_cpu")
+    key("uniformize_fem_s", _bench_uniformize_fem, REFERENCE_FEM_S,
+        "uniformize_fem_vs_r3_cpu")
     key("tci_4x_s", lambda: _bench_tci_4x(on_tpu), REFERENCE_TCI_4X_S,
         "tci_4x_vs_f64_cpu")
     print(json.dumps(result))

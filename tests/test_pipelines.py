@@ -234,6 +234,23 @@ def test_fem_uniformization_level():
     assert len(res["sweep"]) == 3
 
 
+def test_fem_refinement_monotone():
+    """Two refinement levels of the (factored-solve) v18 study: every
+    headline diagnostic must improve with refinement — the reference's own
+    acceptance criterion for the experiment (v18 results narrative)."""
+    from cmtci.pipelines.uniformize_fem import run_fem_uniformization
+
+    cfg = FEMUniformizeConfig(n_min=2, n_max=60)
+    levels = (dict(name="A", h_L=0.09, h_C=0.07, boundary_h=0.045),
+              dict(name="B", h_L=0.055, h_C=0.045, boundary_h=0.028))
+    res = run_fem_uniformization(cfg, levels=levels)
+    a, b = res
+    assert b["all"]["K_median"] < a["all"]["K_median"]
+    assert b["all"]["mu_L2"] < a["all"]["mu_L2"]
+    assert b["valid_frac"] > a["valid_frac"]
+    assert abs(b["period_mismatch"]["lucas"]) < abs(a["period_mismatch"]["lucas"])
+
+
 def test_green_uniformization_small(tmp_path):
     xy = export_lucas_boundary(LucasBoundaryConfig(n_min=2, n_max=30, n_boundary=300))
     cfg = GreenUniformizeConfig(n_bdy=300, interior_n=1500)
