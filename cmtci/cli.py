@@ -158,7 +158,7 @@ def main(argv=None):
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
-    p.add_argument("--levels", type=int, default=4,
+    p.add_argument("--levels", type=int, default=4, choices=[1, 2, 3, 4],
                    help="number of refinement levels (the reference v18 runs "
                         "all 4, L0-L3; the full study is ~1 s warm)")
     _add_common(p)

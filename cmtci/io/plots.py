@@ -393,8 +393,8 @@ def plot_family_kde_overlay(family_g: dict, path, kde_grid_n: int = 800,
     """
     from cmtci.stats.laws import kde_or_smooth_hist
 
-    outs = {f: np.asarray(g, dtype=float)[np.asarray(g) > 0]
-            for f, g in family_g.items()}
+    arrs = {f: np.asarray(g, dtype=float) for f, g in family_g.items()}
+    outs = {f: g[g > 0] for f, g in arrs.items()}
     outs = {f: g for f, g in outs.items() if len(g) > min_outside}
     if not outs:
         return None

@@ -105,16 +105,20 @@ def _cg_solve(a: sp.csr_matrix, rhs: np.ndarray, tol: float = 1e-12, maxiter: in
     return np.asarray(x)
 
 
+def _conjugate_rhs(triangles, grads, area, u, n: int) -> np.ndarray:
+    """Weak-form RHS for ∇v ≈ J∇u: per-triangle area·(J∇u·∇λ_a), assembled
+    over ALL triangles (the stiffness filter only drops degenerates)."""
+    grad_u = np.einsum("ta,tad->td", np.asarray(u)[triangles], grads)  # (nT,2)
+    ju = np.column_stack([-grad_u[:, 1], grad_u[:, 0]])
+    contrib = area[:, None] * np.einsum("td,tad->ta", ju, grads)  # (nT,3)
+    return np.bincount(triangles.reshape(-1), weights=contrib.reshape(-1),
+                       minlength=n)
+
+
 def harmonic_conjugate(points, triangles, u, pin: int = 0, method: str = "spsolve"):
     """Solve ∇v ≈ J∇u in weak form, pin one node (v18:407-431), vectorized RHS."""
     grads, area = p1_grads_areas(points, triangles)
-    u = np.asarray(u)
-    u_loc = u[triangles]  # (nT,3)
-    grad_u = np.einsum("ta,tad->td", u_loc, grads)  # (nT,2)
-    ju = np.column_stack([-grad_u[:, 1], grad_u[:, 0]])
-    contrib = area[:, None] * np.einsum("td,tad->ta", ju, grads)  # (nT,3)
-    rhs = np.zeros(len(points))
-    np.add.at(rhs, triangles.reshape(-1), contrib.reshape(-1))
+    rhs = _conjugate_rhs(triangles, grads, area, u, len(points))
     k = assemble_stiffness(points, triangles)
     # pin one node to 0 by symmetric elimination (keeps SPD for CG)
     n = len(points)
@@ -228,13 +232,7 @@ def theta_iteration(
         u = np.zeros(n)
         u[bnd_ord] = g
         u[free_d] = solve_d(-(k_fb_d @ g))
-        # conjugate RHS over ALL triangles (harmonic_conjugate semantics:
-        # unfiltered grads; the stiffness filter only drops degenerates)
-        grad_u = np.einsum("ta,tad->td", u[triangles], grads)
-        ju = np.column_stack([-grad_u[:, 1], grad_u[:, 0]])
-        contrib = area[:, None] * np.einsum("td,tad->ta", ju, grads)
-        rhs = np.bincount(triangles.reshape(-1), weights=contrib.reshape(-1),
-                          minlength=n)
+        rhs = _conjugate_rhs(triangles, grads, area, u, n)
         v = np.zeros(n)
         v[free_c] = solve_c(rhs[free_c])
         return u, v

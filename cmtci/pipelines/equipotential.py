@@ -147,6 +147,18 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
     from cmtci.utils.artifacts import StageTimer
 
     timer = timer if timer is not None else StageTimer()
+    c_curve = None
+    if cfg.curve_npy is not None:
+        # load (and so validate) the stored curve BEFORE the expensive
+        # stages: a typo'd path must fail in milliseconds, not after the
+        # whole potential solve and before any output is written (the
+        # reference warns-and-skips, lucas_equipotential_test_v3.py:404-405;
+        # here a missing input is a typed error at the pipeline edge)
+        pts = np.load(cfg.curve_npy)
+        if pts.ndim == 2 and pts.shape[1] == 2:
+            c_curve = pts[:, 0] + 1j * pts[:, 1]
+        else:
+            c_curve = np.asarray(pts, dtype=complex).ravel()
     ns = list(range(cfg.n_min, cfg.n_max + 1))
     others = ([f for f in cfg.families if f != "lucas_all_ones"]
               if cfg.run_family_comparison else [])
@@ -200,16 +212,11 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                 s["family"] = fam
                 fam_rows.append(s)
             out["family_summary"] = fam_rows
-    if cfg.curve_npy is not None:
+    if c_curve is not None:
         with timer.stage("stored_curve"):
             # optional stored-curve analysis (reference section C,
             # lucas_equipotential_test_v3.py:390-403): Green potential of a
             # saved boundary polyline, e.g. lucas_points.npy
-            pts = np.load(cfg.curve_npy)
-            if pts.ndim == 2 and pts.shape[1] == 2:
-                c_curve = pts[:, 0] + 1j * pts[:, 1]
-            else:
-                c_curve = np.asarray(pts, dtype=complex).ravel()
             g_c, _, _ = batch_potential(c_curve, cfg.max_iter,
                                         cfg.escape_radius, cache_dir=cache_dir,
                                         dtype=cfg.potential_dtype)

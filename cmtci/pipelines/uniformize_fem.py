@@ -138,7 +138,7 @@ def run_fem_uniformization(cfg: FEMUniformizeConfig, out_dir: str | None = None,
                                   backend=cfg.cloud_backend)
     poly_l = alpha_shape.alpha_shape_polygon(inv, cfg.alpha)
     results = []
-    for lvl in (levels or cfg.levels):
+    for lvl in (levels if levels is not None else cfg.levels):
         results.append(run_level(cfg, lvl["h_L"], lvl["h_C"], lvl["boundary_h"],
                                  lvl["name"], poly_l=poly_l))
     if out_dir:

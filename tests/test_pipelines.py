@@ -143,6 +143,14 @@ def test_equipotential_stored_curve(tmp_path):
                                curve_npy=str(tmp_path / "curve_c.npy"))
     out2 = run_equipotential(cfg2, None, with_per_n=False)
     assert np.array_equal(out2["curve_g"], g_direct)
+    # a bad path must fail BEFORE the expensive stages (timer still empty)
+    from cmtci.utils.artifacts import StageTimer
+
+    timer = StageTimer()
+    bad = EquipotentialConfig(curve_npy=str(tmp_path / "nope.npy"))
+    with pytest.raises(FileNotFoundError):
+        run_equipotential(bad, None, timer=timer)
+    assert not timer.times  # no stage ran: nothing was computed then lost
 
 
 def test_variograms_small(tmp_path):
