@@ -174,6 +174,13 @@ def main(argv=None):
     _add_common(p)
     _add_cache_trace(p)
 
+    p = sub.add_parser("doctor", help="environment / backend diagnostics "
+                                      "(backend, devices, x64, compile cache, "
+                                      "device policy; --smoke times a kernel)")
+    p.add_argument("--smoke", action="store_true",
+                   help="run and time a small dwell kernel on the default "
+                        "backend (first call pays the compile)")
+
     args = ap.parse_args(argv)
     import jax
 
@@ -210,7 +217,91 @@ def _wants_tpu(args) -> bool:
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
         return args.scan_dtype == "float32"
+    if args.cmd == "doctor":
+        return True  # report the environment's real default backend
     return False
+
+
+def _doctor(smoke: bool = False) -> dict:
+    """Environment diagnostics: what will run where, and is it healthy.
+
+    Production triage for the split-backend design (utils/device.py): f32
+    throughput kernels on the accelerator, exact f64 analysis on the host
+    CPU. Every field degrades to an "<field>_error" string rather than
+    failing the whole report."""
+    import os
+    import time
+
+    import jax
+
+    import cmtci
+
+    out = {"cmtci": cmtci.__version__, "jax": jax.__version__,
+           "numpy": np.__version__}
+
+    def field(name, fn):
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 — a doctor must not die mid-exam
+            out[name + "_error"] = repr(e)[:200]
+
+    from cmtci.utils import device as dev
+
+    field("default_backend", jax.default_backend)
+    field("devices", lambda: [str(d) for d in jax.devices()])
+    field("host_cpu_devices", lambda: len(jax.devices("cpu")))
+    field("x64_enabled", lambda: bool(jax.config.jax_enable_x64))
+    field("f64_analysis_runs_on",
+          lambda: "host cpu (TPU default: f64 is emulated and f64 loop "
+                  "compiles can wedge the compile relay)" if dev.on_tpu()
+                  else "default backend")
+
+    def cache():
+        d = jax.config.jax_compilation_cache_dir
+        info = {"dir": d, "enabled": bool(d)}
+        if d and os.path.isdir(d):
+            entries = os.listdir(d)
+            info["entries"] = len(entries)
+            info["bytes"] = sum(
+                os.path.getsize(os.path.join(d, f)) for f in entries)
+        return info
+    field("compile_cache", cache)
+
+    if smoke:
+        def run_smoke():
+            import jax.numpy as jnp
+            n = 512
+            with jax.enable_x64(False):
+                if dev.on_tpu():
+                    from cmtci.kernels.mandelbrot_pallas import (
+                        DEFAULT_INNER, DEFAULT_TILE, _field)
+
+                    p = jnp.asarray([-2.1, -1.5, 3.0 / (n - 1), 3.0 / (n - 1)],
+                                    dtype=jnp.float32)
+                    f = jax.jit(lambda p: jnp.sum(
+                        _field(p, n, n, 200, "dwell", 4.0,
+                               DEFAULT_TILE, DEFAULT_INNER, False)))
+                else:
+                    from cmtci.parallel.sharded import _dwell_local
+
+                    xs = jnp.linspace(-2.1, 0.9, n, dtype=jnp.float32)
+                    ys = jnp.linspace(-1.5, 1.5, n, dtype=jnp.float32)
+                    f = jax.jit(lambda p: jnp.sum(_dwell_local(
+                        jnp.broadcast_to(xs[None, :] + p, (n, n)),
+                        jnp.broadcast_to(ys[:, None], (n, n)), 200)))
+                    p = jnp.float32(0.0)
+                t0 = time.time()
+                s0 = float(f(p))
+                compile_and_run_s = time.time() - t0
+                t0 = time.time()
+                float(f(p + jnp.float32(1e-9)))  # host fetch forces execution
+                warm_s = time.time() - t0
+            return {"grid": f"{n}x{n} dwell, max_iter=200",
+                    "checksum": s0,
+                    "compile_and_run_s": round(compile_and_run_s, 3),
+                    "warm_s": round(warm_s, 4)}
+        field("smoke", run_smoke)
+    return out
 
 
 def _load_bus(busdir):
@@ -381,6 +472,8 @@ def _dispatch(args):
                                        cache_dir=args.cache_dir, timer=_timer(args))
         print(json.dumps({k: v for k, v in out["diagnostics"].items()
                           if k.startswith(("bdy_mod", "inverse_err"))}))
+    elif cmd == "doctor":
+        print(json.dumps(_doctor(smoke=args.smoke), indent=2))
     return 0
 
 

@@ -32,3 +32,14 @@ def test_tracker_cli(tmp_path):
     assert len(rows) == 1 and rows[0]["bins"] == "16"
     meta = json.load(open(out + ".json"))
     assert meta["rows"][0]["T_n"] == 3
+
+
+def test_doctor_cli(capsys):
+    assert main(["doctor", "--smoke"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["default_backend"] == "cpu"  # conftest pins the CPU backend
+    assert out["x64_enabled"] is True
+    assert out["compile_cache"]["enabled"] in (True, False)
+    smoke = out["smoke"]
+    assert smoke["warm_s"] > 0 and smoke["checksum"] > 0
+    assert not any(k.endswith("_error") for k in out)
