@@ -154,41 +154,69 @@ class Polygon:
         inside = (crossings % 2) == 1
         if include_boundary:
             need = ~inside  # interior points qualify already; only the rest
-            if need.any():  # need the (pruned, exact) boundary distance
-                d = self.exterior_distance(pts[need])
-                inside[need] = d <= max(tol, 1e-12)
+            if need.any():  # need the (pruned, exact) boundary threshold
+                inside[need] = self.boundary_within(pts[need], max(tol, 1e-12))
         return inside
+
+    def _seg_tree(self):
+        """Cached (KDTree over boundary samples, sample→segment, half-spacing).
+
+        Boundary samples (spacing <= L/512 per segment, endpoints included)
+        tagged with their parent segment: the prune bound is then half the
+        sample spacing instead of the max segment half-length, which one
+        long alpha-shape edge blew up to ~0.17 (20% full-scan fallback in
+        the FEM study). L/512 balances bound tightness against candidate-set
+        diversity: the k needed for the bound to hold scales as
+        1/(2*sqrt(half)), so OVER-dense samples make far points fail (all k
+        nearest samples collapse onto one segment)."""
+        cached = getattr(self, "_seg_tree_cache", None)
+        if cached is None:
+            from scipy.spatial import cKDTree
+
+            p0, p1 = self._segs
+            seg_len = np.sqrt(((p1 - p0) ** 2).sum(axis=1))
+            delta = max(float(seg_len.sum()) / 512.0, 1e-12)
+            reps = np.maximum(np.ceil(seg_len / delta).astype(np.int64), 1)
+            seg_of = np.repeat(np.arange(len(p0)), reps + 1)
+            t = np.concatenate([np.linspace(0.0, 1.0, r + 1) for r in reps])
+            samples = p0[seg_of] + t[:, None] * (p1 - p0)[seg_of]
+            half = 0.5 * float((seg_len / reps).max())
+            cached = (cKDTree(samples), seg_of, half)
+            self._seg_tree_cache = cached
+        return cached
 
     def _nearest(self, pts):
         """(d, seg_idx, t) nearest-segment query; KDTree-pruned for large
         polygons (exact — see _nearest_on_segments_pruned)."""
         p0, p1 = self._segs
         if len(p0) >= 64 and len(pts) > 4:
-            cached = getattr(self, "_seg_tree_cache", None)
-            if cached is None:
-                from scipy.spatial import cKDTree
-
-                # boundary samples (spacing <= L/512 per segment, endpoints
-                # included) tagged with their parent segment: the prune
-                # bound is then half the sample spacing instead of the max
-                # segment half-length, which one long alpha-shape edge blew
-                # up to ~0.17 (20% full-scan fallback in the FEM study).
-                # L/512 balances bound tightness against candidate-set
-                # diversity: the k needed for the bound to hold scales as
-                # 1/(2*sqrt(half)), so OVER-dense samples make far points
-                # fail (all k nearest samples collapse onto one segment).
-                seg_len = np.sqrt(((p1 - p0) ** 2).sum(axis=1))
-                delta = max(float(seg_len.sum()) / 512.0, 1e-12)
-                reps = np.maximum(np.ceil(seg_len / delta).astype(np.int64), 1)
-                seg_of = np.repeat(np.arange(len(p0)), reps + 1)
-                t = np.concatenate([np.linspace(0.0, 1.0, r + 1) for r in reps])
-                samples = p0[seg_of] + t[:, None] * (p1 - p0)[seg_of]
-                half = 0.5 * float((seg_len / reps).max())
-                cached = (cKDTree(samples), seg_of, half)
-                self._seg_tree_cache = cached
-            tree, seg_of, half = cached
+            tree, seg_of, half = self._seg_tree()
             return _nearest_on_segments_pruned(pts, p0, p1, tree, seg_of, half)
         return _nearest_on_segments(pts, p0, p1)
+
+    def boundary_within(self, pts, tol: float) -> np.ndarray:
+        """Boolean: is each point within tol of the boundary polyline (exact).
+
+        Cheaper than thresholding exterior_distance when only the verdict
+        matters: every boundary point lies within half_spacing of a tree
+        sample, so d >= d_samp1 - half_spacing — ONE k=1 sample query
+        rejects every point with d_samp1 > tol + half_spacing outright, and
+        only the (typically tiny) survivor set pays an exact nearest-segment
+        query. This is the contains(include_boundary=True) hot path of the
+        v18 mesher (lucas_to_cardioid_v18...py:244-262 covers() semantics)."""
+        pts = _as_xy(pts)
+        p0, p1 = self._segs
+        if len(p0) >= 64 and len(pts) > 4:
+            tree, _, half = self._seg_tree()
+            d1, _ = tree.query(pts, k=1)
+            out = np.zeros(len(pts), dtype=bool)
+            maybe = d1 <= tol + half
+            if maybe.any():
+                d, _, _ = self._nearest(pts[maybe])
+                out[maybe] = d <= tol
+            return out
+        d, _, _ = _nearest_on_segments(pts, p0, p1)
+        return d <= tol
 
     def exterior_distance(self, pts) -> np.ndarray:
         """Min distance from each point to the boundary polyline."""
@@ -267,9 +295,11 @@ def _nearest_on_segments_pruned(pts, p0, p1, tree, samp_seg, half_spacing):
     best exact candidate distance dc < D_k − half_spacing, every other
     segment is STRICTLY farther — the result (incl. the argmin tie rule,
     see _exact_over_candidate_segs) is identical to the full scan. Points
-    failing the bound escalate k (×8 per round, ending at a round over all
+    failing the bound escalate k (×4 per round, ending at a round over all
     samples, which IS the full scan), so exactness never depends on the
-    bound holding. This is the v18 mesher/arclength hot spot
+    bound holding. ×4 measured best on the FEM centroid workload (18% of
+    deep-interior points escalate once; ×8's k=128 round cost more than
+    two ×4 rounds, and raising k0 taxes the 82% that never escalate). This is the v18 mesher/arclength hot spot
     (exterior_distance/project were 3.7 s of the 5 s L3 level)."""
     n_samp = len(samp_seg)
     n_pts = len(pts)
@@ -289,7 +319,7 @@ def _nearest_on_segments_pruned(pts, p0, p1, tree, samp_seg, half_spacing):
         done = active[ok]
         d[done], seg_idx[done], tt[done] = da[ok], ja[ok], ta[ok]
         active = active[~ok]
-        k *= 8
+        k *= 4
     return d, seg_idx, tt
 
 

@@ -91,6 +91,27 @@ class TestPolygon:
         assert np.array_equal(s1, s2)
         assert np.array_equal(t1, t2)
 
+    def test_boundary_within_matches_distance_threshold(self, rng):
+        """boundary_within(tol) must equal exterior_distance <= tol exactly,
+        across tols that exercise the k=1 reject path (tiny tol), the
+        exact-survivor path (moderate tol), and a tol accepting most points."""
+        from cmtci.geometry.polygon import _nearest_on_segments
+
+        t = np.linspace(0, 2 * np.pi, 700, endpoint=False)
+        rr = 1.0 + 0.2 * np.sin(7 * t)
+        poly = Polygon(np.column_stack([rr * np.cos(t), rr * np.sin(t)]))
+        pts = np.vstack([rng.uniform(-1.5, 1.5, size=(2000, 2)),
+                         poly.interpolate(rng.uniform(0, poly.length, 100)),
+                         poly.xy[::11]])
+        d, _, _ = _nearest_on_segments(pts, *poly._segs)
+        for tol in (1e-12, 1e-3, 0.05, 1.0):
+            got = poly.boundary_within(pts, tol)
+            assert np.array_equal(got, d <= tol), tol
+        # small-polygon (full-scan) path
+        small = Polygon(poly.xy[::24])
+        ds, _, _ = _nearest_on_segments(pts, *small._segs)
+        assert np.array_equal(small.boundary_within(pts, 0.02), ds <= 0.02)
+
     def test_project_interpolate_roundtrip(self):
         poly = _circle_poly(400)
         s = np.array([0.1, 1.0, 3.0, 5.5])
