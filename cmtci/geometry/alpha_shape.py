@@ -58,8 +58,14 @@ def boundary_edges_of(simplices: np.ndarray) -> np.ndarray:
         [simplices[:, [0, 1]], simplices[:, [1, 2]], simplices[:, [2, 0]]], axis=0
     )
     e = np.sort(e, axis=1)
-    uniq, counts = np.unique(e, axis=0, return_counts=True)
-    return uniq[counts == 1]
+    # scalar-key unique: rows are (lo, hi) with hi < n_vertices, so
+    # lo * n + hi orders exactly like np.unique(e, axis=0) (lexicographic)
+    # at a fraction of the structured-void sort cost
+    n = int(e.max()) + 1
+    key = e[:, 0] * np.int64(n) + e[:, 1]
+    uniq, counts = np.unique(key, return_counts=True)
+    once = uniq[counts == 1]
+    return np.column_stack([once // n, once % n])
 
 
 def alpha_shape_edges(points: np.ndarray, alpha: float) -> np.ndarray:

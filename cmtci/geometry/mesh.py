@@ -58,7 +58,12 @@ def polygon_to_mesh(
 
     # 4) combine + dedupe + Delaunay
     pts = np.vstack([bpts, interior, bl])
-    pts = np.unique(np.round(pts, 12), axis=0)
+    # dedupe rounded rows via a complex view: sorts (real, imag) =
+    # lexicographic rows, identical output to np.unique(..., axis=0)
+    # without the structured-void sort
+    pts = np.round(pts, 12)
+    z = np.unique(pts[:, 0] + 1j * pts[:, 1])
+    pts = np.column_stack([z.real, z.imag])
     if len(pts) < 30:
         raise RuntimeError("Too few points; decrease h or boundary_h")
     tri = Delaunay(pts, qhull_options=qhull_options)
