@@ -184,8 +184,17 @@ def directed_boundary_loops(pts: np.ndarray, kept: np.ndarray):
     cw = signed < 0
     tris[cw] = tris[cw][:, [0, 2, 1]]
     d_edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
-    edge_set = {(int(a), int(b)) for a, b in d_edges}
-    boundary = [(a, b) for (a, b) in edge_set if (b, a) not in edge_set]
+    # boundary = directed edges whose reverse is absent, found on int64
+    # scalar keys (a*n+b) with searchsorted — the Python tuple-set over
+    # 3T edges was the alpha-polygon hot spot
+    n = len(pts)
+    fwd = d_edges[:, 0].astype(np.int64) * n + d_edges[:, 1]
+    rev = d_edges[:, 1].astype(np.int64) * n + d_edges[:, 0]
+    fwd_sorted = np.sort(fwd)
+    pos = np.searchsorted(fwd_sorted, rev)
+    has_rev = (pos < len(fwd_sorted)) & (fwd_sorted[np.minimum(pos, len(fwd_sorted) - 1)] == rev)
+    bnd = d_edges[~has_rev]
+    boundary = [(int(a), int(b)) for a, b in bnd]
     out_edges = defaultdict(list)
     for a, b in boundary:
         out_edges[a].append(b)

@@ -61,7 +61,7 @@ def polygon_to_mesh(
     # dedupe rounded rows via a complex view: sorts (real, imag) =
     # lexicographic rows, identical output to np.unique(..., axis=0)
     # without the structured-void sort
-    pts = np.round(pts, 12)
+    pts = np.round(pts, 12) + 0.0  # +0.0 folds -0.0 so the key is unique
     z = np.unique(pts[:, 0] + 1j * pts[:, 1])
     pts = np.column_stack([z.real, z.imag])
     if len(pts) < 30:

@@ -150,6 +150,56 @@ class TestAlphaShape:
         # property: each boundary edge appears exactly once (construction invariant)
         assert len(np.unique(edges, axis=0)) == len(edges)
 
+    def test_boundary_edges_scalar_key_matches_row_unique(self, rng):
+        # the lo*n+hi scalar-key unique must reproduce np.unique(axis=0)
+        # (rows AND order) on once-used edges, incl. duplicated triangles
+        from scipy.spatial import Delaunay
+
+        pts = rng.uniform(size=(400, 2))
+        simp = Delaunay(pts).simplices
+        simp = np.vstack([simp, simp[:7]])  # duplicated tris drop their edges
+        e = np.sort(np.concatenate(
+            [simp[:, [0, 1]], simp[:, [1, 2]], simp[:, [2, 0]]], axis=0), axis=1)
+        uniq, counts = np.unique(e, axis=0, return_counts=True)
+        naive = uniq[counts == 1]
+        fast = alpha_shape.boundary_edges_of(simp)
+        assert np.array_equal(fast, naive)
+
+    def test_mesh_dedupe_complex_key_matches_row_unique(self, rng):
+        # complex-key unique == np.unique(axis=0) on rounded rows (after
+        # folding -0.0, which the byte-wise row unique would keep distinct)
+        pts = np.round(rng.normal(size=(500, 2)), 2)
+        pts = np.vstack([pts, pts[:100], [[0.0, 1.0], [-0.0, 1.0]]])
+        folded = np.round(pts, 12) + 0.0
+        naive = np.unique(folded, axis=0)
+        z = np.unique(folded[:, 0] + 1j * folded[:, 1])
+        fast = np.column_stack([z.real, z.imag])
+        assert np.array_equal(fast, naive)
+
+    def test_directed_loops_boundary_set_matches_tuple_form(self, rng):
+        # the searchsorted reverse-edge test must select exactly the
+        # directed edges whose reverse is absent (old tuple-set form)
+        pts = rng.normal(size=(800, 2))
+        _, kept = alpha_shape.alpha_complex(pts, alpha=3.0)
+        p0, p1, p2 = pts[kept[:, 0]], pts[kept[:, 1]], pts[kept[:, 2]]
+        signed = ((p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
+                  - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
+        tris = kept.copy()
+        tris[signed < 0] = tris[signed < 0][:, [0, 2, 1]]
+        d_edges = np.concatenate(
+            [tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]], axis=0)
+        edge_set = {(int(a), int(b)) for a, b in d_edges}
+        naive = {(a, b) for (a, b) in edge_set if (b, a) not in edge_set}
+        loops = alpha_shape.directed_boundary_loops(pts, kept)
+        walked = set()
+        for loop in loops:
+            for a, b in zip(loop, loop[1:] + loop[:1]):
+                walked.add((a, b))
+        assert walked <= naive
+        # every boundary edge is walked exactly once across all loops
+        assert sum(len(lp) for lp in loops) == len(walked)
+        assert walked == naive
+
     def test_trace_closed_loop(self, rng):
         pts = rng.normal(size=(3000, 2))
         pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-9)
