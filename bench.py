@@ -196,7 +196,10 @@ def _bench_tracker(on_tpu: bool) -> float:
         de_impl="pallas" if on_tpu else "jax",
     )
     best = float("inf")
-    for _ in range(2):  # second run sees warm compile caches
+    # best-of-3: the first run pays compile caches; the remaining warm runs
+    # are sub-second and relay-noise sensitive (a single noisy rep was
+    # observed to inflate a best-of-2 ~25%)
+    for _ in range(3):
         t0 = time.time()
         rows, _ = run_tracker(cfg)
         best = min(best, time.time() - t0)
@@ -212,7 +215,9 @@ def _bench_equipotential(on_tpu: bool) -> float:
     cfg = EquipotentialConfig(
         potential_dtype="float32" if on_tpu else "float64")
     best = float("inf")
-    for _ in range(2):  # second run sees warm jit/compile caches
+    # best-of-3: warm runs are ~0.45 s and relay-noise sensitive — a single
+    # noisy rep inflated a best-of-2 to 1.32 s in one session (3x the floor)
+    for _ in range(3):
         t0 = time.time()
         out = run_equipotential(cfg)
         best = min(best, time.time() - t0)
@@ -284,7 +289,7 @@ def _bench_tci_4x(on_tpu: bool) -> float:
     cfg = TCIConfig(mandelbrot_grid=2400,
                     de_impl="pallas" if on_tpu else "jax")
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # sub-second warm; best-of-3 absorbs one noisy rep
         t0 = time.time()
         out, kls, _ = run_tci(cfg)
         best = min(best, time.time() - t0)
