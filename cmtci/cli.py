@@ -262,8 +262,13 @@ def _doctor(smoke: bool = False) -> dict:
         if d and os.path.isdir(d):
             entries = os.listdir(d)
             info["entries"] = len(entries)
-            info["bytes"] = sum(
-                os.path.getsize(os.path.join(d, f)) for f in entries)
+            total = 0
+            for f in entries:
+                try:  # concurrent JAX processes rename/evict entries
+                    total += os.path.getsize(os.path.join(d, f))
+                except OSError:
+                    pass
+            info["bytes"] = total
         return info
     field("compile_cache", cache)
 

@@ -62,7 +62,9 @@ def boundary_edges_of(simplices: np.ndarray) -> np.ndarray:
     # lo * n + hi orders exactly like np.unique(e, axis=0) (lexicographic)
     # at a fraction of the structured-void sort cost
     n = int(e.max()) + 1
-    key = e[:, 0] * np.int64(n) + e[:, 1]
+    # .astype first: under numpy<2 value-based promotion, int32 rows *
+    # small int64 scalar stays int32 and wraps beyond ~46341 vertices
+    key = e[:, 0].astype(np.int64) * n + e[:, 1]
     uniq, counts = np.unique(key, return_counts=True)
     once = uniq[counts == 1]
     return np.column_stack([once // n, once % n])
