@@ -165,6 +165,23 @@ class TestAlphaShape:
         fast = alpha_shape.boundary_edges_of(simp)
         assert np.array_equal(fast, naive)
 
+    def test_boundary_edges_scalar_key_beyond_int32_sqrt(self, rng):
+        # n_vertices > 46341 makes lo*n+hi exceed int32: the key math must
+        # promote to int64 BEFORE the multiply (numpy<2 value-based
+        # promotion keeps `int32_array * np.int64(small)` int32)
+        from scipy.spatial import Delaunay
+
+        pts = rng.uniform(size=(50_000, 2))
+        simp = Delaunay(pts).simplices
+        assert simp.max() > 46_341
+        e = np.sort(np.concatenate(
+            [simp[:, [0, 1]], simp[:, [1, 2]], simp[:, [2, 0]]], axis=0), axis=1)
+        uniq, counts = np.unique(e, axis=0, return_counts=True)
+        naive = uniq[counts == 1]
+        fast = alpha_shape.boundary_edges_of(simp)
+        assert np.array_equal(fast, naive)
+        assert (fast >= 0).all()  # wrapped keys yield negative indices
+
     def test_mesh_dedupe_complex_key_matches_row_unique(self, rng):
         # complex-key unique == np.unique(axis=0) on rounded rows (after
         # folding -0.0, which the byte-wise row unique would keep distinct)
