@@ -107,28 +107,41 @@ def gradient_curvature(p):
     return np.asarray(jnp.abs(dx * ddy - dy * ddx) / (dx**2 + dy**2) ** 1.5)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _pca_ecc(xy, k: int):
-    d2 = jnp.sum((xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
-    _, idx = jax.lax.top_k(-d2, k)  # k nearest incl. self
-    neigh = xy[idx]  # (N, k, 2)
-    z = neigh - neigh.mean(axis=1, keepdims=True)
-    cov = jnp.einsum("nki,nkj->nij", z, z) / (k - 1)
-    # closed-form symmetric 2x2 eigenvalues (no lapack dependency; exact):
-    # λ = m ± sqrt(((a-d)/2)² + b²)
-    a, b, d = cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]
-    m = 0.5 * (a + d)
-    s = jnp.sqrt(jnp.maximum(0.25 * (a - d) ** 2 + b * b, 0.0))
-    lam_min, tr = m - s, a + d
-    tiny = jnp.asarray(1e-300 if xy.dtype == jnp.float64 else 1e-30, xy.dtype)
-    return lam_min / jnp.maximum(tr, tiny)
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _pca_ecc(xy, k: int, chunk: int = 2048):
+    """Blocked: O(chunk·N) distance memory, not the N² matrix (a 25k-point
+    f64 cloud would otherwise materialize 5 GB; same chunking pattern as
+    embeddings._knn). Row-wise top-k is identical to the one-shot form."""
+    n = xy.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(xy, ((0, npad - n), (0, 0)))  # pad rows discarded below
+
+    def body(i, acc):
+        blk = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=0)
+        d2 = jnp.sum((blk[:, None, :] - xy[None, :, :]) ** 2, axis=-1)
+        _, idx = jax.lax.top_k(-d2, k)  # k nearest incl. self
+        neigh = xy[idx]  # (chunk, k, 2)
+        z = neigh - neigh.mean(axis=1, keepdims=True)
+        cov = jnp.einsum("nki,nkj->nij", z, z) / (k - 1)
+        # closed-form symmetric 2x2 eigenvalues (no lapack dependency):
+        # λ = m ± sqrt(((a-d)/2)² + b²)
+        a, b, d = cov[:, 0, 0], cov[:, 0, 1], cov[:, 1, 1]
+        m = 0.5 * (a + d)
+        s = jnp.sqrt(jnp.maximum(0.25 * (a - d) ** 2 + b * b, 0.0))
+        lam_min, tr = m - s, a + d
+        tiny = jnp.asarray(1e-300 if xy.dtype == jnp.float64 else 1e-30, xy.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, lam_min / jnp.maximum(tr, tiny), i * chunk, axis=0)
+
+    out = jnp.zeros(npad, dtype=xy.dtype)
+    return jax.lax.fori_loop(0, npad // chunk, body, out)[:n]
 
 
 def pca_eccentricity(pts, k: int = 6, dtype=None):
     """kNN covariance λ_min/Σλ (tci_construct_mandelbrot_v002_fixed.py:100-108).
 
-    The reference queries a KDTree per point; here it's a dense blocked
-    top-k (fine for the ≤25k-point clouds involved). dtype=None runs f64 on
+    The reference queries a KDTree per point; here it's a chunked dense
+    top-k (O(chunk·N) memory). dtype=None runs f64 on
     the host CPU (device policy: the N² distance matrix off emulated-f64
     TPUs); dtype=jnp.float32 keeps the default device — the TPU fast path
     the 4x-grid TCI pipeline uses (the eccentricity feeds a correlation

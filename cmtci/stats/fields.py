@@ -58,21 +58,29 @@ def _box_sum(x, win: int):
 
 @functools.partial(jax.jit, static_argnames=("win",))
 def _local_corr(u1, u2, win: int):
-    n = float((2 * win) ** 2)
-    s1 = _box_sum(u1, win)
-    s2 = _box_sum(u2, win)
-    s11 = _box_sum(u1 * u1, win)
-    s22 = _box_sum(u2 * u2, win)
-    s12 = _box_sum(u1 * u2, win)
-    cov = s12 - s1 * s2 / n
-    v1 = s11 - s1 * s1 / n
-    v2 = s22 - s2 * s2 / n
+    # per-window Pearson over the jointly-non-NaN pixels, like the
+    # reference's mask = ~(isnan(a)|isnan(b)) + pearsonr (Potentials.py:
+    # 89-91); windows with <= 5 valid pixels stay NaN (":91 sum(mask) > 5")
+    valid = jnp.isfinite(u1) & jnp.isfinite(u2)
+    a = jnp.where(valid, u1, 0.0)
+    b = jnp.where(valid, u2, 0.0)
+    n = _box_sum(valid.astype(u1.dtype), win)
+    ns = jnp.maximum(n, 1.0)
+    s1 = _box_sum(a, win)
+    s2 = _box_sum(b, win)
+    s11 = _box_sum(a * a, win)
+    s22 = _box_sum(b * b, win)
+    s12 = _box_sum(a * b, win)
+    cov = s12 - s1 * s2 / ns
+    v1 = s11 - s1 * s1 / ns
+    v2 = s22 - s2 * s2 / ns
     denom = jnp.sqrt(jnp.maximum(v1 * v2, 0.0))
-    return jnp.where(denom > 0, cov / denom, jnp.nan)
+    return jnp.where((n > 5) & (denom > 0), cov / denom, jnp.nan)
 
 
 def local_correlation(u1, u2, win: int = 15):
-    """Local Pearson map (Potentials.py:77-95). NaN outside the valid frame."""
+    """Local Pearson map (Potentials.py:77-95). NaN outside the valid frame
+    and wherever a window has <= 5 jointly-non-NaN pixels."""
     u1 = jnp.asarray(u1, dtype=jnp.float64)
     u2 = jnp.asarray(u2, dtype=jnp.float64)
     ny, nx = u1.shape

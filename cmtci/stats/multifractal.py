@@ -58,9 +58,13 @@ def _z_device(x, y, scales, q_values, grid: int):
     def per_scale(eps):
         ix = jnp.clip(jnp.floor((x - xmin) / eps).astype(jnp.int32), 0, grid - 1)
         iy = jnp.clip(jnp.floor((y - ymin) / eps).astype(jnp.int32), 0, grid - 1)
-        h = jnp.zeros(grid * grid, x.dtype).at[ix * grid + iy].add(1.0)
+        # int32 accumulation: f32 scatter-adds silently saturate per-box
+        # counts at 2^24, exactly the multi-million-point scale this path
+        # targets (same rationale as variogram._binned_sq_diff_masked)
+        h = jnp.zeros(grid * grid, jnp.int32).at[ix * grid + iy].add(1)
         nonempty = jnp.sum(h > 0)
-        logp = jnp.where(h > 0, jnp.log(h) - jnp.log(jnp.asarray(n, x.dtype)), 0.0)
+        hf = h.astype(x.dtype)
+        logp = jnp.where(h > 0, jnp.log(hf) - jnp.log(jnp.asarray(n, x.dtype)), 0.0)
 
         def per_q(q):
             t = jnp.where(h > 0, q * logp, -jnp.inf)
@@ -116,9 +120,10 @@ def multifractal_spectrum(points, q_values=None, scales=None, min_count_boxes: i
     backend="device" computes the box counts/partition sums on the default
     jax device (dtype=jnp.float32 for a TPU session); "host" is the
     reference-parity integer-key grouping."""
-    pts = np.asarray(points, dtype=float)
-    if np.iscomplexobj(pts):
+    pts = np.asarray(points)  # complex check BEFORE the float cast (which
+    if np.iscomplexobj(pts):  # would silently drop the imaginary part)
         pts = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    pts = np.asarray(pts, dtype=float)
     q_values = default_q_values() if q_values is None else np.asarray(q_values, dtype=float)
     scales = default_scales() if scales is None else np.asarray(scales, dtype=float)
 

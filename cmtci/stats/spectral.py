@@ -125,6 +125,13 @@ def fit_slope_bootstrap(freqs, spectrum, fmin: float, fmax: float,
     statistically (not bitwise) with the reference's sklearn.resample.
     """
     m = (freqs >= fmin) & (freqs <= fmax)
+    if m.sum() < 2:  # empty/degenerate range: the reference fit_slope has
+        # no guard and would crash in sklearn; return NaNs (tuple shape
+        # kept for pipelines/spectral.py) instead of warning-laden NaNs.
+        # >=2 points fit like the reference (only spectral_decay_exponent
+        # uses a <5 skip; phase4b fits any non-empty range).
+        nan = float("nan")
+        return nan, nan, (nan, nan)
     x = np.log10(freqs[m])
     y = np.log10(spectrum[m])
     slope, _, r2 = _ols_slope_r2(x, y)
@@ -147,10 +154,15 @@ def spectral_distance(x, y, top_k: int = 30, sigma: float = 0.05) -> float:
     """Kernel-eigenvalue spectral distance (tci_..._v002_fixed.py:110-118).
 
     The reference uses nonsymmetric eigvals of a symmetric matrix then sorts
-    real parts — identical spectrum; we use eigvalsh (TPU-supported).
+    real parts — identical spectrum; we use eigvalsh. f64 eigvalsh is
+    unimplemented on TPU, so the solve pins to the host CPU like every
+    other f64 all-pairs analysis kernel (device policy, utils/device.py).
     """
-    ax = jnp.asarray(_xy(x))
-    by = jnp.asarray(_xy(y))
-    w1 = _kernel_eigs(ax, sigma, top_k)
-    w2 = _kernel_eigs(by, sigma, top_k)
-    return float(jnp.linalg.norm(w1 - w2) / jnp.sqrt(top_k))
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():
+        ax = jnp.asarray(_xy(x))
+        by = jnp.asarray(_xy(y))
+        w1 = _kernel_eigs(ax, sigma, top_k)
+        w2 = _kernel_eigs(by, sigma, top_k)
+        return float(jnp.linalg.norm(w1 - w2) / jnp.sqrt(top_k))

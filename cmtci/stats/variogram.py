@@ -193,8 +193,15 @@ def _binned_three_masked(cc, vc, cm, vm, c1, v1, c2, v2, edges, nbins: int,
     s_c, n_c = _binned_sq_diff_masked(cc, vc, cc, vc, edges, nbins, chunk, True)
     s_m, n_m = _binned_sq_diff_masked(cm, vm, cm, vm, edges, nbins, chunk, True)
     s_x, n_x = _binned_sq_diff_masked(c1, v1, c2, v2, edges, nbins, chunk, False)
-    return jnp.stack([s_c, n_c.astype(s_c.dtype), s_m, n_m.astype(s_c.dtype),
-                      s_x, n_x.astype(s_c.dtype)])
+    if s_c.dtype == jnp.float32:
+        # bitcast keeps the int32 counts EXACT through the single packed
+        # f32 fetch (astype(f32) rounds counts above 2^24 — ~17M pairs per
+        # bin, reached at the default m_target=15000 with broad bins);
+        # the host side views these rows back as int32
+        pack = lambda c: jax.lax.bitcast_convert_type(c, jnp.float32)  # noqa: E731
+    else:
+        pack = lambda c: c.astype(s_c.dtype)  # f64 is exact for any int32  # noqa: E731
+    return jnp.stack([s_c, pack(n_c), s_m, pack(n_m), s_x, pack(n_x)])
 
 
 def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000,
@@ -239,11 +246,16 @@ def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000
         g[nz] = 0.5 * sums[nz] / counts[nz]
         return g
 
+    if packed.dtype == np.float32:  # exact int32 counts bitcast through f32
+        unpack = lambda row: row.view(np.int32)  # noqa: E731
+    else:
+        unpack = lambda row: row.astype(np.int64)  # noqa: E731
+    n_c, n_m, n_x = unpack(packed[1]), unpack(packed[3]), unpack(packed[5])
     r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
-    g_c = gamma_of(packed[0].astype(np.float64), packed[1])
-    g_m = gamma_of(packed[2].astype(np.float64), packed[3])
-    g_x = gamma_of(packed[4].astype(np.float64), packed[5])
-    return r_centers, g_c, g_m, g_x, packed[1], packed[3], packed[5]
+    g_c = gamma_of(packed[0].astype(np.float64), n_c)
+    g_m = gamma_of(packed[2].astype(np.float64), n_m)
+    g_x = gamma_of(packed[4].astype(np.float64), n_x)
+    return r_centers, g_c, g_m, g_x, n_c, n_m, n_x
 
 
 def point_variogram(locs, values=None, max_dist=None, nbins: int = 50):

@@ -91,6 +91,10 @@ def gi_flow_to_threshold(
     evaluates KL per step (O(T·bins²) logs) — callers should use it only
     for small grids (the tracker picks it for bins ≤ 128, exactly the
     stages that overlap its background eigensweeps)."""
+    # the reference's `for t in range(1, max_steps+1)` body always runs at
+    # least one mixture step before the t >= min_steps check, so
+    # min_steps=0 must still advance X once (:137-148)
+    min_steps = max(1, int(min_steps))
     if host_numpy:
         from cmtci.transport.histogram import kl as _kl_np
 
