@@ -152,13 +152,18 @@ def trace_boundary(points: np.ndarray, edges, min_len: int = 5):
     """
     comps, _ = _components(edges)
     edge_set = {tuple(e) for e in np.asarray(edges).tolist()}
+    # one dispatch pass over the edges (was one full edge_set scan PER
+    # component — quadratic for noisy small-alpha sets with many tiny
+    # components); per-component adjacency order is the same edge_set
+    # iteration order as before, so the traced output is identical
+    comp_of = {v: ci for ci, comp in enumerate(comps) for v in comp}
+    locals_ = [defaultdict(list) for _ in comps]
+    for i, j in edge_set:
+        local = locals_[comp_of[i]]
+        local[i].append(j)
+        local[j].append(i)
     closed, open_ = [], []
-    for comp in comps:
-        local = defaultdict(list)
-        for i, j in edge_set:
-            if i in comp:
-                local[i].append(j)
-                local[j].append(i)
+    for comp, local in zip(comps, locals_):
         ordered, is_closed = _trace(local, comp)
         if len(ordered) < min_len:
             continue
@@ -245,10 +250,9 @@ def alpha_shape_polygon(points, alpha: float) -> Polygon:
     (the alphashape library returns the largest-area polygon of a
     MultiPolygon).
     """
-    pts = np.asarray(points)
-    if np.iscomplexobj(pts):
-        pts = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
-    pts = np.asarray(pts, dtype=float)
+    from cmtci.utils.arrays import as_xy
+
+    pts = as_xy(points)
     _, kept = alpha_complex(pts, alpha)
     if len(kept) == 0:
         raise RuntimeError("Alpha-shape kept no triangles; adjust alpha.")

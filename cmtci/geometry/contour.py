@@ -17,12 +17,6 @@ from collections import defaultdict
 import numpy as np
 
 
-def _interp(p0, p1, v0, v1, level):
-    """Linear interpolation of the level crossing between two grid points."""
-    t = (level - v0) / (v1 - v0)
-    return p0 + t[:, None] * (p1 - p0)
-
-
 def contour_segments(xs, ys, z, level: float):
     """All marching-squares segments of the level set, as (S,2,2) array."""
     z = np.asarray(z, dtype=float)

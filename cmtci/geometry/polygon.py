@@ -23,7 +23,12 @@ class Polygon:
         xy = np.asarray(xy, dtype=float)
         if xy.ndim != 2 or xy.shape[1] != 2:
             raise ValueError("Polygon expects (N,2) vertices")
-        if len(xy) > 1 and np.allclose(xy[0], xy[-1]):
+        # drop a repeated closing vertex; tolerance is scale-aware and TIGHT
+        # (allclose's rtol=1e-5 could merge genuinely distinct vertices on
+        # dense rings) while still absorbing the ~1e-16 trig noise of
+        # parametric closures like cardioid_polygon(endpoint=True)
+        if len(xy) > 1 and np.max(np.abs(xy[0] - xy[-1])) <= 1e-9 * max(
+                1.0, float(np.max(np.abs(xy)))):
             xy = xy[:-1]
         if len(xy) < 3:
             raise ValueError("Polygon needs >= 3 distinct vertices")
@@ -243,9 +248,10 @@ class Polygon:
 
 
 def _as_xy(pts):
-    pts = np.asarray(pts)
-    if np.iscomplexobj(pts):
-        return np.column_stack([pts.real.ravel(), pts.imag.ravel()])
+    """arrays.as_xy plus the single-point (2,) -> (1,2) promotion."""
+    from cmtci.utils.arrays import as_xy
+
+    pts = as_xy(pts)
     if pts.ndim == 1:
         return pts.reshape(1, 2)
     return pts

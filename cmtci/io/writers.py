@@ -31,10 +31,9 @@ def write_xy_csv(path: str, xy, header: str = "x,y"):
 def write_points_csv(path: str, pts):
     """Headerless point CSV (construct_stage1_clean.py:178-181 file bus)."""
     ensure_dir(path)
-    pts = np.asarray(pts)
-    if np.iscomplexobj(pts):
-        pts = np.column_stack([pts.real.ravel(), pts.imag.ravel()])
-    np.savetxt(path, pts, delimiter=",")
+    from cmtci.utils.arrays import as_xy
+
+    np.savetxt(path, as_xy(pts), delimiter=",")
     return path
 
 
@@ -116,14 +115,15 @@ def to_jsonable(x):
         return {k: to_jsonable(v) for k, v in x.items()}
     if isinstance(x, (list, tuple)):
         return [to_jsonable(v) for v in x]
+    if isinstance(x, (float, np.floating)) and not np.isfinite(x):
+        return str(float(x))  # before .item(): json.dump would emit a bare
+        # NaN/Infinity token (invalid JSON) for a non-finite np scalar
     if isinstance(x, (np.floating, np.integer)):
         return x.item()
     if isinstance(x, (complex, np.complexfloating)):
         return {"re": float(np.real(x)), "im": float(np.imag(x))}
     if isinstance(x, np.ndarray):
         return to_jsonable(x.tolist())
-    if isinstance(x, float) and not np.isfinite(x):
-        return str(x)
     return x
 
 

@@ -88,21 +88,33 @@ def dirichlet_solve(k: sp.csr_matrix, bnd: np.ndarray, g_bnd: np.ndarray, method
 
 
 def _cg_solve(a: sp.csr_matrix, rhs: np.ndarray, tol: float = 1e-12, maxiter: int = 20000):
-    """Jacobi-preconditioned CG in jax (TPU path) on the BCOO matrix."""
+    """Jacobi-preconditioned CG in jax on the BCOO matrix.
+
+    Pinned to the host CPU backend on TPU sessions (utils/device policy):
+    the data is f64 and jax CG is a while_loop, i.e. exactly the f64
+    XLA loop graph that is emulated catastrophically slowly on v5e and can
+    wedge the remote-compile relay. (The TPU BCOO matvec was measured
+    net-negative anyway — gather-bound; see VALIDATION.md.)
+    """
     from jax.experimental import sparse as jsparse
 
-    coo = a.tocoo()
-    mat = jsparse.BCOO((jnp.asarray(coo.data), jnp.asarray(np.column_stack([coo.row, coo.col]))),
-                       shape=a.shape)
-    diag = jnp.asarray(a.diagonal())
-    minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-    b = jnp.asarray(rhs)
+    from cmtci.utils.device import analysis_cpu
 
-    def matvec(x):
-        return mat @ x
+    with analysis_cpu():
+        coo = a.tocoo()
+        mat = jsparse.BCOO(
+            (jnp.asarray(coo.data), jnp.asarray(np.column_stack([coo.row, coo.col]))),
+            shape=a.shape)
+        diag = jnp.asarray(a.diagonal())
+        minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+        b = jnp.asarray(rhs)
 
-    x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=tol, maxiter=maxiter, M=lambda r: minv * r)
-    return np.asarray(x)
+        def matvec(x):
+            return mat @ x
+
+        x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=tol, maxiter=maxiter,
+                                          M=lambda r: minv * r)
+        return np.asarray(x)
 
 
 def _conjugate_rhs(triangles, grads, area, u, n: int) -> np.ndarray:
@@ -163,9 +175,15 @@ def moving_average_periodic(x, w: int, winding: float = 0.0):
 
 
 def unwrap_theta(theta, anchor_index: int = 0):
+    """np.unwrap shifted by a 2π multiple so theta[anchor_index] is kept.
+
+    (np.unwrap is shift-invariant, so the former `unwrap(theta-th0)+th0`
+    form anchored index 0 regardless of anchor_index.)
+    """
     theta = np.asarray(theta, float)
-    th0 = theta[anchor_index]
-    return np.unwrap(theta - th0) + th0
+    u = np.unwrap(theta)
+    off = u[anchor_index] - theta[anchor_index]
+    return u - 2.0 * np.pi * np.round(off / (2.0 * np.pi))
 
 
 def circle_normalize_boundary(wb):
@@ -258,10 +276,10 @@ def theta_iteration(
             theta_new = theta_new - theta_new[0]
             period_mis = (theta_new[-1] - theta_new[0]) - 2.0 * np.pi
             theta_new = theta_new - period_mis * t_param
-        theta = (1.0 - relax) * theta + relax * theta_new
-        if verbose:
+        if verbose:  # true iterate movement — measured BEFORE the relaxation
             drift = float(np.median(np.abs(theta_new - theta)))
             print(f"    [theta-iter] k={it}/{iters} median drift {drift:.6f} rad")
+        theta = (1.0 - relax) * theta + relax * theta_new
 
     u, v = solve_uv(theta if feedback else (-np.pi + 2.0 * np.pi * (s_b / big_l)))
     wb = u[bnd_ord] + 1j * v[bnd_ord]

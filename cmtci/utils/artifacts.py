@@ -59,10 +59,22 @@ def cached(stage: str, config: dict, fn, cache_dir: str = ".cmtci_cache",
             return {k: z[k] for k in z.files}
     out = fn()
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
-    os.replace(tmp, path)
+    # unique tmp per writer: concurrent misses on the same key (thread
+    # fan-outs, parallel runs sharing a cache dir) must not interleave
+    # writes on one inode before the atomic publish
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **{k: np.asarray(v) for k, v in out.items()})
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return out
 
 

@@ -1,0 +1,132 @@
+"""Regressions for the round-4 geometry/maps/io/utils review findings."""
+
+import json
+import os
+import threading
+
+import numpy as np
+
+from cmtci.geometry import alpha_shape
+from cmtci.geometry.cardioid import cardioid_polygon
+from cmtci.geometry.polygon import Polygon
+from cmtci.io import writers
+from cmtci.maps import fem
+from cmtci.utils.artifacts import cached
+
+
+def test_json_nonfinite_numpy_scalars_are_valid_json(tmp_path):
+    """np.floating NaN/Inf must not reach json.dump as bare tokens."""
+    obj = {"nan": np.float64("nan"), "inf": np.float32("inf"),
+           "ninf": np.float64("-inf"), "ok": np.float64(2.0)}
+    p = writers.write_json(str(tmp_path / "x.json"), obj)
+    raw = open(p).read()
+    # strict parse: bare NaN/Infinity tokens would raise here
+    back = json.loads(raw, parse_constant=lambda s: (_ for _ in ()).throw(
+        ValueError(f"bare non-finite token {s!r} in output")))
+    assert back["nan"] == "nan"
+    assert back["inf"] == "inf"
+    assert back["ninf"] == "-inf"
+    assert back["ok"] == 2.0
+
+
+def test_cached_concurrent_miss_publishes_intact_npz(tmp_path):
+    """Concurrent misses on one key must each write a private tmp file."""
+    cache = str(tmp_path / "c")
+    data = np.arange(20000, dtype=np.float64)
+    barrier = threading.Barrier(4)
+    results, errors = [], []
+
+    def worker():
+        try:
+            barrier.wait()
+            out = cached("stage", {"k": 1}, lambda: {"a": data},
+                         cache_dir=cache)
+            results.append(out["a"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 4
+    for r in results:
+        np.testing.assert_array_equal(r, data)
+    # the published file must load cleanly and no tmp debris may remain
+    out2 = cached("stage", {"k": 1}, lambda: {"a": data * 0}, cache_dir=cache)
+    np.testing.assert_array_equal(out2["a"], data)  # hit, not recompute
+    assert not [f for f in os.listdir(cache) if f.endswith(".tmp")]
+
+
+def test_unwrap_theta_anchor_is_respected():
+    rng = np.random.default_rng(0)
+    theta = np.unwrap(np.sort(rng.uniform(-np.pi, np.pi, 64)))
+    wrapped = np.angle(np.exp(1j * theta))
+    for k in (0, 17, 63):
+        out = fem.unwrap_theta(wrapped, anchor_index=k)
+        assert abs(out[k] - wrapped[k]) < 1e-12, (k, out[k], wrapped[k])
+        # still an unwrap: no jumps beyond pi between neighbors
+        assert np.max(np.abs(np.diff(out))) < np.pi
+    # anchor 0 keeps the historical behavior exactly
+    np.testing.assert_allclose(fem.unwrap_theta(wrapped, 0),
+                               np.unwrap(wrapped), atol=0)
+
+
+def test_polygon_keeps_distinct_near_closing_vertex():
+    # a ring whose last vertex is genuinely distinct but within allclose's
+    # old rtol=1e-5 of the first: must be KEPT now
+    t = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    ring = np.column_stack([np.cos(t), np.sin(t)])
+    ring = np.vstack([ring, ring[0] + [3e-6, 0.0]])
+    assert len(Polygon(ring).xy) == 401
+    # exact duplicate closing vertex is still dropped
+    closed = np.vstack([ring[:-1], ring[0]])
+    assert len(Polygon(closed).xy) == 400
+    # parametric trig closure (~1e-16 noise) is still absorbed
+    assert len(cardioid_polygon(101, endpoint=True).xy) == 100
+
+
+def test_trace_boundary_matches_per_component_rescan(rng=None):
+    """The one-pass component dispatch must reproduce the old per-component
+    edge_set rescan bitwise (same adjacency insertion order)."""
+    from collections import defaultdict
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(400, 2))
+    edges = alpha_shape.alpha_shape_edges(pts, alpha=3.0)
+    assert len(edges) > 0
+    ordered, was_closed = alpha_shape.trace_boundary(pts, edges)
+
+    # old formulation, verbatim
+    comps, _ = alpha_shape._components(edges)
+    edge_set = {tuple(e) for e in np.asarray(edges).tolist()}
+    closed, open_ = [], []
+    for comp in comps:
+        local = defaultdict(list)
+        for i, j in edge_set:
+            if i in comp:
+                local[i].append(j)
+                local[j].append(i)
+        o, is_c = alpha_shape._trace(local, comp)
+        if len(o) < 5:
+            continue
+        (closed if is_c else open_).append(o)
+    expect = (max(closed, key=len), True) if closed else (max(open_, key=len), False)
+    assert (ordered, was_closed) == expect
+
+
+def test_cg_solve_agrees_with_spsolve():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(120, 2))
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(pts).simplices
+    k = fem.assemble_stiffness(pts, tri)
+    bnd = alpha_shape.boundary_edges_of(tri)
+    bnd = np.unique(bnd)
+    g = np.cos(np.arange(len(bnd)) * 0.3)
+    u_lu = fem.dirichlet_solve(k, bnd, g, method="spsolve")
+    u_cg = fem.dirichlet_solve(k, bnd, g, method="cg")
+    np.testing.assert_allclose(u_cg, u_lu, atol=1e-7)
