@@ -361,6 +361,9 @@ def _dispatch(args):
         from cmtci.pipelines.tracker import TrackerConfig, run_tracker, write_outputs
 
         domain = tuple(float(x) for x in args.domain.split(":"))
+        if len(domain) != 4:
+            raise SystemExit(
+                f"--domain expects xmin:xmax:ymin:ymax (4 fields), got {args.domain!r}")
         cfg = TrackerConfig(seed=args.seed, domain=domain, alpha=args.alpha,
                             bins_start=args.bins_start, bins_max=args.bins_max,
                             sigma_bins=args.sigma_bins, t_fixed=args.t_fixed,

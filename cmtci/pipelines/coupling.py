@@ -34,6 +34,10 @@ class CouplingConfig:
 
 def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | None = None):
     """Returns summary rows + final nudged cloud."""
+    if matches is None:
+        raise ValueError(
+            "coupling requires matches (matches_indices.csv missing or "
+            "unreadable in the bus directory — rerun `cmtci stage1`)")
     c = np.asarray(c_pts, dtype=float).copy()
     m = np.asarray(m_pts, dtype=float)
     matches = np.asarray(matches, dtype=int)
@@ -45,7 +49,7 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     gy1 = np.linspace(ymin, ymax, cfg.grid_res)
     h = gx1[1] - gx1[0]
     gxx, gyy = np.meshgrid(gx1, gy1)
-    cr, ci = np.meshgrid(gx1, gy1)  # same layout as reference meshgrid
+    cr, ci = gxx, gyy  # the escape grid rides the same meshgrid layout
 
     from cmtci.utils.device import analysis_cpu
 

@@ -101,6 +101,16 @@ def construct_boundary(points_xy: np.ndarray, cfg: ConstructBoundaryConfig,
         raise RuntimeError("Alpha-shape produced no boundary edges. Adjust alpha.")
     ordered, was_closed = alpha_shape.trace_boundary(p, edges)
     b = resample.densify_boundary(p[ordered], cfg.target_n)
+    if len(b) < cfg.min_points or len(ordered) < cfg.min_points:
+        # short-boundary warning (construct_boundary_alpha_spyder_v2.py:
+        # 180-182); also fired on the TRACED count, which densify would
+        # otherwise silently inflate to target_n
+        import warnings
+
+        warnings.warn(
+            f"boundary has only {len(ordered)} traced / {len(b)} densified "
+            f"points (< min_points={cfg.min_points}); consider increasing "
+            "point density or adjusting alpha", stacklevel=2)
     if output_prefix:
         writers.write_xy_csv(f"{output_prefix}_boundary.csv", b)
         writers.write_meta_txt(f"{output_prefix}_meta.txt", {

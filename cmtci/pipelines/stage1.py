@@ -92,9 +92,20 @@ def run_stage1(cfg: Stage1Config, outdir: str | None = None):
     xa = np.hstack([f_c, c])
     xb = np.hstack([f_m, m])
 
-    if cfg.matcher == "sinkhorn" and len(m) > 0:
+    if len(m) == 0:
+        raise ValueError(
+            "stage1: no boundary points in the DE band — adjust "
+            "threshold_low/threshold_high/bailout (both matchers need a "
+            "non-empty Mandelbrot sample)")
+    if cfg.matcher == "sinkhorn":
+        from cmtci.utils.device import analysis_cpu
+
         d = np.sqrt(((xa[:, None, :] - xb[None, :, :]) ** 2).sum(-1))
-        plan = np.asarray(sinkhorn_log(d / max(d.mean(), 1e-300), iters=200, eps=cfg.sinkhorn_reg))
+        # raw euclidean cost + reg, POT-default 1000 iterations, like the
+        # reference's ot.sinkhorn call (construct_stage1_clean.py:110-116);
+        # f64 lax.scan stays on the host CPU by the device policy
+        with analysis_cpu():
+            plan = np.asarray(sinkhorn_log(d, iters=1000, eps=cfg.sinkhorn_reg))
         matches = plan.argmax(axis=1)
     else:
         matches = greedy_match(xa, xb)

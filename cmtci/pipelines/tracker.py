@@ -161,10 +161,15 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
         cloud_ex = ThreadPoolExecutor(1)
         b_pre, cm_pre, n_pre = bins, construct_max, 0
         while b_pre <= int(cfg.bins_max) and (max_stages is None or n_pre < max_stages):
-            ns_pre = list(range(cfg.construct_step, cm_pre + 1, cfg.construct_step))
-            cloud_futures[cm_pre] = cloud_ex.submit(
-                companion.inverse_cloud, ns_pre, cfg.family, tol=1e-10,
-                backend=cloud_backend)
+            # a non-growing schedule (growth ~1.0 rounds back to the same
+            # construct_max) must not enqueue duplicate sweeps: they would
+            # serialize on the 1-worker executor in front of stage 1's
+            # result() while later stages find the key already consumed
+            if cm_pre not in cloud_futures:
+                ns_pre = list(range(cfg.construct_step, cm_pre + 1, cfg.construct_step))
+                cloud_futures[cm_pre] = cloud_ex.submit(
+                    companion.inverse_cloud, ns_pre, cfg.family, tol=1e-10,
+                    backend=cloud_backend)
             b_pre *= 2
             cm_pre = int(round((cm_pre * cfg.construct_max_growth)
                                / cfg.construct_step)) * cfg.construct_step
@@ -184,7 +189,9 @@ def run_tracker(cfg: TrackerConfig, max_stages: Optional[int] = None, mesh=None,
 
             def _stage_kernels():
                 def _cloud():
-                    fut = cloud_futures.pop(construct_max, None)
+                    # get, not pop: stages sharing one construct_max (non-
+                    # growing schedules) reuse the same precomputed cloud
+                    fut = cloud_futures.get(construct_max)
                     if fut is not None:
                         return fut.result()
                     return companion.inverse_cloud(ns, cfg.family, tol=1e-10,

@@ -112,7 +112,14 @@ def run_green_uniformization(lucas_points_xy, cfg: GreenUniformizeConfig,
         with ThreadPoolExecutor(1) as ex:
             fut_int = ex.submit(sample_interior_points, poly_l, cfg.interior_n,
                                 cfg.interior_seed, cfg.interior_max_tries)
-            fit_key = {**asdict(cfg), "points": artifacts.array_digest(lucas_points_xy)}
+            # key ONLY on fields the fit depends on (polygon + solver knobs):
+            # sampling/diagnostic knobs (interior_*, target_r_clamp,
+            # do_inverse_check) must not invalidate the cached dense fit
+            fit_fields = ("alpha", "n_bdy", "gauss_n", "ridge", "inward_eps",
+                          "enable_jitter", "map_dtype", "polygon_source")
+            cfg_dict = asdict(cfg)
+            fit_key = {**{k: cfg_dict[k] for k in fit_fields},
+                       "points": artifacts.array_digest(lucas_points_xy)}
             st = artifacts.cached("riemann_fit", fit_key, _fit,
                                   cache_dir=cache_dir or ".cmtci_cache",
                                   enabled=cache_dir is not None)

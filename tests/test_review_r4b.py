@@ -130,3 +130,100 @@ def test_cg_solve_agrees_with_spsolve():
     u_lu = fem.dirichlet_solve(k, bnd, g, method="spsolve")
     u_cg = fem.dirichlet_solve(k, bnd, g, method="cg")
     np.testing.assert_allclose(u_cg, u_lu, atol=1e-7)
+
+
+# --- pipelines/cli review batch ---------------------------------------------
+
+
+def test_stage1_empty_band_raises_clear_error():
+    import pytest
+
+    from cmtci.pipelines.stage1 import Stage1Config, run_stage1
+
+    with pytest.raises(ValueError, match="no boundary points in the DE band"):
+        run_stage1(Stage1Config(max_n=8, nx=40, ny=30,
+                                threshold_low=0.5, threshold_high=0.4))
+
+
+def test_coupling_requires_matches():
+    import pytest
+
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+    c = np.zeros((5, 2))
+    with pytest.raises(ValueError, match="matches_indices.csv"):
+        run_coupling(c, c, None, CouplingConfig(n_iter=1, grid_res=16))
+
+
+def test_cli_domain_field_count():
+    import pytest
+
+    from cmtci.cli import main
+
+    with pytest.raises(SystemExit, match="xmin:xmax:ymin:ymax"):
+        main(["tracker", "--domain=-2.2:1.2:-1.6", "--t-fixed", "1",
+              "--bins-start", "16", "--bins-max", "16", "--out", "/tmp/_x"])
+
+
+def test_tracker_nongrowing_schedule_single_eigensweep(monkeypatch, tmp_path):
+    """growth=1.0 repeats construct_max; the precompute must submit ONE
+    sweep and every stage must reuse it (no inline recompute)."""
+    from cmtci.kernels import companion
+    from cmtci.pipelines.tracker import TrackerConfig, run_tracker
+
+    calls = []
+    real = companion.inverse_cloud
+
+    def counting(ns, *a, **k):
+        calls.append(tuple(ns))
+        return real(ns, *a, **k)
+
+    monkeypatch.setattr(companion, "inverse_cloud", counting)
+    rows, _ = run_tracker(TrackerConfig(
+        bins_start=16, bins_max=32, construct_max_start=60,
+        construct_max_growth=1.0, t_fixed=2,
+        mandelbrot_grid_start=64, mandelbrot_grid_growth=1.0,
+        mandelbrot_samples_start=200, mandelbrot_samples_growth=1.0,
+        field_dtype="float32", de_impl="pallas"))
+    assert len(rows) == 2
+    assert len(calls) == 1, calls  # one precompute, zero inline recomputes
+
+
+def test_green_fit_cache_ignores_sampling_knobs(tmp_path):
+    """interior_n / do_inverse_check changes must HIT the cached fit."""
+    from dataclasses import replace
+
+    from cmtci.pipelines.uniformize_green import (GreenUniformizeConfig,
+                                                  run_green_uniformization)
+    from cmtci.geometry.cardioid import cardioid_polygon
+
+    pts = cardioid_polygon(400, endpoint=False).xy
+    cache = str(tmp_path / "cache")
+    cfg = GreenUniformizeConfig(n_bdy=150, interior_n=400, alpha=8.0,
+                                do_inverse_check=False,
+                                polygon_source="ordered")
+    run_green_uniformization(pts, cfg, cache_dir=cache)
+    fits0 = [f for f in os.listdir(cache) if f.startswith("riemann_fit")]
+    run_green_uniformization(pts, replace(cfg, interior_n=600,
+                                          do_inverse_check=True),
+                             cache_dir=cache)
+    fits1 = [f for f in os.listdir(cache) if f.startswith("riemann_fit")]
+    assert fits0 == fits1  # same single cached fit, no second entry
+    # a fit-affecting knob DOES miss
+    run_green_uniformization(pts, replace(cfg, n_bdy=160), cache_dir=cache)
+    fits2 = [f for f in os.listdir(cache) if f.startswith("riemann_fit")]
+    assert len(fits2) == len(fits1) + 1
+
+
+def test_construct_boundary_short_warns():
+    import pytest
+
+    from cmtci.pipelines.lucas_boundary import (ConstructBoundaryConfig,
+                                                construct_boundary)
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 2))
+    with pytest.warns(UserWarning, match="min_points"):
+        construct_boundary(pts, ConstructBoundaryConfig(alpha=2.0,
+                                                        target_n=300,
+                                                        min_points=10_000))
