@@ -450,7 +450,9 @@ def sample_boundary_quantile(
     pins the orbit arithmetic to numpy's, immune to XLA FMA contraction).
     With impl="jax" and a `mesh`, the DE grid rows are sharded over the
     devices (elementwise orbits, so bitwise-identical to single-device); the
-    quantile/subsample stays on host to preserve the RNG stream.
+    quantile/subsample stays on host to preserve the RNG stream. f64 needs
+    a CPU mesh (the shard helpers guard accelerator meshes — f64 loop
+    compiles are the documented relay-wedge hazard).
     """
     if impl == "numpy":
         # exact reference grid: np.linspace differs from jnp.linspace at the
@@ -478,8 +480,8 @@ def sample_boundary_quantile(
         if mesh is not None:
             raise ValueError(
                 "impl='pallas' is a single-device TPU head; it cannot be "
-                "combined with mesh= (use impl='jax' with mesh for the "
-                "sharded f64 path)")
+                "combined with mesh= (use impl='jax' with a CPU mesh for "
+                "the sharded f64 path)")
         from cmtci.kernels.mandelbrot_pallas import tci_boundary_sample
 
         # device-side Gumbel top-k subsample: only n_samples int32 indices
@@ -493,9 +495,14 @@ def sample_boundary_quantile(
     elif mesh is not None:
         from cmtci.parallel.sharded import sharded_de_tci_field
 
-        cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
+        # build the grid ONCE on the mesh's platform (a CPU-mesh call under
+        # a TPU-default session must not allocate the f64 grid on the TPU)
+        # and hand it to the sharded field, which previously rebuilt it
+        with jax.default_device(mesh.devices.flat[0]):
+            cr, ci = complex_grid(domain, grid_n, grid_n, dtype=dtype)
         esc, d = sharded_de_tci_field(domain, grid_n, mesh, max_iter=max_iter,
-                                      escape_r=escape_r, eps=eps, dtype=dtype)
+                                      escape_r=escape_r, eps=eps, dtype=dtype,
+                                      grid=(cr, ci))
     else:
         # f64 escape loops stay on the host CPU when the default platform is
         # a TPU (emulated f64; f64 while_loop compiles wedge the relay) —

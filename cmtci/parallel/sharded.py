@@ -67,6 +67,7 @@ def _dwell_local(cr, ci, max_iter: int):
 def sharded_dwell_grid(domain, nx: int, ny: int, max_iter: int, mesh: Mesh,
                        dtype=jnp.float32):
     """Row-sharded dwell grid over the mesh. ny must divide by mesh size."""
+    _guard_accel_f64(mesh, dtype, "sharded_dwell_grid")
     n_dev = mesh.devices.size
     if ny % n_dev:
         raise ValueError(f"ny={ny} must be a multiple of mesh size {n_dev}")
@@ -101,14 +102,21 @@ def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = N
     """
     if mesh is None:
         mesh = device_mesh()
+    _guard_accel_f64(mesh, jnp.float64, "sharded_eigensweep")
     fam = family if companion._closed_form_ok(ns, family) else None
     a, deg = companion.poly_coeff_batch(ns, family)
     n_dev = mesh.devices.size
     b = a.shape[0]
     b_pad = ((b + n_dev - 1) // n_dev) * n_dev
     a = jnp.pad(a, ((0, b_pad - b), (0, 0)))
-    a = a.at[b:, 0].set(1.0)  # pad rows: degree-1 polys (x - 0 coefficients)
-    deg = jnp.pad(deg, (0, b_pad - b), constant_values=1)
+    a = a.at[b:, 0].set(1.0)  # pad rows: low-degree polys (zero coefficients)
+    # pad-row degree must satisfy the closed form's own eligibility gate:
+    # sparser's geometric identity needs n >= 2 (deg=1 hits the k_exp=-1
+    # corner _newton_ratio_closed's derivative does not cover, and a
+    # non-freezing pad lane would pin every device's while_loop at
+    # max_iters). Padding values are sliced away either way.
+    pad_deg = 2 if fam == "sparser_gap_1_0_1_then_ones" else 1
+    deg = jnp.pad(deg, (0, b_pad - b), constant_values=pad_deg)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(P("data", None), P("data")),
@@ -297,8 +305,25 @@ def _guard_green_accel(platform: str, dtype) -> None:
     if platform != "cpu" and dtype == jnp.float64:
         raise ValueError(
             "green_stage_executor: refusing to shard_map an f64 Green escape "
-            "loop onto an accelerator mesh. Run the Green cloud on a CPU "
-            "mesh, or pass f32 points.")
+            "loop onto an accelerator mesh. The multi-chip Green cloud is a "
+            "CPU-mesh path (the compaction walk is f64 host state by "
+            "design); single-chip TPU runs ride the resumable f32 Pallas "
+            "kernel (kernels.mandelbrot_pallas.green_cloud_f32).")
+
+
+def _guard_accel_f64(mesh: Mesh, dtype, what: str) -> None:
+    """Reject f64 escape/Aberth while_loops on a non-CPU mesh.
+
+    The same policy _guard_green_accel/_guard_accel_step enforce, applied at
+    the shared shard_map entry points (previously only the run_tracker
+    caller checked): f64 is software-emulated on v5e and an f64 loop compile
+    through the remote-compile relay is the documented wedge hazard."""
+    if mesh.devices.flat[0].platform != "cpu" and jnp.dtype(dtype) == jnp.float64:
+        raise ValueError(
+            f"{what}: refusing to shard_map an f64 escape/Aberth loop onto "
+            "an accelerator mesh (f64 is emulated there and f64 while_loop "
+            "compiles can wedge the compile relay). Use a CPU mesh for the "
+            "f64 path, or the f32/pallas single-chip path.")
 
 
 def green_stage_executor(mesh: Mesh):
@@ -341,6 +366,9 @@ def sharded_green_cloud(points, max_iter: int = 20000, escape_r: float = 2.0,
     The host-compaction staging of green_potential_compacted with each
     stage's kernel executed across the devices. Exactly equal to the
     single-device path (same per-point arithmetic, same compaction walk).
+    CPU-mesh path by design: the compaction walk is f64 host state, which
+    the stage executor refuses to shard onto an accelerator mesh; TPU runs
+    use the single-chip resumable f32 Pallas kernel (green_cloud_f32).
     """
     if mesh is None:
         mesh = device_mesh()
@@ -437,15 +465,24 @@ def _sharded_argmax_match_dev(ap, by, n: int, eps, mesh: Mesh, chunk: int):
 
 def sharded_de_tci_field(domain, grid_n: int, mesh: Mesh, max_iter: int = 250,
                          escape_r: float = 250.0, eps: float = 1e-12,
-                         dtype=jnp.float64):
+                         dtype=jnp.float64, grid=None):
     """(esc, d) of the TCI DE grid with rows sharded over the mesh.
 
     Coordinates are built once by the single-device complex_grid and
     row-sharded, so every pixel's orbit arithmetic (elementwise, no
     cross-pixel reductions) is bitwise-identical to
     kernels.mandelbrot.de_field_tci. Returns host arrays (grid_n, grid_n).
+    Callers that already hold the (cr, ci) grid pass it via `grid=` to skip
+    the rebuild. f64 requires a CPU mesh (accelerator guard).
     """
-    cr, ci = mb.complex_grid(domain, grid_n, grid_n, dtype=dtype)
+    _guard_accel_f64(mesh, dtype, "sharded_de_tci_field")
+    if grid is not None:
+        cr, ci = grid
+    else:
+        # build on the mesh's own platform: under a TPU-default session a
+        # CPU-mesh call must not allocate the f64 grid on the TPU
+        with jax.default_device(mesh.devices.flat[0]):
+            cr, ci = mb.complex_grid(domain, grid_n, grid_n, dtype=dtype)
     n_dev = mesh.devices.size
     ny = cr.shape[0]
     npad = ((ny + n_dev - 1) // n_dev) * n_dev
@@ -633,12 +670,21 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
     q = _masked_quantile(df, escf, 0.25)
     sel = escf & (df <= q)
 
+    if n_samples > escf.shape[0] or n_samples > vflat.shape[0]:
+        raise ValueError(
+            f"tracker_train_step: n_samples={n_samples} exceeds the pixel "
+            f"({escf.shape[0]}) or root-lane ({vflat.shape[0]}) pool — the "
+            "Gumbel top-k would select masked entries")
     k1, k2 = jax.random.split(key)
     g1 = jax.random.gumbel(k1, sel.shape, dtype=jnp.float32)
     # band points first; escaped-but-outside-band points fill any remainder
-    # (if the d<=q25 band holds fewer than n_samples pixels) so the sample
-    # never contains unescaped corner pixels. Gumbel values are ~[-3, 20+]
-    # at these sizes; +1e4 strictly separates the tiers.
+    # (if the d<=q25 band holds fewer than n_samples pixels). Contract: the
+    # ESCAPED pool itself must hold >= n_samples pixels — with fewer, -inf
+    # lanes (unescaped/padding pixels) would enter the sample; that count is
+    # dynamic under jit, so callers size n_samples from the returned
+    # n_escaped diagnostic (likewise n_valid_roots for the C side). Gumbel
+    # values are ~[-3, 20+] at these sizes; +1e4 strictly separates the
+    # tiers.
     score = jnp.where(sel, g1 + 1e4, jnp.where(escf, g1, -jnp.inf))
     _, midx = jax.lax.top_k(score, n_samples)
     mxr = (xmin + gx[midx] * dx).astype(dtype)
@@ -687,6 +733,9 @@ def tracker_train_step(mesh: Mesh, ns, domain, grid_n: int, n_samples: int,
         "kl_initial": kl0, "delta_n": delta, "tv_XT_PM": tv,
         "tv_PC_PM": tv_pc_pm, "overlap_mass_PC_PM": overlap,
         "n_escaped": jnp.sum(escf, dtype=jnp.int32), "q25": q,
+        # callers check n_samples <= n_escaped / n_valid_roots (the dynamic
+        # halves of the top-k contract documented at the sampler above)
+        "n_valid_roots": jnp.sum(vflat, dtype=jnp.int32),
     }
 
 
@@ -706,8 +755,15 @@ def analysis_step(ns, domain, grid_n: int, bins: int, max_iter: int, mesh: Mesh,
     n_dev = mesh.devices.size
     flat_r = inv_r.reshape(-1)
     flat_i = inv_i.reshape(-1)
-    m = (flat_r.shape[0] // n_dev) * n_dev
-    p_c = sharded_histogram(flat_r[:m], flat_i[:m], bins, domain, mesh)
+    # pad UP to a device multiple with the same out-of-domain sentinels
+    # (truncating dropped up to n_dev-1 valid roots and made the histogram
+    # mesh-size dependent)
+    m = ((flat_r.shape[0] + n_dev - 1) // n_dev) * n_dev
+    flat_r = jnp.pad(flat_r, (0, m - flat_r.shape[0]),
+                     constant_values=domain[1] + 1.0)
+    flat_i = jnp.pad(flat_i, (0, m - flat_i.shape[0]),
+                     constant_values=domain[3] + 1.0)
+    p_c = sharded_histogram(flat_r, flat_i, bins, domain, mesh)
     p_c = jnp.maximum(p_c, eps)
     p_c = p_c / p_c.sum()
 
@@ -721,8 +777,10 @@ def analysis_step(ns, domain, grid_n: int, bins: int, max_iter: int, mesh: Mesh,
     wi = jnp.where(esc, gy.astype(dwell.dtype), domain[3] + 1.0)
     fr = wr.reshape(-1)
     fi = wi.reshape(-1)
-    m2 = (fr.shape[0] // n_dev) * n_dev
-    p_m = sharded_histogram(fr[:m2], fi[:m2], bins, domain, mesh)
+    m2 = ((fr.shape[0] + n_dev - 1) // n_dev) * n_dev
+    fr = jnp.pad(fr, (0, m2 - fr.shape[0]), constant_values=domain[1] + 1.0)
+    fi = jnp.pad(fi, (0, m2 - fi.shape[0]), constant_values=domain[3] + 1.0)
+    p_m = sharded_histogram(fr, fi, bins, domain, mesh)
     p_m = jnp.maximum(p_m, eps)
     p_m = p_m / p_m.sum()
 

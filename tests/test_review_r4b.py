@@ -227,3 +227,104 @@ def test_construct_boundary_short_warns():
         construct_boundary(pts, ConstructBoundaryConfig(alpha=2.0,
                                                         target_n=300,
                                                         min_points=10_000))
+
+
+# --- kernels/parallel review batch -------------------------------------------
+
+
+def test_guard_accel_f64_rejects_fake_accelerator_mesh():
+    import types
+
+    import jax.numpy as jnp
+    import pytest
+
+    from cmtci.parallel.sharded import _guard_accel_f64
+
+    class _Dev:
+        platform = "tpu"
+
+    fake = types.SimpleNamespace(devices=np.array([_Dev()], dtype=object))
+    with pytest.raises(ValueError, match="accelerator mesh"):
+        _guard_accel_f64(fake, jnp.float64, "x")
+    _guard_accel_f64(fake, jnp.float32, "x")  # f32 passes
+
+    class _Cpu:
+        platform = "cpu"
+
+    cpu = types.SimpleNamespace(devices=np.array([_Cpu()], dtype=object))
+    _guard_accel_f64(cpu, jnp.float64, "x")  # f64 on CPU mesh passes
+
+
+def test_analysis_step_mesh_independent_nonmultiple_lanes():
+    """90 flat root lanes on an 8-device mesh: the old flat[:88] truncation
+    dropped 2 valid n=30 roots, making kl mesh-size dependent."""
+    from cmtci.parallel import sharded
+
+    ns = [10, 20, 30]
+    domain = (-2.25, 1.25, -1.75, 1.75)
+    out = {}
+    for nd in (1, 8):
+        d = sharded.analysis_step(ns, domain, grid_n=48, bins=16,
+                                  max_iter=40, mesh=sharded.device_mesh(nd))
+        out[nd] = {k: float(v) for k, v in d.items()}
+    assert out[1]["n_roots"] == out[8]["n_roots"] == sum(ns)
+    assert out[1]["escaped_frac"] == out[8]["escaped_frac"]
+    assert abs(out[1]["kl"] - out[8]["kl"]) < 1e-5
+
+
+def test_sharded_eigensweep_sparser_pad_rows_exact():
+    """Pad rows now carry deg=2 for the sparser family (deg=1 is outside the
+    closed form's eligibility); real-row roots equal the unsharded sweep."""
+    from cmtci.kernels import companion
+    from cmtci.parallel import sharded
+
+    fam = "sparser_gap_1_0_1_then_ones"
+    ns = [3, 4, 5, 6, 7, 8]  # 6 rows on a 4-device mesh -> 2 pad rows
+    zr_s, zi_s, v_s = sharded.sharded_eigensweep(ns, fam,
+                                                 mesh=sharded.device_mesh(4))
+    zr_b, zi_b, v_b = companion.eigvals_batched(ns, fam)
+    np.testing.assert_array_equal(np.asarray(v_s), np.asarray(v_b))
+    np.testing.assert_allclose(np.asarray(zr_s)[np.asarray(v_s)],
+                               np.asarray(zr_b)[np.asarray(v_b)], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(zi_s)[np.asarray(v_s)],
+                               np.asarray(zi_b)[np.asarray(v_b)], atol=1e-12)
+    # the pad configuration itself converges quickly under the closed form
+    import jax.numpy as jnp
+
+    a, deg = companion.poly_coeff_batch([5, 6], fam)
+    a2 = jnp.pad(a, ((0, 2), (0, 0)))
+    a2 = a2.at[2:, 0].set(1.0)
+    d2 = jnp.concatenate([deg, jnp.full(2, 2, deg.dtype)])
+    _, _, _, iters, done = companion.aberth_roots(a2, d2, family=fam,
+                                                  return_info=True)
+    assert bool(done) and int(iters) < 40, (int(iters), bool(done))
+
+
+def test_tracker_train_step_rejects_oversized_n_samples():
+    import jax
+    import pytest
+
+    from cmtci.parallel.sharded import device_mesh, tracker_train_step
+
+    mesh = device_mesh(2)
+    ns = [4, 8]  # 16 root lanes total < n_samples
+    with pytest.raises(ValueError, match="exceeds the pixel"):
+        tracker_train_step(mesh, ns, (-2.25, 1.25, -1.75, 1.75), grid_n=16,
+                           n_samples=64, bins=8, key=jax.random.key(0),
+                           max_iter=16)
+
+
+def test_sharded_de_tci_field_grid_passthrough():
+    import jax.numpy as jnp
+
+    from cmtci.kernels import mandelbrot as mb
+    from cmtci.parallel import sharded
+
+    domain = (-2.25, 1.25, -1.75, 1.75)
+    mesh = sharded.device_mesh(4)
+    esc0, d0 = sharded.sharded_de_tci_field(domain, 32, mesh, max_iter=30)
+    cr, ci = mb.complex_grid(domain, 32, 32, dtype=jnp.float64)
+    esc1, d1 = sharded.sharded_de_tci_field(domain, 32, mesh, max_iter=30,
+                                            grid=(cr, ci))
+    np.testing.assert_array_equal(esc0, esc1)
+    np.testing.assert_array_equal(d0, d1)
