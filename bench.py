@@ -28,8 +28,12 @@
 Timing note: the TPU sits behind an RPC relay with ~29 ms roundtrip, so the
 dwell kernel is executed in a data-dependent chain of REPS grids inside one
 jit and timed end-to-end. The TPU work runs in a subprocess (the relay can
-wedge); on subprocess failure the dwell number falls back to an in-process
-CPU measurement and the tracker key is omitted.
+wedge); the child prints a CUMULATIVE result line after every key and ends
+with an explicit "complete" marker, so a mid-run wedge still surfaces every
+measured key (tagged timed_out). If the child yields nothing parseable, its
+stderr tail is surfaced and the fallback reports ONLY the in-process CPU
+dwell number (tagged fallback_cpu) — the pipeline keys would mislead the
+per-round record with non-TPU timings.
 """
 
 import json
@@ -79,7 +83,10 @@ def salvage_result(stdout: str):
                 obj = json.loads(line)
             except ValueError:
                 continue
-            if "tci_4x_s" not in obj and "tci_4x_s_error" not in obj:
+            # the final line carries an explicit completion marker, so
+            # adding/renaming/reordering keys cannot silently break the
+            # timed-out detection (it used to key on 'tci_4x_s' presence)
+            if not obj.pop("complete", False):
                 obj["timed_out"] = True  # partial: the child was killed
             return obj
     return None
@@ -92,20 +99,30 @@ def main():
     import sys
 
     if "--_child" not in sys.argv:
-        stdout = ""
+        stdout, stderr = "", ""
         try:
             out = subprocess.run([sys.executable, __file__, "--_child"],
                                  timeout=1500, capture_output=True, text=True)
             stdout = out.stdout or ""
+            stderr = out.stderr or ""
         except subprocess.TimeoutExpired as e:
             stdout = e.stdout or ""
+            stderr = e.stderr or ""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
         obj = salvage_result(stdout)
         if obj is not None:
             print(json.dumps(obj))
             return
-        _run(on_tpu=False)
+        # no parseable child output at all: surface WHY before the CPU
+        # fallback (a silent multi-minute rerun hid the actual failure)
+        tail = "\n".join(stderr.strip().splitlines()[-15:])
+        sys.stderr.write(
+            "bench: TPU child produced no parseable result; falling back to "
+            f"the in-process CPU dwell measurement. Child stderr tail:\n{tail}\n")
+        _run(on_tpu=False, fallback=True)
         return
     _run(on_tpu=True)
 
@@ -297,7 +314,7 @@ def _bench_tci_4x(on_tpu: bool) -> float:
     return best
 
 
-def _run(on_tpu: bool):
+def _run(on_tpu: bool, fallback: bool = False):
     import jax
 
     if not on_tpu:
@@ -307,13 +324,28 @@ def _run(on_tpu: bool):
 
     on_tpu = on_tpu and jax.default_backend() in ("tpu", "axon")
 
-    mpix_s = _bench_dwell(on_tpu)
     result = {
         "metric": "escape_grid_res2000_mi500_throughput",
-        "value": round(mpix_s, 2),
+        "value": None,
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / REFERENCE_CPU_MPIX_S, 1),
+        "vs_baseline": None,
     }
+    try:  # guarded like every key: one dwell failure must not discard the
+        # other benchmarks (and on the TPU child, the cumulative lines
+        # below still surface everything measured after it)
+        mpix_s = _bench_dwell(on_tpu)
+        result["value"] = round(mpix_s, 2)
+        result["vs_baseline"] = round(mpix_s / REFERENCE_CPU_MPIX_S, 1)
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        result["dwell_error"] = repr(e)[:300]
+    if fallback:
+        # the TPU child already failed: report the CPU dwell number only
+        # (the remaining pipelines would run for many extra minutes on the
+        # CPU and mislead the per-round record with non-TPU timings)
+        result["fallback_cpu"] = True
+        result["complete"] = True
+        print(json.dumps(result))
+        return
     def key(name: str, fn, baseline: float, vs_name: str, digits: int = 2):
         """Record `name` or, on ANY failure, `name_error` — a missing bench
         key must be impossible to misread as 'not implemented' (VERDICT r3).
@@ -341,6 +373,8 @@ def _run(on_tpu: bool):
         "uniformize_fem_vs_r3_cpu")
     key("tci_4x_s", lambda: _bench_tci_4x(on_tpu), REFERENCE_TCI_4X_S,
         "tci_4x_vs_f64_cpu")
+    # explicit completion marker (salvage_result's timed_out detection)
+    result["complete"] = True
     print(json.dumps(result))
 
 

@@ -124,9 +124,9 @@ def test_bench_salvage_result_truncated_line():
     out = "noise\n" + good + "\n" + '{"metric": "m", "value": 1.0, "tracker_w'
     obj = bench.salvage_result(out)
     assert obj["eigensweep_s"] == 0.2
-    assert obj["timed_out"] is True  # tci_4x_s never ran
-    # a complete final line with the last key is NOT marked timed out
-    full = good[:-1] + ', "tci_4x_s": 0.4}'
+    assert obj["timed_out"] is True  # the completion marker never printed
+    # a final line carrying the explicit completion marker is NOT timed out
+    full = good[:-1] + ', "tci_4x_s": 0.4, "complete": true}'
     assert "timed_out" not in bench.salvage_result("x\n" + full)
     # nothing parseable -> None (parent falls back to the CPU path)
     assert bench.salvage_result('{"tru\n{"ncated') is None

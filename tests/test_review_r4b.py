@@ -328,3 +328,42 @@ def test_sharded_de_tci_field_grid_passthrough():
                                             grid=(cr, ci))
     np.testing.assert_array_equal(esc0, esc1)
     np.testing.assert_array_equal(d0, d1)
+
+
+def test_bench_salvage_completion_marker():
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    full = _json.dumps({"metric": "m", "tci_4x_s": 1.0, "complete": True})
+    partial = _json.dumps({"metric": "m", "eigensweep_s": 1.0})
+    # complete run: marker popped, no timed_out
+    out = bench.salvage_result("junk\n" + partial + "\n" + full + "\n")
+    assert "timed_out" not in out and "complete" not in out
+    # killed mid-run: last parseable line lacks the marker -> timed_out
+    out = bench.salvage_result(partial + "\n{trunc")
+    assert out["timed_out"] is True
+    assert bench.salvage_result("no json here") is None
+
+
+def test_dryrun_xla_flags_count_upgrade(monkeypatch):
+    """A preset smaller device count must be rewritten, not left as-is."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['XLA_FLAGS']="
+        "'--xla_force_host_platform_device_count=2'\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(4)\n" % os.path.join(os.path.dirname(__file__), "..")
+    )
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "[dryrun_multichip] n=4" in out.stdout
