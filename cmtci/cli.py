@@ -155,6 +155,12 @@ def main(argv=None):
                            default="float64",
                            help="float32 = Lanczos on the TPU (agreement "
                                 "~1e-6; float64 runs on the host CPU)")
+        if name == "coupling":
+            p.add_argument("--field-dtype", dest="coupling_field_dtype",
+                           choices=["float64", "float32"], default="float64",
+                           help="float32 = both potential grids on the TPU "
+                                "(nudge trajectory bitwise-unchanged; "
+                                "corr diagnostics to ~1e-3)")
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
@@ -217,6 +223,8 @@ def _wants_tpu(args) -> bool:
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
         return args.scan_dtype == "float32"
+    if args.cmd == "coupling":
+        return args.coupling_field_dtype == "float32"
     if args.cmd == "doctor":
         return True  # report the environment's real default backend
     return False
@@ -456,7 +464,9 @@ def _dispatch(args):
         elif cmd == "coupling":
             from cmtci.pipelines.coupling import CouplingConfig, run_coupling
 
-            rows, _ = run_coupling(c, m, matches, CouplingConfig(), args.out)
+            rows, _ = run_coupling(
+                c, m, matches,
+                CouplingConfig(field_dtype=args.coupling_field_dtype), args.out)
             print(json.dumps(rows[-1]))
     elif cmd == "uniformize-fem":
         from cmtci.pipelines.uniformize_fem import (

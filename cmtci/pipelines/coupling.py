@@ -30,6 +30,15 @@ class CouplingConfig:
     smooth_factor: float = 1.0
     vario_percent: float = 0.90
     win_local_corr: int = 12
+    # "float32" evaluates the two potential fields (U_M escape grid, per-
+    # iteration U_C cloud log-potential — the pipeline's entire cost, ~2.5 s
+    # per iteration in f64 on one host core) on the default device. The
+    # nudge trajectory is UNCHANGED bitwise: the potentials feed only the
+    # corr_pot/corr_lap/local-correlation diagnostics, never the cloud
+    # update (dists/variogram/weights are host f64 either way); the f32
+    # diagnostics agree to ~1e-5 (corr_pot) / ~1e-3 (corr_lap — the
+    # laplacian stencil divides f32 rounding by h²). Test-pinned.
+    field_dtype: str = "float64"
 
 
 def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | None = None):
@@ -51,15 +60,27 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     gxx, gyy = np.meshgrid(gx1, gy1)
     cr, ci = gxx, gyy  # the escape grid rides the same meshgrid layout
 
+    import contextlib
+
     from cmtci.utils.device import analysis_cpu
+
+    f32 = cfg.field_dtype == "float32"
+    # the potential kernels follow the grid dtype: an f32 grid selects the
+    # default-device fast path (TPU under a pinned session; f32 loops are
+    # not the f64 relay-wedge class), f64 self-pins to the host CPU
+    gxp = gxx.astype(np.float32) if f32 else gxx
+    gyp = gyy.astype(np.float32) if f32 else gyy
+    field_ctx = (contextlib.nullcontext if f32 else analysis_cpu)
 
     # U_M is static (escape potential, log|z|/(k+1) head, R=10); f64 escape
     # loops stay on the host CPU by the device policy (library callers can
     # run under a TPU-pinned session — the CLI pins cpu, this must too)
-    with analysis_cpu():
-        u_m = np.asarray(mb.escape_potential_grid(cr, ci, max_iter=cfg.max_iter_mb,
+    with field_ctx():
+        u_m = np.asarray(mb.escape_potential_grid(gxp, gyp, max_iter=cfg.max_iter_mb,
                                                   escape_r=cfg.escape_rad,
                                                   normalization="k_plus_1"))
+    if f32:
+        u_m = u_m.astype(np.float64)  # diagnostics stay f64 on host
     rows = []
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
@@ -70,11 +91,16 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
+        with field_ctx():
+            # the O(grid² · N) pairwise potential — the pipeline's entire
+            # cost — follows the grid dtype (f32 = default device)
+            u_c = np.asarray(cloud_log_potential(gxp, gyp, c, eps=1e-12, sign=1))
+        if f32:
+            u_c = u_c.astype(np.float64)  # diagnostics stay f64 on host
         with analysis_cpu():
-            # ALL per-iteration f64 grid math pins to the host CPU — not just
-            # the potentials: laplacians/correlations are jnp ops that would
-            # otherwise dispatch to an emulated-f64 TPU under a pinned session
-            u_c = np.asarray(cloud_log_potential(gxx, gyy, c, eps=1e-12, sign=1))
+            # per-iteration f64 grid DIAGNOSTICS pin to the host CPU:
+            # laplacians/correlations are jnp ops that would otherwise
+            # dispatch to an emulated-f64 TPU under a pinned session
             u_c_s = np.asarray(gaussian_filter_nearest(u_c, sigma_px))
             lap_c = np.asarray(fields.laplacian5(u_c_s, h))
             lap_m = np.asarray(fields.laplacian5(u_m, h))

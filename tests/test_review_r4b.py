@@ -367,3 +367,26 @@ def test_dryrun_xla_flags_count_upgrade(monkeypatch):
                          text=True, env=env, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "[dryrun_multichip] n=4" in out.stdout
+
+
+def test_coupling_f32_field_dtype_trajectory_bitwise():
+    """field_dtype='float32' moves only the potential DIAGNOSTICS to f32:
+    the nudge trajectory (dists/variogram/weights are host f64 either way)
+    and every d_* row must be bitwise identical; corr diagnostics close."""
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+    rng = np.random.default_rng(5)
+    t = rng.uniform(0, 2 * np.pi, 300)
+    c = np.column_stack([0.4 * np.cos(t), 0.4 * np.sin(t)])
+    m = np.column_stack([0.5 * np.cos(t), 0.5 * np.sin(t)]) + 0.01
+    matches = np.arange(300)
+    base = dict(n_iter=2, grid_res=80, max_iter_mb=60, win_local_corr=6)
+    rows64, c64 = run_coupling(c, m, matches, CouplingConfig(**base))
+    rows32, c32 = run_coupling(c, m, matches,
+                               CouplingConfig(**base, field_dtype="float32"))
+    np.testing.assert_array_equal(c64, c32)
+    for r64, r32 in zip(rows64, rows32):
+        for k in ("d_mean", "d_median", "d_max", "vario_range_a", "sigma_px"):
+            assert r64[k] == r32[k] or (np.isnan(r64[k]) and np.isnan(r32[k]))
+        assert abs(r64["corr_pot"] - r32["corr_pot"]) < 1e-4
+        assert abs(r64["corr_lap"] - r32["corr_lap"]) < 5e-3
