@@ -107,7 +107,12 @@ class Polygon:
             return cached
         p0, p1 = self._segs
         e = len(p0)
-        nb = int(min(max(e // 4, 8), 512))
+        # ~4 buckets per edge: one crowded bucket sets the padded row width
+        # K for EVERY query point, and at e//4 buckets the v18 centroid
+        # workload paid K=32 against a mean candidate count of 6 (45 ms ->
+        # 7 ms at 4e, bitwise identical); capped so the one-off build loop
+        # and the (nb, K) index stay small
+        nb = int(min(max(4 * e, 8), 4096))
         ylo = float(np.minimum(p0[:, 1], p1[:, 1]).min())
         yhi = float(np.maximum(p0[:, 1], p1[:, 1]).max())
         h = max((yhi - ylo) / nb, 1e-300)
@@ -224,8 +229,18 @@ class Polygon:
         return d <= tol
 
     def exterior_distance(self, pts) -> np.ndarray:
-        """Min distance from each point to the boundary polyline."""
+        """Min distance from each point to the boundary polyline.
+
+        Large batches (the v18 per-level centroid workload,
+        lucas_to_cardioid_v18...py:365-404) take a jitted distance-only
+        full scan — XLA fuses the clamped projection into one (B,E)
+        min-reduction with no numpy temporaries (22 ms vs 157 ms at the
+        L3 level). Values agree with the exact kernels to 1 ulp (FMA
+        contraction); the (d, seg, t) consumers project()/boundary_within()
+        keep the bitwise-exact paths."""
         pts = _as_xy(pts)
+        if len(pts) >= 1024 and len(self.xy) >= 8:
+            return _distances_blocked_jit(pts, *self._segs)
         d, _, _ = self._nearest(pts)
         return d
 
@@ -288,6 +303,45 @@ def _exact_over_candidate_segs(pts, p0, p1, cand):
     j = np.argmin(dist2, axis=1)
     rows = np.arange(len(pts))
     return np.sqrt(dist2[rows, j]), cand[rows, j], t[rows, j]
+
+
+_DIST_BLOCK = 2048  # ~(2048, E) f64 temps stay inside L3 for E ~ a few hundred
+_dist_block_fn = None
+
+
+def _distances_blocked_jit(pts, p0, p1):
+    """Distance-only full scan over fixed-size point blocks (jit, host CPU).
+
+    Same clamped-projection formula as _nearest_on_segments; the fixed
+    block size keeps one compiled executable per edge count E and the
+    remainder block is padded by repeating row 0 (extra rows sliced off).
+    f64 math pins to the host CPU under a TPU-pinned session (device
+    policy, utils/device.py)."""
+    global _dist_block_fn
+    if _dist_block_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _block(q, s0, s1):
+            d01 = s1 - s0
+            len2 = jnp.maximum((d01 ** 2).sum(axis=1), 1e-300)
+            dp = q[:, None, :] - s0[None]
+            t = jnp.clip((dp * d01[None]).sum(axis=2) / len2[None], 0.0, 1.0)
+            closest = s0[None] + t[..., None] * d01[None]
+            return jnp.sqrt(((q[:, None, :] - closest) ** 2).sum(axis=2).min(axis=1))
+
+        _dist_block_fn = _block
+    from cmtci.utils.device import analysis_cpu
+
+    n = len(pts)
+    n_pad = -(-n // _DIST_BLOCK) * _DIST_BLOCK
+    if n_pad > n:
+        pts = np.vstack([pts, np.repeat(pts[:1], n_pad - n, axis=0)])
+    with analysis_cpu():
+        outs = [_dist_block_fn(pts[i:i + _DIST_BLOCK], p0, p1)
+                for i in range(0, n_pad, _DIST_BLOCK)]
+        return np.concatenate([np.asarray(o) for o in outs])[:n]
 
 
 def _nearest_on_segments_pruned(pts, p0, p1, tree, samp_seg, half_spacing):

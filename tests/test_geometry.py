@@ -124,6 +124,21 @@ class TestPolygon:
         d = poly.exterior_distance(np.array([[0.0, 0.0], [0.5, 0.0], [2.0, 0.0]]))
         np.testing.assert_allclose(d, [1.0, 0.5, 1.0], atol=1e-4)
 
+    def test_exterior_distance_jit_path_matches_exact(self, rng):
+        """The large-batch distance-only jit path (>=1024 points) must match
+        the exact full scan to 1 ulp, across block-remainder sizes (padding
+        repeats row 0 — pad rows must be sliced off, not min-merged)."""
+        from cmtci.geometry.polygon import _DIST_BLOCK, _nearest_on_segments
+
+        t = np.linspace(0, 2 * np.pi, 300, endpoint=False)
+        rr = 1.0 + 0.25 * np.cos(9 * t)
+        poly = Polygon(np.column_stack([rr * np.cos(t), rr * np.sin(t)]))
+        for n in (1024, _DIST_BLOCK - 1, _DIST_BLOCK, _DIST_BLOCK + 7):
+            pts = rng.uniform(-2.0, 2.0, size=(n, 2))
+            d_jit = poly.exterior_distance(pts)
+            d_ref, _, _ = _nearest_on_segments(pts, *poly._segs)
+            assert np.max(np.abs(d_jit - d_ref)) <= 4 * np.finfo(float).eps, n
+
     def test_interior_sampling(self):
         poly = _circle_poly(100)
         pts, tries = sample_interior_points(poly, 500, seed=0)
