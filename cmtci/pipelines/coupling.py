@@ -8,15 +8,37 @@ with distance-weighted learning rate.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cmtci.io import writers
 from cmtci.kernels import mandelbrot as mb
 from cmtci.kernels.potential import cloud_log_potential
 from cmtci.stats import fields, variogram as vg
-from cmtci.transport.histogram import gaussian_filter_nearest
+from cmtci.transport.histogram import (_sep_correlate_nearest,
+                                       gaussian_filter_nearest,
+                                       gaussian_kernel1d)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "win"))
+def _diag_device(u_c, u_m, lap_m, kernel, h, radius: int, win: int):
+    """One iteration's diagnostics fused on the accelerator (f32 path).
+
+    smooth -> laplacian -> global Pearsons -> local-correlation map in one
+    compiled graph; only the 2-scalar vector is fetched per iteration (the
+    map and the smoothed field stay device-side unless artifacts are
+    written). Recompiles once per distinct gaussian radius — the kernel
+    length is shape-static — which the persistent compile cache absorbs."""
+    h = jnp.asarray(h, u_c.dtype)  # keep the f32 graph f32 (x64 is on)
+    u_c_s = _sep_correlate_nearest(u_c, kernel, radius)
+    lap_c = fields.laplacian5(u_c_s, h)
+    scalars = jnp.stack([fields.pearson_global_device(u_c_s, u_m),
+                         fields.pearson_global_device(lap_c, lap_m)])
+    return scalars, fields._local_corr(u_c_s, u_m, win), u_c_s
 
 
 @dataclass
@@ -31,13 +53,14 @@ class CouplingConfig:
     vario_percent: float = 0.90
     win_local_corr: int = 12
     # "float32" evaluates the two potential fields (U_M escape grid, per-
-    # iteration U_C cloud log-potential — the pipeline's entire cost, ~2.5 s
-    # per iteration in f64 on one host core) on the default device. The
-    # nudge trajectory is UNCHANGED bitwise: the potentials feed only the
-    # corr_pot/corr_lap/local-correlation diagnostics, never the cloud
-    # update (dists/variogram/weights are host f64 either way); the f32
-    # diagnostics agree to ~1e-5 (corr_pot) / ~1e-3 (corr_lap — the
-    # laplacian stencil divides f32 rounding by h²). Test-pinned.
+    # iteration U_C cloud log-potential — the f64 pipeline's entire cost,
+    # ~2.5 s per iteration on one host core) AND the smooth/Laplacian/
+    # correlation diagnostics on the default device, fetching two scalars
+    # per iteration. The nudge trajectory is UNCHANGED bitwise: the fields
+    # feed only the corr_pot/corr_lap/local-correlation diagnostics, never
+    # the cloud update (dists/variogram/weights are host f64 either way);
+    # the f32 diagnostics agree to ~1e-5 (corr_pot) / ~1e-3 (corr_lap —
+    # the laplacian stencil divides f32 rounding by h²). Test-pinned.
     field_dtype: str = "float64"
 
 
@@ -74,13 +97,19 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
 
     # U_M is static (escape potential, log|z|/(k+1) head, R=10); f64 escape
     # loops stay on the host CPU by the device policy (library callers can
-    # run under a TPU-pinned session — the CLI pins cpu, this must too)
+    # run under a TPU-pinned session — the CLI pins cpu, this must too).
+    # f32 keeps U_M (and its Laplacian) resident on the device: the per-
+    # iteration diagnostics run there too, so the host never needs it
+    # unless artifacts are written.
     with field_ctx():
-        u_m = np.asarray(mb.escape_potential_grid(gxp, gyp, max_iter=cfg.max_iter_mb,
-                                                  escape_r=cfg.escape_rad,
-                                                  normalization="k_plus_1"))
+        u_m_dev = mb.escape_potential_grid(gxp, gyp, max_iter=cfg.max_iter_mb,
+                                           escape_r=cfg.escape_rad,
+                                           normalization="k_plus_1")
     if f32:
-        u_m = u_m.astype(np.float64)  # diagnostics stay f64 on host
+        lap_m_dev = fields.laplacian5(u_m_dev, np.float32(h))
+        u_m = None  # fetched (f64) only if plotting needs it
+    else:
+        u_m = np.asarray(u_m_dev)
     rows = []
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
@@ -92,21 +121,40 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
         with field_ctx():
-            # the O(grid² · N) pairwise potential — the pipeline's entire
-            # cost — follows the grid dtype (f32 = default device)
-            u_c = np.asarray(cloud_log_potential(gxp, gyp, c, eps=1e-12, sign=1))
+            # the O(grid² · N) pairwise potential follows the grid dtype
+            # (f32 = default device)
+            u_c_dev = cloud_log_potential(gxp, gyp, c, eps=1e-12, sign=1)
         if f32:
-            u_c = u_c.astype(np.float64)  # diagnostics stay f64 on host
-        with analysis_cpu():
-            # per-iteration f64 grid DIAGNOSTICS pin to the host CPU:
-            # laplacians/correlations are jnp ops that would otherwise
-            # dispatch to an emulated-f64 TPU under a pinned session
-            u_c_s = np.asarray(gaussian_filter_nearest(u_c, sigma_px))
-            lap_c = np.asarray(fields.laplacian5(u_c_s, h))
-            lap_m = np.asarray(fields.laplacian5(u_m, h))
-            corr_pot = fields.pearson_global(u_c_s, u_m)
-            corr_lap = fields.pearson_global(lap_c, lap_m)
-            local = fields.local_correlation(u_c_s, u_m, cfg.win_local_corr)
+            # whole diagnostic chain stays on the accelerator; one
+            # 2-scalar fetch per iteration (0.55 s of host filtering +
+            # 0.28 s of grid fetches at the default config disappear)
+            kernel_np = gaussian_kernel1d(sigma_px)
+            radius = (len(kernel_np) - 1) // 2
+            scal, local_dev, u_c_s_dev = _diag_device(
+                u_c_dev, u_m_dev, lap_m_dev,
+                jnp.asarray(kernel_np, u_c_dev.dtype), h,
+                radius=radius, win=int(cfg.win_local_corr))
+            corr_pot, corr_lap = (float(v) for v in np.asarray(scal))
+            if out_prefix:  # artifacts want the host f64 frames
+                u_c_s = np.asarray(u_c_s_dev, dtype=np.float64)
+                if u_m is None:
+                    u_m = np.asarray(u_m_dev, dtype=np.float64)
+                ny, nx = u_c_s.shape
+                w = int(cfg.win_local_corr)
+                local = np.full((ny, nx), np.nan)
+                local[w:ny - w, w:nx - w] = np.asarray(local_dev)
+        else:
+            u_c = np.asarray(u_c_dev)
+            with analysis_cpu():
+                # per-iteration f64 grid DIAGNOSTICS pin to the host CPU:
+                # laplacians/correlations are jnp ops that would otherwise
+                # dispatch to an emulated-f64 TPU under a pinned session
+                u_c_s = np.asarray(gaussian_filter_nearest(u_c, sigma_px))
+                lap_c = np.asarray(fields.laplacian5(u_c_s, h))
+                lap_m = np.asarray(fields.laplacian5(u_m, h))
+                corr_pot = fields.pearson_global(u_c_s, u_m)
+                corr_lap = fields.pearson_global(lap_c, lap_m)
+                local = fields.local_correlation(u_c_s, u_m, cfg.win_local_corr)
 
         rows.append(dict(iter=it, vario_range_a=float(a_est) if a_est else np.nan,
                          sigma_px=float(sigma_px), corr_pot=corr_pot, corr_lap=corr_lap,

@@ -41,6 +41,22 @@ def pearson_global(a, b) -> float:
     return float(((a - am) * (b - bm)).sum() / np.sqrt(((a - am) ** 2).sum() * ((b - bm) ** 2).sum()))
 
 
+def pearson_global_device(a, b):
+    """Traced/on-device Pearson r over the jointly-finite pixels.
+
+    Same masked statistic as pearson_global (Potentials.py:63-70) but kept
+    inside the caller's jit so f32 diagnostic paths never leave the
+    accelerator; means are subtracted before the products so f32 sums
+    don't cancel catastrophically."""
+    valid = jnp.isfinite(a) & jnp.isfinite(b)
+    n = jnp.maximum(valid.sum().astype(a.dtype), 1)
+    a0 = jnp.where(valid, a, 0.0)
+    b0 = jnp.where(valid, b, 0.0)
+    ac = jnp.where(valid, a0 - a0.sum() / n, 0.0)
+    bc = jnp.where(valid, b0 - b0.sum() / n, 0.0)
+    return (ac * bc).sum() / jnp.sqrt((ac * ac).sum() * (bc * bc).sum())
+
+
 def _box_sum(x, win: int):
     """Sum over the window [i-win, i+win) x [j-win, j+win) per interior pixel."""
     c = jnp.cumsum(jnp.cumsum(x, axis=0), axis=1)
