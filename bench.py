@@ -58,6 +58,10 @@ REFERENCE_TCI_4X_S = 64.3       # this repo's f64 CPU TCI pipeline at BASELINE
 #                                 configs[4]: 2400^2 DE grid (4x), 25000
 #                                 samples, T=60 (measured this host, r4:
 #                                 64.3 s warm, KL 17.93 -> 3.47e-7)
+REFERENCE_COUPLING_S = 13.2     # this repo's f64 host coupling pipeline at
+#                                 the default stage1 bus (819-pt cloud, 300²
+#                                 grid, 4 iterations; measured this host, r4
+#                                 — the reference script publishes no runtime)
 
 DOM = (-2.1, 0.9, -1.5, 1.5)
 RES = 2000
@@ -314,6 +318,23 @@ def _bench_tci_4x(on_tpu: bool) -> float:
     return best
 
 
+def _bench_coupling(on_tpu: bool) -> float:
+    """Warm wall time of the iterative variogram<->Laplacian coupling (P5)
+    on the f32 device-field path (default stage1 bus; bus build not timed)."""
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+    from cmtci.pipelines.stage1 import Stage1Config, run_stage1
+
+    bus = run_stage1(Stage1Config())  # input, not timed
+    cfg = CouplingConfig(field_dtype="float32" if on_tpu else "float64")
+    best = float("inf")
+    for _ in range(3):  # sub-second warm; best-of-3 absorbs one noisy rep
+        t0 = time.time()
+        rows, _ = run_coupling(bus["C"], bus["M"], bus["matches"], cfg)
+        best = min(best, time.time() - t0)
+    assert len(rows) == cfg.n_iter and np.isfinite(rows[-1]["corr_pot"])
+    return best
+
+
 def _run(on_tpu: bool, fallback: bool = False):
     import jax
 
@@ -373,6 +394,8 @@ def _run(on_tpu: bool, fallback: bool = False):
         "uniformize_fem_vs_r3_cpu")
     key("tci_4x_s", lambda: _bench_tci_4x(on_tpu), REFERENCE_TCI_4X_S,
         "tci_4x_vs_f64_cpu")
+    key("coupling_s", lambda: _bench_coupling(on_tpu), REFERENCE_COUPLING_S,
+        "coupling_vs_f64_cpu")
     # explicit completion marker (salvage_result's timed_out detection)
     result["complete"] = True
     print(json.dumps(result))

@@ -390,3 +390,44 @@ def test_coupling_f32_field_dtype_trajectory_bitwise():
             assert r64[k] == r32[k] or (np.isnan(r64[k]) and np.isnan(r32[k]))
         assert abs(r64["corr_pot"] - r32["corr_pot"]) < 1e-4
         assert abs(r64["corr_lap"] - r32["corr_lap"]) < 5e-3
+
+
+def test_coupling_f32_artifacts_match_f64_frames(tmp_path):
+    """The f32 artifact path reconstructs the full-frame local-correlation
+    map (NaN border + device interior) and the smoothed/U_M frames from
+    device-resident arrays; they must line up with the host-f64 artifacts
+    frame-for-frame (same NaN support, values within f32 diagnostics
+    tolerance) and the per-iteration variogram CSVs must be bitwise."""
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+    rng = np.random.default_rng(11)
+    t = rng.uniform(0, 2 * np.pi, 250)
+    c = np.column_stack([0.4 * np.cos(t), 0.4 * np.sin(t)])
+    m = np.column_stack([0.5 * np.cos(t), 0.5 * np.sin(t)]) + 0.01
+    matches = np.arange(250)
+    base = dict(n_iter=2, grid_res=72, max_iter_mb=60, win_local_corr=6)
+    p64 = str(tmp_path / "c64")
+    p32 = str(tmp_path / "c32")
+    run_coupling(c, m, matches, CouplingConfig(**base), out_prefix=p64)
+    run_coupling(c, m, matches, CouplingConfig(**base, field_dtype="float32"),
+                 out_prefix=p32)
+    for it in (1, 2):
+        l64 = np.load(f"{p64}_{it}_localcorr.npy")
+        l32 = np.load(f"{p32}_{it}_localcorr.npy")
+        assert l64.shape == l32.shape
+        # the NaN supports agree except at degenerate windows (the n>5 &
+        # denom>0 gate flips when a near-constant window's variance sits at
+        # f32 rounding scale); the border frame itself must be identical
+        n64, n32 = np.isnan(l64), np.isnan(l32)
+        w = 6
+        assert n64[:w].all() and n64[-w:].all() and n32[:w].all() and n32[-w:].all()
+        assert (n64 != n32).mean() < 0.08
+        ok = ~(n64 | n32)
+        assert ok.sum() > 0.3 * l64.size
+        assert np.nanmax(np.abs(l64[ok] - l32[ok])) < 5e-2
+        # high-agreement summary (pointwise f32 local corr is noisier in
+        # near-degenerate windows; the map as a whole must track)
+        assert np.corrcoef(l64[ok], l32[ok])[0, 1] > 0.999
+        v64 = open(f"{p64}_{it}_variogram_construct.csv").read()
+        v32 = open(f"{p32}_{it}_variogram_construct.csv").read()
+        assert v64 == v32  # host-f64 nudge stream: bitwise
