@@ -161,6 +161,12 @@ def main(argv=None):
                            help="float32 = both potential grids on the TPU "
                                 "(nudge trajectory bitwise-unchanged; "
                                 "corr diagnostics to ~1e-3)")
+            p.add_argument("--vario-dtype", dest="coupling_vario_dtype",
+                           choices=["float64", "float32"], default="float64",
+                           help="float32 = the O(n²) point variogram on the "
+                                "TPU too (an f32 trajectory REALIZATION — "
+                                "a_est feeds the nudge; counts stay exact; "
+                                "the opt-in for 5k+ point clouds)")
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
@@ -224,7 +230,8 @@ def _wants_tpu(args) -> bool:
     if args.cmd == "symmetry":
         return args.scan_dtype == "float32"
     if args.cmd == "coupling":
-        return args.coupling_field_dtype == "float32"
+        return (args.coupling_field_dtype == "float32"
+                or args.coupling_vario_dtype == "float32")
     if args.cmd == "doctor":
         return True  # report the environment's real default backend
     return False
@@ -466,7 +473,8 @@ def _dispatch(args):
 
             rows, _ = run_coupling(
                 c, m, matches,
-                CouplingConfig(field_dtype=args.coupling_field_dtype), args.out)
+                CouplingConfig(field_dtype=args.coupling_field_dtype,
+                               vario_dtype=args.coupling_vario_dtype), args.out)
             print(json.dumps(rows[-1]))
     elif cmd == "uniformize-fem":
         from cmtci.pipelines.uniformize_fem import (

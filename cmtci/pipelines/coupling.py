@@ -62,6 +62,15 @@ class CouplingConfig:
     # the f32 diagnostics agree to ~1e-5 (corr_pot) / ~1e-3 (corr_lap —
     # the laplacian stencil divides f32 rounding by h²). Test-pinned.
     field_dtype: str = "float64"
+    # "float32" moves the per-iteration O(n²) point variogram to the default
+    # device too (point_variogram_device: blocked masked reductions, one
+    # dispatch + one packed fetch). UNLIKE field_dtype this changes the
+    # nudge trajectory realization: a_est feeds sigma_px and the nudge
+    # scale, and the f32 gamma differs from host f64 at ~1e-5 relative —
+    # the documented opt-in for beyond-reference cloud sizes (the host pair
+    # scan is minutes at 5k+ points on a 1-core host; the device call is
+    # milliseconds). Counts stay exact int32 either way.
+    vario_dtype: str = "float64"
 
 
 def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | None = None):
@@ -111,10 +120,15 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     else:
         u_m = np.asarray(u_m_dev)
     rows = []
+    vario32 = cfg.vario_dtype == "float32"
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
         dists = np.linalg.norm(c - matched_m, axis=1)
-        lags, gamma, counts = vg.point_variogram(c, dists, nbins=cfg.vario_bins)
+        if vario32:
+            lags, gamma, counts = vg.point_variogram_device(
+                c, dists, nbins=cfg.vario_bins, dtype=jnp.float32)
+        else:
+            lags, gamma, counts = vg.point_variogram(c, dists, nbins=cfg.vario_bins)
         a_est = vg.variogram_range(lags, gamma, cfg.vario_percent)
 
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(

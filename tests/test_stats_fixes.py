@@ -149,3 +149,56 @@ def test_spectral_distance_small_oracle(rng):
 
     ref = np.linalg.norm(eigs(x) - eigs(y)) / np.sqrt(top_k)
     assert spectral.spectral_distance(x, y, top_k, sigma) == pytest.approx(ref, rel=1e-9)
+
+
+def test_point_variogram_device_matches_host():
+    """point_variogram_device: same bin semantics as the host pdist path
+    (Iterative_Variogram_Laplacian.py:53-87) — counts exactly equal in f64,
+    gamma at accumulation-error level, centers from the same 0.5*d.max()
+    default. f32 realization: counts may flip only at bin edges (none at
+    this size/seed — pinned), gamma within ~1e-4 relative."""
+    import jax.numpy as jnp
+
+    from cmtci.stats import variogram as vg
+
+    rng = np.random.default_rng(3)
+    locs = rng.normal(size=(737, 2))
+    vals = rng.normal(size=737)
+    for values in (vals, None):
+        for md in (None, 1.7):
+            ch, gh, nh = vg.point_variogram(locs, values, max_dist=md, nbins=37)
+            cd, gd, nd = vg.point_variogram_device(locs, values, max_dist=md,
+                                                   nbins=37)
+            c3, g3, n3 = vg.point_variogram_device(locs, values, max_dist=md,
+                                                   nbins=37, dtype=jnp.float32)
+            np.testing.assert_array_equal(nh, nd)
+            np.testing.assert_array_equal(nh, n3)
+            np.testing.assert_array_equal(np.isnan(gh), np.isnan(gd))
+            ok = nh > 0
+            assert np.nanmax(np.abs(gd[ok] - gh[ok]) / np.abs(gh[ok])) < 1e-12
+            assert np.nanmax(np.abs(g3[ok] - gh[ok]) / np.abs(gh[ok])) < 2e-4
+            np.testing.assert_allclose(cd, ch, rtol=0, atol=1e-12)
+            np.testing.assert_allclose(c3, ch, rtol=1e-6, atol=1e-6)
+
+
+def test_coupling_vario_dtype_float32_realization():
+    """vario_dtype='float32' moves the point variogram to the device; the
+    trajectory is a realization (a_est feeds the nudge) that at smooth
+    configs coincides with f64's bin choice — rows stay finite and close."""
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+    rng = np.random.default_rng(5)
+    t = rng.uniform(0, 2 * np.pi, 300)
+    c = np.column_stack([0.4 * np.cos(t), 0.4 * np.sin(t)])
+    m = np.column_stack([0.5 * np.cos(t), 0.5 * np.sin(t)]) + 0.01
+    matches = np.arange(300)
+    base = dict(n_iter=2, grid_res=80, max_iter_mb=60, win_local_corr=6)
+    rows64, c64 = run_coupling(c, m, matches, CouplingConfig(**base))
+    rows32, c32 = run_coupling(
+        c, m, matches, CouplingConfig(**base, field_dtype="float32",
+                                      vario_dtype="float32"))
+    assert np.max(np.abs(c64 - c32)) < 1e-5  # same bin realization here
+    for r64, r32 in zip(rows64, rows32):
+        assert abs(r64["vario_range_a"] - r32["vario_range_a"]) < 1e-5
+        assert abs(r64["d_mean"] - r32["d_mean"]) < 1e-6
+        assert np.isfinite(r32["corr_pot"]) and np.isfinite(r32["corr_lap"])
