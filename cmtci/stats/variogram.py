@@ -251,6 +251,15 @@ def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000
     else:
         unpack = lambda row: row.astype(np.int64)  # noqa: E731
     n_c, n_m, n_x = unpack(packed[1]), unpack(packed[3]), unpack(packed[5])
+    if m > 1 and int(n_c.sum()) + int(n_m.sum()) + int(n_x.sum()) == 0:
+        # tripwire for the axon bitcast-zeroing compiler hazard (see
+        # _point_binned_masked): a corrupt count fetch must not read as
+        # "empty bins" — at m>1 locations, at least the cross binning
+        # (full rectangle, edges spanning the data) always counts pairs
+        raise RuntimeError(
+            "three_semivariograms: all per-bin counts fetched as zero — "
+            "corrupt device fetch (known axon bitcast hazard), not empty "
+            "bins; rerun with dtype=None for the host path")
     r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
     g_c = gamma_of(packed[0].astype(np.float64), n_c)
     g_m = gamma_of(packed[2].astype(np.float64), n_m)

@@ -202,3 +202,21 @@ def test_coupling_vario_dtype_float32_realization():
         assert abs(r64["vario_range_a"] - r32["vario_range_a"]) < 1e-5
         assert abs(r64["d_mean"] - r32["d_mean"]) < 1e-6
         assert np.isfinite(r32["corr_pot"]) and np.isfinite(r32["corr_lap"])
+
+
+def test_three_semivariograms_zero_count_tripwire(monkeypatch):
+    """A corrupt device fetch (axon bitcast hazard) must raise, not return
+    empty-bin gammas that pass finiteness asserts downstream."""
+    from cmtci.stats import variogram as vg
+
+    def fake(*a, **k):
+        return jnp.zeros((6, 5), jnp.float32)
+
+    monkeypatch.setattr(vg, "_binned_three_masked", fake)
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(16, 16))
+    gx, gy = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16))
+    with pytest.raises(RuntimeError, match="corrupt device fetch"):
+        vg.three_semivariograms(f, f + 1, gx, gy, np.linspace(0, 1, 6),
+                                m_target=50, rng=np.random.default_rng(1),
+                                dtype=jnp.float32)
