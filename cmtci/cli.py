@@ -165,8 +165,10 @@ def main(argv=None):
                            choices=["float64", "float32"], default="float64",
                            help="float32 = the O(n²) point variogram on the "
                                 "TPU too (an f32 trajectory REALIZATION — "
-                                "a_est feeds the nudge; counts stay exact; "
-                                "the opt-in for 5k+ point clouds)")
+                                "a_est feeds the nudge; int32 counts have "
+                                "no rounding but borderline pairs can land "
+                                "one bin over vs f64; the opt-in for 5k+ "
+                                "point clouds)")
         _add_common(p)
 
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")

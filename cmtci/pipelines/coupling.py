@@ -69,7 +69,8 @@ class CouplingConfig:
     # scale, and the f32 gamma differs from host f64 at ~1e-5 relative —
     # the documented opt-in for beyond-reference cloud sizes (the host pair
     # scan is minutes at 5k+ points on a 1-core host; the device call is
-    # milliseconds). Counts stay exact int32 either way.
+    # milliseconds). Counts accumulate in exact int32 (no f32 rounding),
+    # though f32 distances can land borderline pairs one bin over vs f64.
     vario_dtype: str = "float64"
 
 

@@ -251,15 +251,18 @@ def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000
     else:
         unpack = lambda row: row.astype(np.int64)  # noqa: E731
     n_c, n_m, n_x = unpack(packed[1]), unpack(packed[3]), unpack(packed[5])
-    if m > 1 and int(n_c.sum()) + int(n_m.sum()) + int(n_x.sum()) == 0:
+    if (int(n_c.sum()) + int(n_m.sum()) + int(n_x.sum()) == 0
+            and bool(np.any(packed[[0, 2, 4]] != 0))):
         # tripwire for the axon bitcast-zeroing compiler hazard (see
-        # _point_binned_masked): a corrupt count fetch must not read as
-        # "empty bins" — at m>1 locations, at least the cross binning
-        # (full rectangle, edges spanning the data) always counts pairs
+        # _point_binned_masked): zero counts WITH nonzero dv² sums is
+        # impossible legitimately (every summed pair is counted by the
+        # same mask) — it is the corrupt-fetch signature, while genuinely
+        # empty bins (caller's r_bins off the distance support) zero both
         raise RuntimeError(
-            "three_semivariograms: all per-bin counts fetched as zero — "
-            "corrupt device fetch (known axon bitcast hazard), not empty "
-            "bins; rerun with dtype=None for the host path")
+            "three_semivariograms: all per-bin counts fetched as zero while "
+            "the dv² sums are nonzero — corrupt device fetch (known axon "
+            "bitcast hazard), not empty bins; rerun with dtype=None for the "
+            "host path")
     r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
     g_c = gamma_of(packed[0].astype(np.float64), n_c)
     g_m = gamma_of(packed[2].astype(np.float64), n_m)
@@ -370,14 +373,20 @@ def _point_binned_masked(locs, vals, max_d, nbins: int, chunk: int,
             m = valid & (d < edges[k])
             s_list.append(jnp.sum(jnp.where(m, dvv, 0.0)))
             n_list.append(jnp.sum(m, dtype=jnp.int32))
-        return s_acc + jnp.stack(s_list), n_acc + jnp.stack(n_list)
+        # accumulate PER-BIN (adjacent differences of the in-block
+        # cumulative masks), not cumulative: cumulative int32 counts wrap
+        # at 2^31 total pairs (~65k points), per-bin wraps only when one
+        # bin alone holds 2^31 pairs (n ≥ ~92.7k even if every pair shares
+        # a bin — guarded in the wrapper)
+        s_cum = jnp.stack(s_list)
+        n_cum = jnp.stack(n_list)
+        return (s_acc + (s_cum[1:] - s_cum[:-1]),
+                n_acc + (n_cum[1:] - n_cum[:-1]))
 
-    init = (jnp.zeros(nbins + 1, dtype=locs.dtype),
-            jnp.zeros(nbins + 1, dtype=jnp.int32))
-    s_cum, n_cum = jax.lax.fori_loop(0, npad // chunk, body, init)
-    return (jnp.stack([s_cum[1:] - s_cum[:-1],
-                       0.5 * (edges[:-1] + edges[1:])]),
-            n_cum[1:] - n_cum[:-1])
+    init = (jnp.zeros(nbins, dtype=locs.dtype),
+            jnp.zeros(nbins, dtype=jnp.int32))
+    sums, counts = jax.lax.fori_loop(0, npad // chunk, body, init)
+    return jnp.stack([sums, 0.5 * (edges[:-1] + edges[1:])]), counts
 
 
 def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
@@ -401,6 +410,12 @@ def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
         centers = np.linspace(0, max_dist or 1.0, nbins + 1)
         centers = 0.5 * (centers[:-1] + centers[1:])
         return centers, np.full(nbins, np.nan), np.zeros(nbins, dtype=int)
+    if n > 92000:
+        # one bin can hold at most n(n-1)/2 pairs; past ~92.7k points that
+        # exceeds int32 even per-bin — fail loudly instead of wrapping
+        raise ValueError(
+            f"point_variogram_device: {n} points can overflow the int32 "
+            "per-bin pair counts (limit ~92000); subsample the cloud")
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:
         vals = (jnp.zeros(n, dt) if values is None

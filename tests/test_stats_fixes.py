@@ -205,12 +205,15 @@ def test_coupling_vario_dtype_float32_realization():
 
 
 def test_three_semivariograms_zero_count_tripwire(monkeypatch):
-    """A corrupt device fetch (axon bitcast hazard) must raise, not return
-    empty-bin gammas that pass finiteness asserts downstream."""
+    """A corrupt device fetch (axon bitcast hazard: zero counts WITH
+    nonzero dv² sums) must raise, not return empty-bin gammas that pass
+    finiteness asserts downstream. All-zero rows (legitimately empty bins,
+    e.g. r_bins off the distance support) must NOT trip it."""
     from cmtci.stats import variogram as vg
 
     def fake(*a, **k):
-        return jnp.zeros((6, 5), jnp.float32)
+        out = jnp.zeros((6, 5), jnp.float32)
+        return out.at[0].set(1.0)  # sums nonzero, counts zero = corrupt
 
     monkeypatch.setattr(vg, "_binned_three_masked", fake)
     rng = np.random.default_rng(0)
@@ -220,3 +223,9 @@ def test_three_semivariograms_zero_count_tripwire(monkeypatch):
         vg.three_semivariograms(f, f + 1, gx, gy, np.linspace(0, 1, 6),
                                 m_target=50, rng=np.random.default_rng(1),
                                 dtype=jnp.float32)
+    monkeypatch.setattr(vg, "_binned_three_masked",
+                        lambda *a, **k: jnp.zeros((6, 5), jnp.float32))
+    out = vg.three_semivariograms(f, f + 1, gx, gy, np.linspace(0, 1, 6),
+                                  m_target=50, rng=np.random.default_rng(1),
+                                  dtype=jnp.float32)
+    assert (out[4] == 0).all()  # legitimately-empty bins pass through
