@@ -155,6 +155,11 @@ def main(argv=None):
                            default="float64",
                            help="float32 = Lanczos on the TPU (agreement "
                                 "~1e-6; float64 runs on the host CPU)")
+            p.add_argument("--knn-dtype", choices=["float64", "float32"],
+                           default="float64",
+                           help="float32 = the blocked kNN on the TPU too "
+                                "(the wall at 5k+ points; f32 can reorder "
+                                "tied neighbors)")
         if name == "coupling":
             p.add_argument("--field-dtype", dest="coupling_field_dtype",
                            choices=["float64", "float32"], default="float64",
@@ -224,7 +229,7 @@ def _wants_tpu(args) -> bool:
     if args.cmd == "tci":
         return args.de_impl == "pallas"
     if args.cmd == "embeddings":
-        return args.eig_dtype == "float32"
+        return args.eig_dtype == "float32" or args.knn_dtype == "float32"
     if args.cmd == "multifractal":
         return args.box_dtype == "float32"
     if args.cmd == "equipotential":
@@ -455,7 +460,8 @@ def _dispatch(args):
 
             out = analysis.run_embeddings(
                 c, m, out_prefix=args.out, eig_backend=args.eig_backend,
-                eig_dtype=jnp.float32 if args.eig_dtype == "float32" else None)
+                eig_dtype=jnp.float32 if args.eig_dtype == "float32" else None,
+                knn_dtype=jnp.float32 if args.knn_dtype == "float32" else None)
             print(f"spectral distance: {out['spectral_distance']}")
         elif cmd == "symmetry":
             import jax.numpy as jnp

@@ -53,18 +53,21 @@ def run_multifractal(c_pts, m_pts, q_values=None, scales=None, out_prefix=None,
 
 
 def run_embeddings(c_pts, m_pts, k_nn=20, n_eigs=8, eps_scale=0.5, out_prefix=None,
-                   eig_backend="scipy", eig_dtype=None):
+                   eig_backend="scipy", eig_dtype=None, knn_dtype=None):
     """Diffusion-map embeddings + spectral distance (phase7).
 
     eig_backend="device" runs the dense-Lanczos eigensolver on the default
     jax device (pass eig_dtype=jnp.float32 on a TPU session) instead of the
-    scipy eigsh parity oracle."""
+    scipy eigsh parity oracle; knn_dtype=jnp.float32 moves the blocked kNN
+    there too (the pipeline's wall at 5k+ points)."""
     vals_c, vecs_c, sigma_c = emb.diffusion_map(c_pts, k_nn, n_eigs, eps_scale,
                                                 eig_backend=eig_backend,
-                                                eig_dtype=eig_dtype)
+                                                eig_dtype=eig_dtype,
+                                                knn_dtype=knn_dtype)
     vals_m, vecs_m, sigma_m = emb.diffusion_map(m_pts, k_nn, n_eigs, eps_scale,
                                                 eig_backend=eig_backend,
-                                                eig_dtype=eig_dtype)
+                                                eig_dtype=eig_dtype,
+                                                knn_dtype=knn_dtype)
     dist = emb.embedding_spectral_distance(vals_c, vals_m)
     if out_prefix:
         for vals, vecs, name in ((vals_c, vecs_c, "construct"), (vals_m, vecs_m, "mandel")):

@@ -49,11 +49,51 @@ def _knn(xy, k: int, chunk: int = 2048):
     return dists[:n], idxs[:n]
 
 
-def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None):
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _knn_hilo(hi, lo, k: int, chunk: int = 2048):
+    """f32 kNN candidate search with hi/lo two-float coordinates.
+
+    Plain f32 coordinates collapse near-duplicate points (the inverse-
+    eigenvalue clouds carry ~1e-11 spacings) onto the same value, so the
+    candidate set within such a cluster is arbitrary. Splitting each f64
+    coordinate as hi = f32(x), lo = f32(x - hi) makes the block difference
+    (hi_j - hi_i) exact for close points (Sterbenz) and (dh + dl) accurate
+    to ~1e-14 relative — the same pair-arithmetic idea as the Pallas
+    (re,im) kernels. Returns candidate indices (n, k)."""
+    n = hi.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    hp = jnp.pad(hi, ((0, npad - n), (0, 0)), constant_values=jnp.inf)
+    lp = jnp.pad(lo, ((0, npad - n), (0, 0)))
+
+    def body(i, idxs):
+        bh = jax.lax.dynamic_slice_in_dim(hp, i * chunk, chunk, axis=0)
+        bl = jax.lax.dynamic_slice_in_dim(lp, i * chunk, chunk, axis=0)
+        ridx = i * chunk + jnp.arange(chunk)
+        dx = (bh[:, None, :] - hi[None, :, :]) + (bl[:, None, :] - lo[None, :, :])
+        d2 = jnp.sum(dx * dx, axis=-1)
+        d2 = jnp.where(ridx[:, None] == jnp.arange(n)[None, :], jnp.inf, d2)
+        _, nbr = jax.lax.top_k(-d2, k)
+        return jax.lax.dynamic_update_slice_in_dim(idxs, nbr, i * chunk, axis=0)
+
+    idxs = jnp.zeros((npad, k), dtype=jnp.int32)
+    return jax.lax.fori_loop(0, npad // chunk, body, idxs)[:n]
+
+
+def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None,
+                        dtype=None):
     """Symmetric sparse gaussian kNN kernel; returns (K csr, sigma).
 
     With a `mesh`, the kNN query rows are sharded over the devices
     (parallel.sharded.sharded_knn, bitwise-identical per row).
+    dtype=jnp.float32 runs the blocked kNN SEARCH on the default device
+    (the f64 host scan is the embeddings pipeline's wall at 5k+ points on
+    a 1-core host: 4.6 s vs ~0.1 s) with hi/lo two-float coordinates
+    (_knn_hilo — resolves the clouds' ~1e-11 near-duplicate spacings that
+    plain f32 collapses) over k+8 candidates, then re-ranks the candidates
+    by exact f64 distance on the host (O(n·k)) — neighbor sets match the
+    f64 path unless a true kth neighbor is pushed past the 8-candidate
+    margin (needs ~1e-14-relative near-ties 8 deep; exact ties can still
+    resolve to a different-but-equidistant member).
     """
     xy = _xy(points)
     n = len(xy)
@@ -61,12 +101,31 @@ def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None):
         from cmtci.parallel.sharded import sharded_knn
 
         dists, idxs = sharded_knn(jnp.asarray(xy), int(k), mesh)
+    elif dtype is not None and jnp.dtype(dtype) == jnp.float32 and n > k + 1:
+        from cmtci.utils.device import analysis_dtype_ctx
+
+        k_cand = min(int(k) + 8, n - 1)
+        dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
+        hi = xy.astype(np.float32)
+        lo = (xy - hi).astype(np.float32)
+        with dev, x64_ctx:
+            cand = _knn_hilo(jnp.asarray(hi), jnp.asarray(lo), k_cand)
+        cand = np.asarray(cand)
+        d2 = ((xy[cand] - xy[:, None, :]) ** 2).sum(-1)  # exact f64
+        order = np.argsort(d2, axis=1, kind="stable")[:, : int(k)]
+        idxs = np.take_along_axis(cand, order, axis=1)
+        dists = np.sqrt(np.take_along_axis(d2, order, axis=1))
     else:
         from cmtci.utils.device import analysis_cpu
 
         with analysis_cpu():  # f64 kNN stays off emulated-f64 TPUs
             dists, idxs = _knn(jnp.asarray(xy), int(k))
-    dists = np.asarray(dists)
+    # only the O(n²) neighbor SEARCH runs at the requested dtype; the O(nk)
+    # kernel weights are always f64 — f32 exp underflows to 0 for isolated
+    # points (d/σ ≳ 13), leaving zero/subnormal kernel rows whose Markov
+    # normalization blows up to inf (measured: 17 such rows at a 5049-pt
+    # bus) where the f64 weights are merely tiny
+    dists = np.asarray(dists, dtype=np.float64)
     idxs = np.asarray(idxs)
     sigma = float(np.median(dists.ravel()) * eps_scale)
     if sigma <= 0:
@@ -148,8 +207,11 @@ def spectral_embedding_device(p, n_eigs: int = 8, m: int = 0, dtype=None):
     k = min(n_eigs, n - 2)
     # the symmetrized-Markov spectrum is clustered near its top, so interior
     # Ritz pairs converge slowly: m=40 leaves O(1e-2..1) errors at the
-    # reference shapes, m~20k reaches machine precision (test-pinned)
-    m = int(m) if m else min(max(20 * k, 120), n)
+    # reference shapes, m~20k reaches machine precision (test-pinned).
+    # The basis also has to GROW with n — at a 5049-pt bus m=160 leaves
+    # 4.5e-3 errors where m≈n/12 reaches 2.8e-8; past that, f32
+    # reorthogonalization noise re-degrades (m=800 → 1.7e-4), so cap at 600
+    m = int(m) if m else min(max(20 * k, 120, min(600, n // 12)), n)
     from cmtci.utils.device import analysis_dtype_ctx
 
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
@@ -191,9 +253,11 @@ def spectral_embedding(p, n_eigs: int = 8, backend: str = "scipy", dtype=None):
 
 
 def diffusion_map(points, k: int = 20, n_eigs: int = 8, eps_scale: float = 0.5,
-                  mesh=None, eig_backend: str = "scipy", eig_dtype=None):
+                  mesh=None, eig_backend: str = "scipy", eig_dtype=None,
+                  knn_dtype=None):
     """Full pipeline: kernel -> Markov -> spectrum. Returns (vals, vecs, sigma)."""
-    kmat, sigma = build_sparse_kernel(points, k=k, eps_scale=eps_scale, mesh=mesh)
+    kmat, sigma = build_sparse_kernel(points, k=k, eps_scale=eps_scale, mesh=mesh,
+                                      dtype=knn_dtype)
     p = markov_from_kernel(kmat)
     vals, vecs = spectral_embedding(p, n_eigs=n_eigs, backend=eig_backend,
                                     dtype=eig_dtype)

@@ -380,3 +380,31 @@ def test_symmetry_scan_f32_close_to_f64(rng):
                                         dtype=jnp.float32)
     np.testing.assert_allclose(b32["scan_score"], b64["scan_score"], atol=0.02)
     assert abs(b32["frac_a"] - b64["frac_a"]) < 0.02
+
+
+def test_knn_f32_hilo_matches_f64_on_near_duplicates():
+    """knn_dtype=float32 must reproduce the f64 neighbor GRAPH even on
+    clouds with sub-f32-resolution spacings (the inverse-eigenvalue clouds
+    carry ~1e-11 near-duplicates): plain-f32 coordinates collapse such
+    clusters (measured: kernel edges differ at weight 1.0, eigenvalues
+    shift ~0.1); the hi/lo two-float search + f64 re-rank matches the f64
+    kernel to ~1e-15."""
+    import jax.numpy as jnp
+
+    from cmtci.stats import embeddings as em
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(120, 2))
+    # 5 near-duplicates of each point at 1e-11 spacing — invisible in f32
+    pts = np.concatenate([base + rng.normal(size=(120, 2)) * 1e-11
+                          for _ in range(5)])
+    k64, s64 = em.build_sparse_kernel(pts, k=10)
+    k32, s32 = em.build_sparse_kernel(pts, k=10, dtype=jnp.float32)
+    assert abs(s64 - s32) / s64 < 1e-9
+    diff = (k64 - k32).tocoo()
+    assert (np.abs(diff.data).max() if diff.nnz else 0.0) < 1e-12
+    p64 = em.markov_from_kernel(k64)
+    p32 = em.markov_from_kernel(k32)
+    v64, _ = em.spectral_embedding(p64, 6)
+    v32, _ = em.spectral_embedding(p32, 6)
+    np.testing.assert_allclose(np.abs(v64), np.abs(v32), rtol=0, atol=1e-10)
