@@ -78,14 +78,25 @@ def nearest_distances(a, b, chunk: int = 1024):
     return out[:n]
 
 
-def preservation_fraction(points, op: str, tol: float = 0.05, angle: float | None = None):
-    """Fraction of points whose op-image is within tol of some point."""
+def preservation_fraction(points, op: str, tol: float = 0.05, angle: float | None = None,
+                          dtype=None):
+    """Fraction of points whose op-image is within tol of some point.
+
+    dtype=jnp.float32 runs the blocked NN scan on the default device (same
+    tolerance argument as _score_angles: ~1e-7-relative distance noise vs
+    a 0.05 tol shell); the op image itself is computed exactly in host f64
+    either way. The f64 default pins to the host CPU."""
+    import contextlib
+
     from cmtci.utils.device import analysis_cpu
 
     p = _xy(points)
     q = apply_symmetry_op(p, op, angle)
-    with analysis_cpu():  # f64 NN scan stays off emulated-f64 TPUs
-        d = np.asarray(nearest_distances(jnp.asarray(q), jnp.asarray(p)))
+    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
+    with dev:  # f64 NN scans stay off emulated-f64 TPUs
+        d = np.asarray(nearest_distances(jnp.asarray(q, dtype=dtype),
+                                         jnp.asarray(p, dtype=dtype)),
+                       dtype=np.float64)
     return float((d <= tol).mean()), d
 
 
@@ -173,14 +184,16 @@ def symmetry_report(c_aligned, m_points, matches=None, tol: float = 0.05,
                     scan_dtype=None):
     """Full op table + best-axis row (symmetry_phase_bestaxis.py:118-211).
 
-    scan_dtype=jnp.float32 runs the 361-angle best-axis scan on the default
-    (TPU) device; the op table stays f64-host (cheap)."""
+    scan_dtype=jnp.float32 runs the 361-angle best-axis scan AND the op
+    table's 8 NN scans on the default (TPU) device — the op table was
+    "cheap" only at reference scale (8 × n² f64 host scans ≈ 4 s of the
+    6 s stage at a 5k bus)."""
     rows = []
     c = _xy(c_aligned)
     m = _xy(m_points)
     for op in ("identity", "reflect_x", "reflect_y", "rot_pi"):
-        fc, dc = preservation_fraction(c, op, tol)
-        fm, dm = preservation_fraction(m, op, tol)
+        fc, dc = preservation_fraction(c, op, tol, dtype=scan_dtype)
+        fm, dm = preservation_fraction(m, op, tol, dtype=scan_dtype)
         row = {
             "op": op, "angle_deg": None,
             "preserved_construct_frac": fc, "preserved_mandel_frac": fm,
