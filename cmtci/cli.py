@@ -16,6 +16,11 @@ import sys
 import numpy as np
 
 
+#: the seven per-script bus analyses (SURVEY §2.5) `cmtci suite` chains
+_SUITE_STAGES = ("spectral", "multifractal", "embeddings", "symmetry",
+                 "spatial-stats", "report", "coupling")
+
+
 def _add_common(p):
     p.add_argument("--out", default="outputs/run", help="output prefix/dir")
 
@@ -176,6 +181,22 @@ def main(argv=None):
                                 "point clouds)")
         _add_common(p)
 
+    p = sub.add_parser("suite", help="ALL bus analyses in one process (shared "
+                                     "startup + warm jit caches; per-stage "
+                                     "artifacts and times)")
+    p.add_argument("--busdir", default="out_clean", help="stage-1 file-bus directory")
+    p.add_argument("--stages", default="all",
+                   help="comma list from {" + ",".join(_SUITE_STAGES) + "} "
+                        "(default: all seven, in catalog order)")
+    p.add_argument("--device", choices=["host", "accel"], default="host",
+                   help="accel = every stage's opt-in f32/device path "
+                        "(multifractal/embeddings/symmetry/coupling on the "
+                        "TPU; spectral/spatial-stats/report are f64-host by "
+                        "design); host = the exact per-command f64 defaults")
+    p.add_argument("--trace-dir", default=None,
+                   help="jax.profiler trace dir (per-stage traces + wall times)")
+    _add_common(p)
+
     p = sub.add_parser("uniformize-fem", help="v18 FEM quasiconformal pipeline")
     p.add_argument("--levels", type=int, default=4, choices=[1, 2, 3, 4],
                    help="number of refinement levels (the reference v18 runs "
@@ -241,6 +262,8 @@ def _wants_tpu(args) -> bool:
                 or args.coupling_vario_dtype == "float32")
     if args.cmd == "doctor":
         return True  # report the environment's real default backend
+    if args.cmd == "suite":
+        return args.device == "accel"
     return False
 
 
@@ -329,6 +352,79 @@ def _doctor(smoke: bool = False) -> dict:
                     "warm_s": round(warm_s, 4)}
         field("smoke", run_smoke)
     return out
+
+
+def _run_suite(args) -> int:
+    """All seven bus analyses in ONE process, per-stage timed.
+
+    The per-command CLI pays python+jax(+relay) startup per stage — ~3-5 s
+    each, over half the measured 7-stage wall at the 6x bus (VALIDATION.md).
+    One process shares startup, the loaded bus, and warm in-process jit
+    caches; every stage runs the same pipeline call with the same
+    out-prefix artifact layout as its standalone subcommand
+    (`{out}/{stage}_*`), so outputs are value-identical per stage.
+    """
+    import time
+
+    from cmtci.io.writers import to_jsonable
+
+    t0 = time.time()
+    stages = (_SUITE_STAGES if args.stages == "all"
+              else tuple(s.strip() for s in args.stages.split(",") if s.strip()))
+    unknown = [s for s in stages if s not in _SUITE_STAGES]
+    if unknown:
+        raise SystemExit(f"suite: unknown stage(s) {unknown}; choose from "
+                         f"{list(_SUITE_STAGES)}")
+    import jax.numpy as jnp
+
+    accel = args.device == "accel"
+    f32 = jnp.float32 if accel else None
+    c, m, ca, matches = _load_bus(args.busdir)
+    from cmtci.pipelines import analysis
+
+    timer = _timer(args)
+    summary: dict = {}
+    for st in stages:
+        with timer.stage(st):
+            out_prefix = f"{args.out}/{st}"
+            if st == "spectral":
+                from cmtci.pipelines.spectral import SpectralConfig, run_spectral
+
+                o = run_spectral(c, m, SpectralConfig(), out_prefix)
+                if o["power_slopes_bootstrap"]:
+                    summary["power_slope_construct"] = o["power_slopes_bootstrap"][0]["slope"]
+            elif st == "multifractal":
+                analysis.run_multifractal(
+                    c, m, out_prefix=out_prefix,
+                    box_backend="device" if accel else "host", box_dtype=f32)
+            elif st == "embeddings":
+                o = analysis.run_embeddings(
+                    c, m, out_prefix=out_prefix,
+                    eig_backend="device" if accel else "scipy",
+                    eig_dtype=f32, knn_dtype=f32)
+                summary["spectral_distance"] = o["spectral_distance"]
+            elif st == "symmetry":
+                o = analysis.run_symmetry(ca, m, matches, out_prefix=out_prefix,
+                                          scan_dtype=f32)
+                summary["best_axis_deg"] = o["rows"][-1]["angle_deg"]
+            elif st == "spatial-stats":
+                o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix)
+                summary["hausdorff"] = o["hausdorff"]
+            elif st == "report":
+                row = analysis.run_report(c, m, ca, matches, out_prefix)
+                summary.setdefault("hausdorff", row["hausdorff"])
+            elif st == "coupling":
+                from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+                dt = "float32" if accel else "float64"
+                rows, _ = run_coupling(
+                    c, m, matches,
+                    CouplingConfig(field_dtype=dt, vario_dtype=dt), out_prefix)
+                summary["coupling_d_mean"] = rows[-1]["d_mean"]
+    print(json.dumps(to_jsonable(
+        {"stages": {k: round(v, 3) for k, v in timer.times.items()},
+         "wall_s": round(time.time() - t0, 3), **summary})))
+    return 0
 
 
 def _load_bus(busdir):
@@ -484,6 +580,8 @@ def _dispatch(args):
                 CouplingConfig(field_dtype=args.coupling_field_dtype,
                                vario_dtype=args.coupling_vario_dtype), args.out)
             print(json.dumps(rows[-1]))
+    elif cmd == "suite":
+        return _run_suite(args)
     elif cmd == "uniformize-fem":
         from cmtci.pipelines.uniformize_fem import (
             REFINEMENT_LEVELS, FEMUniformizeConfig, run_fem_uniformization,

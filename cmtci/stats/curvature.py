@@ -91,20 +91,26 @@ def localpoly_curvature(p, neighbors: int = 7, closed: bool = True):
         raise ValueError("neighbors must be >= 2 for a meaningful quadratic fit.")
     if n < 2 * m + 1:
         raise ValueError(f"Need at least {2*m+1} points; got {n}.")
+    from cmtci.utils.device import analysis_cpu
+
     idx = _window_indices(n, m, closed)
-    kappa, ks, speed, x1, y1, x2, y2 = _localpoly_core(jnp.asarray(p)[idx], m)
+    with analysis_cpu():  # f64 window fits stay off emulated-f64 TPUs
+        kappa, ks, speed, x1, y1, x2, y2 = _localpoly_core(jnp.asarray(p)[idx], m)
     aux = dict(xprime=np.asarray(x1), yprime=np.asarray(y1), x2=np.asarray(x2), y2=np.asarray(y2))
     return np.asarray(kappa), np.asarray(ks), np.asarray(speed), aux
 
 
 def gradient_curvature(p):
     """np.gradient-based estimator (spatial_stats_phase3.py:18-25)."""
-    p = jnp.asarray(p, dtype=jnp.float64)
-    dx = jnp.gradient(p[:, 0])
-    dy = jnp.gradient(p[:, 1])
-    ddx = jnp.gradient(dx)
-    ddy = jnp.gradient(dy)
-    return np.asarray(jnp.abs(dx * ddy - dy * ddx) / (dx**2 + dy**2) ** 1.5)
+    from cmtci.utils.device import analysis_cpu
+
+    with analysis_cpu():  # f64 gradient math stays off emulated-f64 TPUs
+        p = jnp.asarray(p, dtype=jnp.float64)
+        dx = jnp.gradient(p[:, 0])
+        dy = jnp.gradient(p[:, 1])
+        ddx = jnp.gradient(dx)
+        ddy = jnp.gradient(dy)
+        return np.asarray(jnp.abs(dx * ddy - dy * ddx) / (dx**2 + dy**2) ** 1.5)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

@@ -132,11 +132,14 @@ def fit_slope_bootstrap(freqs, spectrum, fmin: float, fmax: float,
         # uses a <5 skip; phase4b fits any non-empty range).
         nan = float("nan")
         return nan, nan, (nan, nan)
+    from cmtci.utils.device import analysis_cpu
+
     x = np.log10(freqs[m])
     y = np.log10(spectrum[m])
     slope, _, r2 = _ols_slope_r2(x, y)
-    slopes = np.asarray(_bootstrap_slopes(jnp.asarray(x), jnp.asarray(y),
-                                          jax.random.PRNGKey(seed), int(n_bootstrap)))
+    with analysis_cpu():  # f64 bootstrap fits stay off emulated-f64 TPUs
+        slopes = np.asarray(_bootstrap_slopes(jnp.asarray(x), jnp.asarray(y),
+                                              jax.random.PRNGKey(seed), int(n_bootstrap)))
     # a resample can draw all-identical x on very short ranges -> nan slope
     lo, hi = np.nanpercentile(slopes, [2.5, 97.5])
     return float(slope), float(r2), (float(lo), float(hi))

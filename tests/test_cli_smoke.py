@@ -43,3 +43,32 @@ def test_doctor_cli(capsys):
     smoke = out["smoke"]
     assert smoke["warm_s"] > 0 and smoke["checksum"] > 0
     assert not any(k.endswith("_error") for k in out)
+
+
+def test_suite_cli(tmp_path, capsys):
+    """`cmtci suite`: one process, per-stage artifacts identical to the
+    standalone subcommands, one JSON summary line, loud unknown-stage error."""
+    out = str(tmp_path)
+    assert main(["stage1", "--max-n", "12", "--boundary-samples", "80",
+                 "--out", f"{out}/bus"]) == 0
+    capsys.readouterr()
+    stages = "spectral,multifractal,embeddings,symmetry,spatial-stats,report"
+    assert main(["suite", "--busdir", f"{out}/bus", "--stages", stages,
+                 "--out", f"{out}/suite"]) == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(line["stages"]) == set(stages.split(","))
+    assert line["wall_s"] > 0 and "hausdorff" in line
+    for f in ("spectral_bootstrap.csv", "multifractal_construct_multifractal.csv",
+              "embeddings_eigenvalues_construct.csv",
+              "symmetry_symmetry_report_bestaxis.csv",
+              "spatial-stats_spatial_stats.csv", "report_phase5_summary.csv"):
+        assert os.path.exists(f"{out}/suite/{f}"), f
+    # value-identity with the standalone subcommand (same pipeline call)
+    assert main(["report", "--busdir", f"{out}/bus", "--out", f"{out}/solo"]) == 0
+    assert (open(f"{out}/suite/report_phase5_summary.csv").read()
+            == open(f"{out}/solo_phase5_summary.csv").read())
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown stage"):
+        main(["suite", "--busdir", f"{out}/bus", "--stages", "nope",
+              "--out", f"{out}/x"])
