@@ -135,8 +135,7 @@ def main(argv=None):
                         "(borderline DE-threshold points flip)")
     _add_common(p)
 
-    for name in ("spectral", "multifractal", "embeddings", "symmetry",
-                 "spatial-stats", "report", "coupling"):
+    for name in _SUITE_STAGES:
         p = sub.add_parser(name, help=f"{name} analysis over the stage-1 file bus")
         p.add_argument("--busdir", default="out_clean", help="stage-1 file-bus directory")
         if name == "symmetry":
@@ -354,6 +353,82 @@ def _doctor(smoke: bool = False) -> dict:
     return out
 
 
+#: per-stage opt-in f32/device knobs selected by `suite --device accel`
+#: (the same strings the standalone subcommands' flags accept)
+_ACCEL_STAGE_OPTS = {
+    "multifractal": {"box_backend": "device", "box_dtype": "float32"},
+    "embeddings": {"eig_backend": "device", "eig_dtype": "float32",
+                   "knn_dtype": "float32"},
+    "symmetry": {"scan_dtype": "float32"},
+    "coupling": {"field_dtype": "float32", "vario_dtype": "float32"},
+}
+
+
+def _bus_stage_opts_from_args(st, args) -> dict:
+    """The standalone subcommand's flags as a stage-opts dict."""
+    if st == "multifractal":
+        return {"box_backend": args.box_backend, "box_dtype": args.box_dtype}
+    if st == "embeddings":
+        return {"eig_backend": args.eig_backend, "eig_dtype": args.eig_dtype,
+                "knn_dtype": args.knn_dtype}
+    if st == "symmetry":
+        return {"scan_dtype": args.scan_dtype}
+    if st == "coupling":
+        return {"field_dtype": args.coupling_field_dtype,
+                "vario_dtype": args.coupling_vario_dtype}
+    return {}
+
+
+def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts) -> dict:
+    """One bus analysis stage — the SINGLE dispatch the standalone
+    subcommands and `cmtci suite` share (same pipeline call, same artifact
+    layout, so suite outputs are value-identical per stage). `opts` holds
+    the stage's knobs in CLI-string form ("float32"/"device"/...); returns
+    the summary values the CLI prints."""
+    import jax.numpy as jnp
+
+    from cmtci.pipelines import analysis
+
+    def f32(key):
+        return jnp.float32 if opts.get(key) == "float32" else None
+
+    if st == "spectral":
+        from cmtci.pipelines.spectral import SpectralConfig, run_spectral
+
+        o = run_spectral(c, m, SpectralConfig(), out_prefix)
+        return {"power_slopes_bootstrap": o["power_slopes_bootstrap"]}
+    if st == "multifractal":
+        analysis.run_multifractal(c, m, out_prefix=out_prefix,
+                                  box_backend=opts.get("box_backend", "host"),
+                                  box_dtype=f32("box_dtype"))
+        return {}
+    if st == "embeddings":
+        o = analysis.run_embeddings(c, m, out_prefix=out_prefix,
+                                    eig_backend=opts.get("eig_backend", "scipy"),
+                                    eig_dtype=f32("eig_dtype"),
+                                    knn_dtype=f32("knn_dtype"))
+        return {"spectral_distance": o["spectral_distance"]}
+    if st == "symmetry":
+        o = analysis.run_symmetry(ca, m, matches, out_prefix=out_prefix,
+                                  scan_dtype=f32("scan_dtype"))
+        return {"rows": o["rows"]}
+    if st == "spatial-stats":
+        o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix)
+        return {"hausdorff": o["hausdorff"]}
+    if st == "report":
+        return {"report_row": analysis.run_report(c, m, ca, matches, out_prefix)}
+    if st == "coupling":
+        from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+        rows, _ = run_coupling(
+            c, m, matches,
+            CouplingConfig(field_dtype=opts.get("field_dtype", "float64"),
+                           vario_dtype=opts.get("vario_dtype", "float64")),
+            out_prefix)
+        return {"coupling_rows": rows}
+    raise ValueError(f"unknown bus stage {st!r}")
+
+
 def _run_suite(args) -> int:
     """All seven bus analyses in ONE process, per-stage timed.
 
@@ -375,52 +450,26 @@ def _run_suite(args) -> int:
     if unknown:
         raise SystemExit(f"suite: unknown stage(s) {unknown}; choose from "
                          f"{list(_SUITE_STAGES)}")
-    import jax.numpy as jnp
-
     accel = args.device == "accel"
-    f32 = jnp.float32 if accel else None
     c, m, ca, matches = _load_bus(args.busdir)
-    from cmtci.pipelines import analysis
-
     timer = _timer(args)
     summary: dict = {}
     for st in stages:
         with timer.stage(st):
-            out_prefix = f"{args.out}/{st}"
-            if st == "spectral":
-                from cmtci.pipelines.spectral import SpectralConfig, run_spectral
-
-                o = run_spectral(c, m, SpectralConfig(), out_prefix)
-                if o["power_slopes_bootstrap"]:
-                    summary["power_slope_construct"] = o["power_slopes_bootstrap"][0]["slope"]
-            elif st == "multifractal":
-                analysis.run_multifractal(
-                    c, m, out_prefix=out_prefix,
-                    box_backend="device" if accel else "host", box_dtype=f32)
-            elif st == "embeddings":
-                o = analysis.run_embeddings(
-                    c, m, out_prefix=out_prefix,
-                    eig_backend="device" if accel else "scipy",
-                    eig_dtype=f32, knn_dtype=f32)
-                summary["spectral_distance"] = o["spectral_distance"]
-            elif st == "symmetry":
-                o = analysis.run_symmetry(ca, m, matches, out_prefix=out_prefix,
-                                          scan_dtype=f32)
-                summary["best_axis_deg"] = o["rows"][-1]["angle_deg"]
-            elif st == "spatial-stats":
-                o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix)
-                summary["hausdorff"] = o["hausdorff"]
-            elif st == "report":
-                row = analysis.run_report(c, m, ca, matches, out_prefix)
-                summary.setdefault("hausdorff", row["hausdorff"])
-            elif st == "coupling":
-                from cmtci.pipelines.coupling import CouplingConfig, run_coupling
-
-                dt = "float32" if accel else "float64"
-                rows, _ = run_coupling(
-                    c, m, matches,
-                    CouplingConfig(field_dtype=dt, vario_dtype=dt), out_prefix)
-                summary["coupling_d_mean"] = rows[-1]["d_mean"]
+            opts = _ACCEL_STAGE_OPTS.get(st, {}) if accel else {}
+            o = _run_bus_stage(st, c, m, ca, matches, f"{args.out}/{st}", opts)
+        if st == "spectral" and o["power_slopes_bootstrap"]:
+            summary["power_slope_construct"] = o["power_slopes_bootstrap"][0]["slope"]
+        elif st == "embeddings":
+            summary["spectral_distance"] = o["spectral_distance"]
+        elif st == "symmetry":
+            summary["best_axis_deg"] = o["rows"][-1]["angle_deg"]
+        elif st == "spatial-stats":
+            summary["hausdorff"] = o["hausdorff"]
+        elif st == "report":
+            summary.setdefault("hausdorff", o["report_row"]["hausdorff"])
+        elif st == "coupling":
+            summary["coupling_d_mean"] = o["coupling_rows"][-1]["d_mean"]
     print(json.dumps(to_jsonable(
         {"stages": {k: round(v, 3) for k, v in timer.times.items()},
          "wall_s": round(time.time() - t0, 3), **summary})))
@@ -534,52 +583,24 @@ def _dispatch(args):
                               field_dtype=args.field_dtype)
         out = run_variograms(cfg, f"{args.out}_variograms.csv")
         print(f"variograms: {out['n_construct']} C pts, {out['n_boundary']} M pts")
-    elif cmd in ("spectral", "multifractal", "embeddings", "symmetry",
-                 "spatial-stats", "report", "coupling"):
+    elif cmd in _SUITE_STAGES:
         c, m, ca, matches = _load_bus(args.busdir)
-        from cmtci.pipelines import analysis
-
+        out = _run_bus_stage(cmd, c, m, ca, matches, args.out,
+                             _bus_stage_opts_from_args(cmd, args))
         if cmd == "spectral":
-            from cmtci.pipelines.spectral import SpectralConfig, run_spectral
-
-            out = run_spectral(c, m, SpectralConfig(), args.out)
             print(json.dumps(out["power_slopes_bootstrap"]))
         elif cmd == "multifractal":
-            import jax.numpy as jnp
-
-            analysis.run_multifractal(
-                c, m, out_prefix=args.out, box_backend=args.box_backend,
-                box_dtype=jnp.float32 if args.box_dtype == "float32" else None)
             print("multifractal done")
         elif cmd == "embeddings":
-            import jax.numpy as jnp
-
-            out = analysis.run_embeddings(
-                c, m, out_prefix=args.out, eig_backend=args.eig_backend,
-                eig_dtype=jnp.float32 if args.eig_dtype == "float32" else None,
-                knn_dtype=jnp.float32 if args.knn_dtype == "float32" else None)
             print(f"spectral distance: {out['spectral_distance']}")
         elif cmd == "symmetry":
-            import jax.numpy as jnp
-
-            out = analysis.run_symmetry(
-                ca, m, matches, out_prefix=args.out,
-                scan_dtype=jnp.float32 if args.scan_dtype == "float32" else None)
             print(json.dumps(out["rows"][-1]))
         elif cmd == "spatial-stats":
-            out = analysis.run_spatial_stats(ca, m, out_prefix=args.out)
             print(f"hausdorff={out['hausdorff']:.4f}")
         elif cmd == "report":
-            row = analysis.run_report(c, m, ca, matches, args.out)
-            print(json.dumps(row))
+            print(json.dumps(out["report_row"]))
         elif cmd == "coupling":
-            from cmtci.pipelines.coupling import CouplingConfig, run_coupling
-
-            rows, _ = run_coupling(
-                c, m, matches,
-                CouplingConfig(field_dtype=args.coupling_field_dtype,
-                               vario_dtype=args.coupling_vario_dtype), args.out)
-            print(json.dumps(rows[-1]))
+            print(json.dumps(out["coupling_rows"][-1]))
     elif cmd == "suite":
         return _run_suite(args)
     elif cmd == "uniformize-fem":

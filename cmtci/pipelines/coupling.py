@@ -24,15 +24,22 @@ from cmtci.transport.histogram import (_sep_correlate_nearest,
                                        gaussian_kernel1d)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "win"))
-def _diag_device(u_c, u_m, lap_m, kernel, h, radius: int, win: int):
-    """One iteration's diagnostics fused on the accelerator (f32 path).
+@functools.partial(jax.jit, static_argnames=("radius", "win", "chunk"))
+def _iter_device(gx, gy, px, py, w, n, u_m, lap_m, kernel, h,
+                 radius: int, win: int, chunk: int):
+    """One full iteration's device work fused in ONE dispatch (f32 path).
 
-    smooth -> laplacian -> global Pearsons -> local-correlation map in one
-    compiled graph; only the 2-scalar vector is fetched per iteration (the
-    map and the smoothed field stay device-side unless artifacts are
-    written). Recompiles once per distinct gaussian radius — the kernel
-    length is shape-static — which the persistent compile cache absorbs."""
+    cloud log-potential -> smooth -> laplacian -> global Pearsons ->
+    local-correlation map in one compiled graph; only the 2-scalar vector
+    is fetched per iteration (the maps stay device-side unless artifacts
+    are written). One dispatch per iteration instead of two — each launch
+    is a ~29 ms relay RPC, so the split potential/diagnostics structure
+    paid 4 extra roundtrips per run. Recompiles once per distinct gaussian
+    radius — the kernel length is shape-static — which the persistent
+    compile cache absorbs."""
+    from cmtci.kernels.potential import _accumulate
+
+    u_c = _accumulate(gx, gy, px, py, w, gx.dtype.type(1e-12), 1, chunk) / n
     h = jnp.asarray(h, u_c.dtype)  # keep the f32 graph f32 (x64 is on)
     u_c_s = _sep_correlate_nearest(u_c, kernel, radius)
     lap_c = fields.laplacian5(u_c_s, h)
@@ -118,6 +125,8 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     if f32:
         lap_m_dev = fields.laplacian5(u_m_dev, np.float32(h))
         u_m = None  # fetched (f64) only if plotting needs it
+        gx_dev = jnp.asarray(gxp)  # grid rides to the device ONCE
+        gy_dev = jnp.asarray(gyp)
     else:
         u_m = np.asarray(u_m_dev)
     rows = []
@@ -135,20 +144,26 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
-        with field_ctx():
-            # the O(grid² · N) pairwise potential follows the grid dtype
-            # (f32 = default device)
-            u_c_dev = cloud_log_potential(gxp, gyp, c, eps=1e-12, sign=1)
         if f32:
-            # whole diagnostic chain stays on the accelerator; one
-            # 2-scalar fetch per iteration (0.55 s of host filtering +
-            # 0.28 s of grid fetches at the default config disappear)
+            # potential + whole diagnostic chain in ONE device dispatch;
+            # one 2-scalar fetch per iteration (0.55 s of host filtering +
+            # 0.28 s of grid fetches at the default config disappear, and
+            # the split potential/diag structure's extra relay RPC per
+            # iteration with them)
             kernel_np = gaussian_kernel1d(sigma_px)
             radius = (len(kernel_np) - 1) // 2
-            scal, local_dev, u_c_s_dev = _diag_device(
-                u_c_dev, u_m_dev, lap_m_dev,
-                jnp.asarray(kernel_np, u_c_dev.dtype), h,
-                radius=radius, win=int(cfg.win_local_corr))
+            chunk = 2048
+            n_pad = ((len(c) + chunk - 1) // chunk) * chunk
+            pxw = np.zeros((3, n_pad), dtype=np.float32)
+            pxw[0, : len(c)] = c[:, 0]
+            pxw[1, : len(c)] = c[:, 1]
+            pxw[2, : len(c)] = 1.0
+            scal, local_dev, u_c_s_dev = _iter_device(
+                gx_dev, gy_dev,
+                jnp.asarray(pxw[0]), jnp.asarray(pxw[1]),
+                jnp.asarray(pxw[2]), np.float32(len(c)),
+                u_m_dev, lap_m_dev, jnp.asarray(kernel_np, np.float32), h,
+                radius=radius, win=int(cfg.win_local_corr), chunk=chunk)
             corr_pot, corr_lap = (float(v) for v in np.asarray(scal))
             if out_prefix:  # artifacts want the host f64 frames
                 u_c_s = np.asarray(u_c_s_dev, dtype=np.float64)
@@ -159,7 +174,11 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
                 local = np.full((ny, nx), np.nan)
                 local[w:ny - w, w:nx - w] = np.asarray(local_dev)
         else:
-            u_c = np.asarray(u_c_dev)
+            with field_ctx():
+                # the O(grid² · N) pairwise potential follows the grid
+                # dtype (f64 self-pins to the host CPU)
+                u_c = np.asarray(cloud_log_potential(gxp, gyp, c,
+                                                     eps=1e-12, sign=1))
             with analysis_cpu():
                 # per-iteration f64 grid DIAGNOSTICS pin to the host CPU:
                 # laplacians/correlations are jnp ops that would otherwise

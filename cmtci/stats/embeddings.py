@@ -97,11 +97,18 @@ def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None,
     """
     xy = _xy(points)
     n = len(xy)
+    if mesh is not None and dtype is not None:
+        raise ValueError(
+            "build_sparse_kernel: mesh and dtype are mutually exclusive — "
+            "the sharded kNN is the f64 multi-device path; the f32 device "
+            "path is single-device (drop one of them)")
     if mesh is not None:
         from cmtci.parallel.sharded import sharded_knn
 
         dists, idxs = sharded_knn(jnp.asarray(xy), int(k), mesh)
     elif dtype is not None and jnp.dtype(dtype) == jnp.float32 and n > k + 1:
+        # (n <= k+1 degenerates to the exact f64 scan below: every other
+        # point is a neighbor, so there is no search to accelerate)
         from cmtci.utils.device import analysis_dtype_ctx
 
         k_cand = min(int(k) + 8, n - 1)
@@ -109,7 +116,7 @@ def build_sparse_kernel(points, k: int = 20, eps_scale: float = 0.5, mesh=None,
         hi = xy.astype(np.float32)
         lo = (xy - hi).astype(np.float32)
         with dev, x64_ctx:
-            cand = _knn_hilo(jnp.asarray(hi), jnp.asarray(lo), k_cand)
+            cand = _knn_hilo(jnp.asarray(hi, dt), jnp.asarray(lo, dt), k_cand)
         cand = np.asarray(cand)
         d2 = ((xy[cand] - xy[:, None, :]) ** 2).sum(-1)  # exact f64
         order = np.argsort(d2, axis=1, kind="stable")[:, : int(k)]

@@ -85,17 +85,16 @@ def preservation_fraction(points, op: str, tol: float = 0.05, angle: float | Non
     dtype=jnp.float32 runs the blocked NN scan on the default device (same
     tolerance argument as _score_angles: ~1e-7-relative distance noise vs
     a 0.05 tol shell); the op image itself is computed exactly in host f64
-    either way. The f64 default pins to the host CPU."""
-    import contextlib
-
-    from cmtci.utils.device import analysis_cpu
+    either way. f64 (default or explicit) pins to the host CPU
+    (analysis_dtype_ctx — the shared device policy)."""
+    from cmtci.utils.device import analysis_dtype_ctx
 
     p = _xy(points)
     q = apply_symmetry_op(p, op, angle)
-    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
-    with dev:  # f64 NN scans stay off emulated-f64 TPUs
-        d = np.asarray(nearest_distances(jnp.asarray(q, dtype=dtype),
-                                         jnp.asarray(p, dtype=dtype)),
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
+    with dev, x64_ctx:  # f64 NN scans stay off emulated-f64 TPUs
+        d = np.asarray(nearest_distances(jnp.asarray(q, dtype=dt),
+                                         jnp.asarray(p, dtype=dt)),
                        dtype=np.float64)
     return float((d <= tol).mean()), d
 
@@ -118,15 +117,14 @@ def _score_angles(points, angles, tol: float, dtype=None):
     dtype=jnp.float32 runs the scan on the default (TPU) device — the NN
     distances carry ~1e-7 relative noise against a 0.05 tolerance, so
     fraction flips need a point sitting within f32 noise of the tol shell;
-    the f64 default stays on the host CPU by the device policy.
+    f64 (default or explicit) stays on the host CPU by the device policy
+    (analysis_dtype_ctx).
     """
-    import contextlib
+    from cmtci.utils.device import analysis_dtype_ctx
 
-    from cmtci.utils.device import analysis_cpu
-
-    dev = contextlib.nullcontext() if dtype is not None else analysis_cpu()
-    with dev:  # f64 NN scans stay off emulated-f64 TPUs
-        p = jnp.asarray(_xy(points), dtype=dtype)
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
+    with dev, x64_ctx:  # f64 NN scans stay off emulated-f64 TPUs
+        p = jnp.asarray(_xy(points), dtype=dt)
         origin = p.mean(axis=0)
         refl = _reflect_batch(p, jnp.asarray(angles, dtype=p.dtype), origin)
 
@@ -174,8 +172,13 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
         if res.success:
             best = float(res.x)
 
-    frac_a, _ = preservation_fraction(points_a, "reflect_angle", tol, angle=best)
-    frac_b, _ = preservation_fraction(points_b, "reflect_angle", tol, angle=best)
+    # the final fractions ride the same dtype/device as the scan that picked
+    # the angle (consistent precision per report; under f32 this also drops
+    # the last two O(n²) f64 host scans — the stage wall at 5k+ buses)
+    frac_a, _ = preservation_fraction(points_a, "reflect_angle", tol, angle=best,
+                                      dtype=dtype)
+    frac_b, _ = preservation_fraction(points_b, "reflect_angle", tol, angle=best,
+                                      dtype=dtype)
     return {"angle": best, "frac_a": frac_a, "frac_b": frac_b,
             "scan_angles": angles, "scan_score": score}
 

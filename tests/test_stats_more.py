@@ -408,3 +408,47 @@ def test_knn_f32_hilo_matches_f64_on_near_duplicates():
     v64, _ = em.spectral_embedding(p64, 6)
     v32, _ = em.spectral_embedding(p32, 6)
     np.testing.assert_allclose(np.abs(v64), np.abs(v32), rtol=0, atol=1e-10)
+
+
+def test_best_axis_final_fracs_ride_scan_dtype(rng):
+    """Review r4c: under dtype=f32 the returned frac_a/frac_b must come from
+    the same f32 scan path (previously two O(n²) f64 host scans per report
+    — the stage wall at 5k+ buses, and a precision mismatch per row)."""
+    import jax.numpy as jnp
+
+    pts = rng.normal(size=(200, 2))
+    pts = np.vstack([pts, pts @ np.array([[1, 0], [0, -1.0]])])
+    b32 = symmetry.best_reflection_axis(pts, pts, tol=0.05, n_angles=61,
+                                        refine=False, dtype=jnp.float32)
+    f_direct, _ = symmetry.preservation_fraction(
+        pts, "reflect_angle", 0.05, angle=b32["angle"], dtype=jnp.float32)
+    assert b32["frac_a"] == f_direct == b32["frac_b"]
+
+
+def test_preservation_fraction_explicit_f64_matches_default(rng):
+    """Review r4c: an explicit dtype=float64 routes through the shared
+    device policy (host-CPU pin on TPU sessions) — values identical to the
+    default on any backend."""
+    import jax.numpy as jnp
+
+    pts = rng.normal(size=(150, 2))
+    f_def, d_def = symmetry.preservation_fraction(pts, "rot_pi", 0.05)
+    f_64, d_64 = symmetry.preservation_fraction(pts, "rot_pi", 0.05,
+                                                dtype=jnp.float64)
+    assert f_def == f_64
+    np.testing.assert_array_equal(d_def, d_64)
+
+
+def test_build_sparse_kernel_mesh_plus_dtype_is_loud(rng):
+    """Review r4c: mesh silently won over knn_dtype (a caller 'benchmarking'
+    the f32 device kNN on a meshed session measured the sharded f64 path)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cmtci.parallel.sharded import device_mesh
+    from cmtci.stats import embeddings as em
+
+    pts = rng.normal(size=(60, 2))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        em.build_sparse_kernel(pts, k=5, mesh=device_mesh(2),
+                               dtype=jnp.float32)
