@@ -104,9 +104,17 @@ def main():
 
     if "--_child" not in sys.argv:
         stdout, stderr = "", ""
+        # a fully COLD compile cache (fresh machine tag) pays one-time
+        # Mosaic/XLA compiles per key measured at ~80-220 s each (~15 min
+        # total); 1500 s truncated such a run after ~4 keys, so cold rounds
+        # under-reported. Warm runs stay ~1 min; the per-key cumulative
+        # lines still salvage a wedged run either way.
+        import os
+        timeout_s = float(os.environ.get("CMTCI_BENCH_TIMEOUT", 2700))
         try:
             out = subprocess.run([sys.executable, __file__, "--_child"],
-                                 timeout=1500, capture_output=True, text=True)
+                                 timeout=timeout_s, capture_output=True,
+                                 text=True)
             stdout = out.stdout or ""
             stderr = out.stderr or ""
         except subprocess.TimeoutExpired as e:
