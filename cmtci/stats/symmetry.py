@@ -144,6 +144,12 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
     dtype=jnp.float32 runs the scans on the default (TPU) device.
     """
     angles = np.linspace(0, np.pi, n_angles)
+    if mesh is not None and dtype is not None:
+        raise ValueError(
+            "best_reflection_axis: mesh and dtype are mutually exclusive — "
+            "the sharded scan is the f64 multi-device path; the f32 device "
+            "scan is single-device (drop one of them). Mixing them would "
+            "pick the angle at f64 but report f32 fractions.")
     if mesh is not None:
         # angle-sharded coarse scan (parallel.sharded.sharded_score_angles,
         # bitwise-identical: per-angle scores are independent)

@@ -276,11 +276,17 @@ _TRIU_CACHE: dict = {}
 def _triu_pairs(n: int):
     """Cached np.triu_indices(n, k=1) — the coupling loop re-derives the
     same 744k-pair index every iteration; one entry is kept (LRU-1) so
-    repeated cloud sizes stop paying the 27 ms triangular scan."""
+    repeated cloud sizes stop paying the 27 ms triangular scan. Only sizes
+    up to ~4M pairs (64 MB of int64 indices) are cached: a single 20k-point
+    call would otherwise pin ~3.2 GB for the life of the process to save a
+    fraction of that call's own O(n²) work."""
     hit = _TRIU_CACHE.get(n)
     if hit is None:
-        _TRIU_CACHE.clear()
-        hit = _TRIU_CACHE[n] = np.triu_indices(n, k=1)
+        pairs = np.triu_indices(n, k=1)
+        if n * (n - 1) // 2 <= 4_000_000:
+            _TRIU_CACHE.clear()
+            _TRIU_CACHE[n] = pairs
+        return pairs
     return hit
 
 
@@ -410,12 +416,14 @@ def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
         centers = np.linspace(0, max_dist or 1.0, nbins + 1)
         centers = 0.5 * (centers[:-1] + centers[1:])
         return centers, np.full(nbins, np.nan), np.zeros(nbins, dtype=int)
-    if n > 92000:
-        # one bin can hold at most n(n-1)/2 pairs; past ~92.7k points that
-        # exceeds int32 even per-bin — fail loudly instead of wrapping
+    if n > 65536:
+        # one bin can hold at most n(n-1)/2 pairs; the device counts are
+        # SIGNED int32, so past 2^31-1 pairs-per-bin (n = 65536 is the last
+        # safe size: 65536*65535/2 = 2147450880) a concentrated cloud wraps
+        # negative — fail loudly instead of wrapping
         raise ValueError(
-            f"point_variogram_device: {n} points can overflow the int32 "
-            "per-bin pair counts (limit ~92000); subsample the cloud")
+            f"point_variogram_device: {n} points can overflow the signed "
+            "int32 per-bin pair counts (limit 65536); subsample the cloud")
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:
         vals = (jnp.zeros(n, dt) if values is None
@@ -427,6 +435,16 @@ def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
             auto_max=max_dist is None)
         packed = np.asarray(packed)
         counts = np.asarray(counts).astype(np.int64)
+    if int(counts.sum()) == 0 and bool(np.any(packed[0] != 0)):
+        # same corrupt-fetch tripwire as three_semivariograms: zero counts
+        # WITH nonzero dv² sums is impossible legitimately (every summed
+        # pair is counted by the same mask) — it is the axon bitcast-hazard
+        # signature, while genuinely empty bins zero both
+        raise RuntimeError(
+            "point_variogram_device: all per-bin counts fetched as zero "
+            "while the dv² sums are nonzero — corrupt device fetch (known "
+            "axon bitcast hazard), not empty bins; rerun with dtype=None "
+            "for the host path")
     gamma = np.full(nbins, np.nan)
     nz = counts > 0
     gamma[nz] = 0.5 * packed[0].astype(np.float64)[nz] / counts[nz]

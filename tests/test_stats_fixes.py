@@ -229,3 +229,64 @@ def test_three_semivariograms_zero_count_tripwire(monkeypatch):
                                   m_target=50, rng=np.random.default_rng(1),
                                   dtype=jnp.float32)
     assert (out[4] == 0).all()  # legitimately-empty bins pass through
+
+
+def test_point_variogram_device_signed_int32_guard():
+    """The per-bin counts are SIGNED int32: n(n-1)/2 wraps at 2^31-1, i.e.
+    n = 65536 is the last safe size. The old guard (92000, the unsigned
+    threshold) let an 80k-point concentrated cloud wrap negative and return
+    silent NaN gammas instead of the promised loud error."""
+    from cmtci.stats import variogram as vg2
+
+    with pytest.raises(ValueError, match="signed int32"):
+        vg2.point_variogram_device(np.zeros((65537, 2)), None)
+
+
+def test_point_variogram_device_zero_count_tripwire(monkeypatch):
+    """Same corrupt-fetch tripwire as three_semivariograms (axon bitcast
+    hazard: zero counts WITH nonzero dv² sums must raise; both-zero —
+    legitimately empty bins — must not)."""
+    from cmtci.stats import variogram as vg2
+
+    def fake_corrupt(*a, **k):
+        return (jnp.zeros((2, 5), jnp.float32).at[0].set(1.0),
+                jnp.zeros(5, jnp.int32))
+
+    monkeypatch.setattr(vg2, "_point_binned_masked", fake_corrupt)
+    locs = np.random.default_rng(0).normal(size=(40, 2))
+    with pytest.raises(RuntimeError, match="corrupt device fetch"):
+        vg2.point_variogram_device(locs, None, nbins=5, dtype=jnp.float32)
+
+    monkeypatch.setattr(
+        vg2, "_point_binned_masked",
+        lambda *a, **k: (jnp.zeros((2, 5), jnp.float32), jnp.zeros(5, jnp.int32)))
+    c, g, n = vg2.point_variogram_device(locs, None, nbins=5, dtype=jnp.float32)
+    assert np.isnan(g).all() and (n == 0).all()  # empty bins pass through
+
+
+def test_triu_pairs_cache_capped():
+    """_triu_pairs only caches up to ~4M pairs: one 20k-point host call used
+    to pin ~3.2 GB of int64 indices in a module global for the process
+    lifetime. Values are identical cached or not."""
+    from cmtci.stats import variogram as vg2
+
+    i, j = vg2._triu_pairs(2900)  # 4.2M pairs: above the cap, NOT cached
+    assert 2900 not in vg2._TRIU_CACHE
+    ri, rj = np.triu_indices(2900, k=1)
+    np.testing.assert_array_equal(i, ri)
+    np.testing.assert_array_equal(j, rj)
+    i2, j2 = vg2._triu_pairs(200)  # under the cap: cached (LRU-1)
+    assert 200 in vg2._TRIU_CACHE
+    np.testing.assert_array_equal(i2, np.triu_indices(200, k=1)[0])
+
+
+def test_best_reflection_axis_rejects_mesh_plus_dtype():
+    """mesh (sharded f64 scan) and dtype (single-device f32 scan) are
+    mutually exclusive — mixing them picked the angle at f64 but reported
+    f32 fractions (same guard class as build_sparse_kernel)."""
+    from cmtci.stats import symmetry
+
+    pts = np.random.default_rng(1).normal(size=(30, 2))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        symmetry.best_reflection_axis(pts, pts, mesh=object(),
+                                      dtype=jnp.float32)
