@@ -24,6 +24,13 @@ from cmtci.io.writers import ensure_dir  # noqa: E402
 
 from cmtci.utils.arrays import as_xy as _xy  # shared (N,2) coercion
 
+#: PNG encode at zlib level 1 instead of Pillow's default 6: decoded pixels
+#: are IDENTICAL (lossless either way, golden-pixel tests unaffected), the
+#: files are ~25% larger, and the encode drops ~5x — at dpi>=200 panel
+#: figures the zlib pass was ~40% of each figure write (the suite's
+#: coupling stage spent more wall time compressing PNGs than computing).
+_PNG_FAST = {"compress_level": 1}
+
 
 def plot_alignment(c, m, c_aligned, path, title="Construct vs Mandelbrot (aligned)"):
     c, m, ca = _xy(c), _xy(m), _xy(c_aligned)
@@ -37,7 +44,7 @@ def plot_alignment(c, m, c_aligned, path, title="Construct vs Mandelbrot (aligne
     plt.legend()
     plt.axis("equal")
     plt.title(title)
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -57,7 +64,7 @@ def plot_matches(c_aligned, m, matches, path, preserved_mask=None):
         plt.plot([ca[i, 0], m[j, 0]], [ca[i, 1], m[j, 1]], color=color, linewidth=lw, alpha=al)
     plt.axis("equal")
     plt.legend()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -69,7 +76,7 @@ def plot_kl_descent(kls, path, title="KL descent (TCI flow)"):
     plt.ylabel("D_KL")
     plt.title(title)
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=150)
+    fig.savefig(ensure_dir(path), dpi=150, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -81,7 +88,7 @@ def plot_field(field, domain, path, title="", cmap="viridis"):
     plt.colorbar()
     plt.title(title)
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=150)
+    fig.savefig(ensure_dir(path), dpi=150, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -95,7 +102,7 @@ def plot_boundary_overlay(points, boundary, path, title=""):
     plt.axis("equal")
     plt.axis("off")
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=220)
+    fig.savefig(ensure_dir(path), dpi=220, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -109,7 +116,7 @@ def plot_curvature(p, kappa, prefix):
     plt.ylabel("Count")
     plt.title("Local-Polynomial Curvature Histogram")
     plt.tight_layout()
-    fig.savefig(ensure_dir(f"{prefix}_curvature_hist.png"), dpi=200)
+    fig.savefig(ensure_dir(f"{prefix}_curvature_hist.png"), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
 
     fig = plt.figure(figsize=(5, 5))
@@ -119,7 +126,7 @@ def plot_curvature(p, kappa, prefix):
     plt.colorbar(sc, fraction=0.046, pad=0.04)
     plt.title("Curvature Overlay (Local-Polynomial)")
     plt.tight_layout()
-    fig.savefig(f"{prefix}_curvature_overlay.png", dpi=220)
+    fig.savefig(f"{prefix}_curvature_overlay.png", dpi=220, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return f"{prefix}_curvature_hist.png", f"{prefix}_curvature_overlay.png"
 
@@ -142,7 +149,7 @@ def plot_boundary_correspondence(z_bdy, w_bdy, path, title=""):
     ax2.set_aspect("equal", "box")
     fig.suptitle(title)
     fig.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=220)
+    fig.savefig(ensure_dir(path), dpi=220, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -157,7 +164,7 @@ def plot_multifractal_compare(res_c, res_m, prefix):
     plt.legend()
     plt.grid(True)
     plt.title("Generalized dimensions D(q)")
-    fig.savefig(ensure_dir(f"{prefix}_Dq_compare.png"), dpi=200)
+    fig.savefig(ensure_dir(f"{prefix}_Dq_compare.png"), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
 
     fig = plt.figure(figsize=(8, 5))
@@ -168,7 +175,7 @@ def plot_multifractal_compare(res_c, res_m, prefix):
     plt.legend()
     plt.grid(True)
     plt.title("Singularity spectrum")
-    fig.savefig(f"{prefix}_falpha_compare.png", dpi=200)
+    fig.savefig(f"{prefix}_falpha_compare.png", dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return f"{prefix}_Dq_compare.png", f"{prefix}_falpha_compare.png"
 
@@ -202,7 +209,7 @@ def plot_fft_reconstructions(c_pts, m_pts, path, modes=(5, 10, 30, 100),
         ax.legend(fontsize=8)
         ax.set_title(f"Reconstruction with {nm} modes")
     fig.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -214,7 +221,7 @@ def plot_embedding_scatter(points, vec, path, title=""):
     plt.scatter(p[:, 0], p[:, 1], s=6, c=np.asarray(vec), cmap="Spectral", alpha=0.8)
     plt.title(title)
     plt.colorbar()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -231,7 +238,7 @@ def plot_eigenvalue_spectra(vals_c, vals_m, path):
     plt.title("Spectrum (leading eigenvalues)")
     plt.legend()
     plt.grid(True)
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -257,7 +264,7 @@ def plot_k_bins(bins, tag, out_dir):
         plt.grid(True, alpha=0.3)
         plt.tight_layout()
         p = f"{out_dir}/{name}_{tag}.png"
-        fig.savefig(ensure_dir(p), dpi=180)
+        fig.savefig(ensure_dir(p), dpi=180, pil_kwargs=_PNG_FAST)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -283,7 +290,7 @@ def plot_local_correlation_panels(u_c, u_m, corr_map, domain, path):
         ax.set_title(title)
         fig.colorbar(im, ax=ax)
     fig.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -296,7 +303,7 @@ def plot_match_distance_hist(distances, path):
     plt.ylabel("Count")
     plt.title("Matching Distance Distribution")
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -315,7 +322,7 @@ def plot_curvature_hotspots(c_pts, m_pts, curv_c, curv_m, path):
         ax.set_aspect("equal")
     fig.suptitle("Curvature overlay: Construct vs Mandelbrot")
     fig.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -357,7 +364,7 @@ def plot_g_density_compare(laws_out: dict, g_out, prefix):
     plt.legend()
     plt.tight_layout()
     p_g = f"{prefix}_g_density_compare.png"
-    fig.savefig(ensure_dir(p_g), dpi=200)
+    fig.savefig(ensure_dir(p_g), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
 
     r_abs = np.exp(g_out)
@@ -378,7 +385,7 @@ def plot_g_density_compare(laws_out: dict, g_out, prefix):
     plt.legend()
     plt.tight_layout()
     p_phi = f"{prefix}_Phi_density_logunif.png"
-    fig.savefig(ensure_dir(p_phi), dpi=200)
+    fig.savefig(ensure_dir(p_phi), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return p_g, p_phi
 
@@ -408,7 +415,7 @@ def plot_family_kde_overlay(family_g: dict, path, kde_grid_n: int = 800,
     plt.title("KDE overlays of g_M(c) for different families (outside)")
     plt.legend()
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
 
@@ -423,6 +430,6 @@ def plot_variograms(r, curves: dict, path, title="Semivariograms"):
     plt.legend()
     plt.grid(True, alpha=0.3)
     plt.tight_layout()
-    fig.savefig(ensure_dir(path), dpi=200)
+    fig.savefig(ensure_dir(path), dpi=200, pil_kwargs=_PNG_FAST)
     plt.close(fig)
     return path
