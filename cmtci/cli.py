@@ -142,6 +142,13 @@ def main(argv=None):
             p.add_argument("--scan-dtype", choices=["float64", "float32"],
                            default="float64",
                            help="float32 = 361-angle best-axis scan on the TPU")
+        if name == "spatial-stats":
+            p.add_argument("--stat-dtype", choices=["float64", "float32"],
+                           default="float64",
+                           help="float32 = the three O(n²) pair scans "
+                                "(g(r)/Ripley shell counts + Hausdorff) on "
+                                "the TPU (exact int32 counts; borderline "
+                                "f32 bin flips possible)")
         if name == "multifractal":
             p.add_argument("--box-backend", choices=["host", "device"],
                            default="host",
@@ -189,9 +196,9 @@ def main(argv=None):
                         "(default: all seven, in catalog order)")
     p.add_argument("--device", choices=["host", "accel"], default="host",
                    help="accel = every stage's opt-in f32/device path "
-                        "(multifractal/embeddings/symmetry/coupling on the "
-                        "TPU; spectral/spatial-stats/report are f64-host by "
-                        "design); host = the exact per-command f64 defaults")
+                        "(multifractal/embeddings/symmetry/spatial-stats/"
+                        "coupling on the TPU; spectral/report are f64-host "
+                        "by design); host = the exact per-command f64 defaults")
     p.add_argument("--trace-dir", default=None,
                    help="jax.profiler trace dir (per-stage traces + wall times)")
     _add_common(p)
@@ -360,6 +367,7 @@ _ACCEL_STAGE_OPTS = {
     "embeddings": {"eig_backend": "device", "eig_dtype": "float32",
                    "knn_dtype": "float32"},
     "symmetry": {"scan_dtype": "float32"},
+    "spatial-stats": {"stat_dtype": "float32"},
     "coupling": {"field_dtype": "float32", "vario_dtype": "float32"},
 }
 
@@ -373,6 +381,8 @@ def _bus_stage_opts_from_args(st, args) -> dict:
                 "knn_dtype": args.knn_dtype}
     if st == "symmetry":
         return {"scan_dtype": args.scan_dtype}
+    if st == "spatial-stats":
+        return {"stat_dtype": args.stat_dtype}
     if st == "coupling":
         return {"field_dtype": args.coupling_field_dtype,
                 "vario_dtype": args.coupling_vario_dtype}
@@ -413,7 +423,8 @@ def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts) -> dict:
                                   scan_dtype=f32("scan_dtype"))
         return {"rows": o["rows"]}
     if st == "spatial-stats":
-        o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix)
+        o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix,
+                                       stat_dtype=f32("stat_dtype"))
         return {"hausdorff": o["hausdorff"]}
     if st == "report":
         return {"report_row": analysis.run_report(c, m, ca, matches, out_prefix)}

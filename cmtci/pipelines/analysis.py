@@ -200,10 +200,16 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
     return out, kls, traj
 
 
-def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
-    """phase2 + phase3: g(r), Ripley K, Hausdorff, gradient curvature, box dim."""
-    shells_c = ps._shell_counts(c_aligned, r_max, dr)
-    shells_m = ps._shell_counts(m_pts, r_max, dr)
+def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None,
+                      stat_dtype=None):
+    """phase2 + phase3: g(r), Ripley K, Hausdorff, gradient curvature, box dim.
+
+    stat_dtype=jnp.float32 runs the three O(n²) pair scans (shell counts
+    per cloud + Hausdorff) on the default (TPU) device — counts exact
+    int32, borderline f32 bin flips possible; the host f64 pass is the
+    stage wall at beyond-reference bus sizes."""
+    shells_c = ps._shell_counts(c_aligned, r_max, dr, dtype=stat_dtype)
+    shells_m = ps._shell_counts(m_pts, r_max, dr, dtype=stat_dtype)
     r_c, g_c = ps.pair_correlation(c_aligned, r_max, dr, _shells=shells_c)
     r_m, g_m = ps.pair_correlation(m_pts, r_max, dr, _shells=shells_m)
     _, k_c = ps.ripley_k(c_aligned, r_max, dr, _shells=shells_c)
@@ -211,7 +217,7 @@ def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None):
     out = {
         "r": r_c, "g_construct": g_c, "g_mandel": g_m,
         "K_construct": k_c, "K_mandel": k_m,
-        "hausdorff": ps.hausdorff(c_aligned, m_pts),
+        "hausdorff": ps.hausdorff(c_aligned, m_pts, dtype=stat_dtype),
         "curv_construct": curv.gradient_curvature(np.asarray(c_aligned)),
         "curv_mandel": curv.gradient_curvature(np.asarray(m_pts)),
     }

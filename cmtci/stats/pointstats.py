@@ -48,20 +48,70 @@ def _pair_hist(xy, r_edges, nbins: int, chunk: int = 1024):
     return acc[:-1]
 
 
-def _shell_counts(points, r_max: float, dr: float):
+@functools.partial(jax.jit, static_argnames=("nbins", "chunk"))
+def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
+    """_pair_hist as scatter-free masked reductions (the TPU pattern of
+    stats/variogram._point_binned_masked): per-edge cumulative counts of
+    d < edge, adjacent-differenced to per-bin int32 counts. Bin semantics
+    identical to the searchsorted(side="right") host path, including
+    d == edges[k] landing in bin k. int32 is exact (no f32 scatter-add
+    saturation at 2^24); one bin can hold at most n(n-1)/2 pairs, guarded
+    against signed-int32 wrap in the wrapper."""
+    n = xy.shape[0]
+    npad = ((n + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(xy, ((0, npad - n), (0, 0)))
+    cols = jnp.arange(npad)
+
+    def body(i, acc):
+        blk = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=0)
+        ridx = i * chunk + jnp.arange(chunk)
+        d = jnp.sqrt(jnp.sum((blk[:, None, :] - xp[None, :, :]) ** 2, axis=-1))
+        valid = (ridx[:, None] < cols[None, :]) & (cols[None, :] < n)
+        cum = [jnp.sum(valid & (d < r_edges[k]), dtype=jnp.int32)
+               for k in range(nbins + 1)]
+        cum = jnp.stack(cum)
+        return acc + (cum[1:] - cum[:-1])
+
+    acc = jnp.zeros(nbins, dtype=jnp.int32)
+    return jax.lax.fori_loop(0, npad // chunk, body, acc)
+
+
+def _shell_counts(points, r_max: float, dr: float, dtype=None):
     """(r_vals, shell counts over [r, r+dr), n, rho): one O(N²) pass shared
-    by g(r) and Ripley K."""
+    by g(r) and Ripley K.
+
+    dtype=jnp.float32 runs the pair histogram on the default (TPU) device
+    via the masked-reduction head (counts exact int32; f32 distances can
+    land borderline pairs one bin over vs f64 — the documented opt-in for
+    beyond-reference cloud sizes where the host O(n²) pass is the stage
+    wall). f64 (default) stays on the host CPU by the device policy.
+    """
     xy = _xy(points)
     n = len(xy)
     area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
     rho = n / area
     r_vals = np.arange(0, r_max, dr)
-    from cmtci.utils.device import analysis_cpu
+    from cmtci.utils.device import analysis_dtype_ctx
 
-    with analysis_cpu():  # f64 all-pairs loops stay off emulated-f64 TPUs
-        edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]))
-        counts = np.asarray(_pair_hist(jnp.asarray(xy), edges, len(r_vals)))
-    return r_vals, counts, n, rho
+    if n > 65536:
+        # one bin can hold at most n(n-1)/2 pairs; past that the masked
+        # head's signed-int32 per-bin counts could wrap (same bound as
+        # variogram.point_variogram_device)
+        raise ValueError(
+            f"_shell_counts: {n} points can overflow the signed int32 "
+            "per-bin pair counts (limit 65536); subsample the cloud")
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
+    with dev, x64_ctx:  # f64 all-pairs loops stay off emulated-f64 TPUs
+        edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]), dt)
+        xyd = jnp.asarray(xy, dt)
+        if dtype is None:
+            # host path: the scatter-add histogram is the fast CPU shape
+            counts = np.asarray(_pair_hist(xyd, edges, len(r_vals)))
+        else:
+            # device path: scatter-free masked reductions (TPU scatters
+            # serialize; same reformulation as the device variograms)
+            counts = np.asarray(_pair_hist_masked(xyd, edges, len(r_vals)))
+    return r_vals, counts.astype(np.float64), n, rho
 
 
 def pair_correlation(points, r_max: float, dr: float, _shells=None):
@@ -102,13 +152,18 @@ def _directed_hausdorff(a, b, chunk: int = 1024):
     return jnp.sqrt(best)
 
 
-def hausdorff(a, b) -> float:
-    """Symmetric Hausdorff distance (exact; equals scipy's directed pair)."""
-    from cmtci.utils.device import analysis_cpu
+def hausdorff(a, b, dtype=None) -> float:
+    """Symmetric Hausdorff distance (exact; equals scipy's directed pair).
 
-    with analysis_cpu():
-        a = jnp.asarray(_xy(a))
-        b = jnp.asarray(_xy(b))
+    dtype=jnp.float32 runs the two blocked O(n·m) scans on the default
+    (TPU) device (~1e-7 relative vs f64 — squared distances in f32);
+    f64 (default) stays on the host CPU by the device policy."""
+    from cmtci.utils.device import analysis_dtype_ctx
+
+    dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
+    with dev, x64_ctx:
+        a = jnp.asarray(_xy(a), dt)
+        b = jnp.asarray(_xy(b), dt)
         return float(jnp.maximum(_directed_hausdorff(a, b), _directed_hausdorff(b, a)))
 
 

@@ -151,3 +151,47 @@ class TestSpectral:
         w2 = np.sort(np.real(np.linalg.eigvals(k2)))[-30:]
         ref = np.linalg.norm(w1 - w2) / np.sqrt(30)
         assert spectral.spectral_distance(x, y, 30, 0.05) == pytest.approx(ref, rel=1e-6, abs=1e-9)
+
+
+class TestPointStatsDevice:
+    """stat_dtype=float32: the O(n²) pair scans on the default device
+    (masked-reduction head, exact int32 counts — the opt-in for
+    beyond-reference bus sizes)."""
+
+    def test_shell_counts_masked_head_matches_scatter(self, rng):
+        import jax.numpy as jnp
+
+        pts = rng.uniform(size=(641, 2))
+        r64, c64, n64, rho64 = pointstats._shell_counts(pts, 0.5, 0.05)
+        r32, c32, n32, rho32 = pointstats._shell_counts(pts, 0.5, 0.05,
+                                                        dtype=jnp.float32)
+        np.testing.assert_array_equal(r64, r32)
+        assert (n64, rho64) == (n32, rho32)
+        # int32 masked counts vs the host scatter histogram: identical up
+        # to borderline f32 bin-edge flips (none at this size/seed)
+        np.testing.assert_array_equal(c64, c32)
+
+    def test_pair_stats_device_realization(self, rng):
+        import jax.numpy as jnp
+
+        pts = rng.uniform(size=(300, 2))
+        sh = pointstats._shell_counts(pts, 0.4, 0.04, dtype=jnp.float32)
+        _, g32 = pointstats.pair_correlation(pts, 0.4, 0.04, _shells=sh)
+        _, g64 = pointstats.pair_correlation(pts, 0.4, 0.04)
+        _, k32 = pointstats.ripley_k(pts, 0.4, 0.04, _shells=sh)
+        _, k64 = pointstats.ripley_k(pts, 0.4, 0.04)
+        np.testing.assert_allclose(g32, g64, rtol=1e-9)
+        np.testing.assert_allclose(k32, k64, rtol=1e-9)
+
+    def test_hausdorff_f32_device(self, rng):
+        import jax.numpy as jnp
+
+        a = rng.normal(size=(150, 2))
+        b = rng.normal(size=(120, 2))
+        ref = max(directed_hausdorff(a, b)[0], directed_hausdorff(b, a)[0])
+        assert pointstats.hausdorff(a, b, dtype=jnp.float32) == pytest.approx(
+            ref, rel=1e-5)
+
+    def test_shell_counts_signed_int32_guard(self):
+        with pytest.raises(ValueError, match="signed int32"):
+            pointstats._shell_counts(np.zeros((65537, 2)), 0.5, 0.05)
