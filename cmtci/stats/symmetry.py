@@ -163,7 +163,27 @@ def best_reflection_axis(points_a, points_b, tol: float = 0.05, n_angles: int = 
     score = fa + fb
     best = float(angles[np.argmax(score)])
 
-    if refine:
+    if refine and dtype is not None:
+        # device path: two batched grid stages instead of scipy's ~25
+        # SEQUENTIAL scalar evaluations (each a ~30 ms relay dispatch —
+        # the refine was 2.25 s of the 3.0 s stage at the 6x bus). Stage 1
+        # scans 128 angles over the same ±π/36 window; stage 2 scans 128
+        # around its peak: final resolution ≈ 2.2e-5 rad, finer than the
+        # host path's xatol=1e-4. A grid argmax of the same objective the
+        # scipy path optimizes — an equivalent-accuracy realization.
+        half = math.pi / 36
+        best_sc = float(score[np.argmax(score)])
+        for _ in range(2):
+            lo = max(0.0, best - half)
+            hi = min(math.pi, best + half)
+            grid = np.linspace(lo, hi, 128)
+            sc = (_score_angles(points_a, grid, tol, dtype=dtype)
+                  + _score_angles(points_b, grid, tol, dtype=dtype))
+            k = int(np.argmax(sc))
+            if sc[k] >= best_sc:  # the incumbent is not ON the new grid —
+                best, best_sc = float(grid[k]), float(sc[k])  # never regress
+            half = grid[1] - grid[0]
+    elif refine:
         from scipy.optimize import minimize_scalar
 
         def neg(a):

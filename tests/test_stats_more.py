@@ -452,3 +452,26 @@ def test_build_sparse_kernel_mesh_plus_dtype_is_loud(rng):
     with pytest.raises(ValueError, match="mutually exclusive"):
         em.build_sparse_kernel(pts, k=5, mesh=device_mesh(2),
                                dtype=jnp.float32)
+
+
+def test_best_axis_device_grid_refine_matches_scipy(rng):
+    """The f32 device path refines by two batched 128-angle grid stages
+    (final resolution ~2.2e-5 rad) instead of scipy's ~25 sequential
+    scalar dispatches (2.25 s of relay RTT per report at the 6x bus).
+    On a cloud symmetric about a known axis, both land on that axis
+    within the host path's own xatol, and refinement never scores below
+    the coarse scan."""
+    import jax.numpy as jnp
+
+    theta = 0.31  # ground-truth axis angle
+    c, s = np.cos(2 * theta), np.sin(2 * theta)
+    pts = rng.normal(size=(250, 2))
+    pts = np.vstack([pts, pts @ np.array([[c, s], [s, -c]]).T])
+    b64 = symmetry.best_reflection_axis(pts, pts, tol=0.05, n_angles=91)
+    b32 = symmetry.best_reflection_axis(pts, pts, tol=0.05, n_angles=91,
+                                        dtype=jnp.float32)
+    assert abs(b64["angle"] - theta) < 5e-3
+    assert abs(b32["angle"] - b64["angle"]) < 5e-3
+    coarse = b32["scan_score"].max()
+    refined = b32["frac_a"] + b32["frac_b"]
+    assert refined >= coarse - 1e-9
