@@ -475,3 +475,19 @@ def test_best_axis_device_grid_refine_matches_scipy(rng):
     coarse = b32["scan_score"].max()
     refined = b32["frac_a"] + b32["frac_b"]
     assert refined >= coarse - 1e-9
+
+
+def test_preservation_fractions_batched_matches_per_op(rng):
+    """The batched op-table scan (one dispatch per cloud) returns exactly
+    the per-op preservation_fraction values and distances, on both the
+    f64 host and f32 device policies."""
+    import jax.numpy as jnp
+
+    pts = rng.normal(size=(180, 2))
+    ops = ("identity", "reflect_x", "reflect_y", "rot_pi")
+    for dt in (None, jnp.float32):
+        fracs, dists = symmetry.preservation_fractions(pts, ops, 0.05, dtype=dt)
+        for i, op in enumerate(ops):
+            f_ref, d_ref = symmetry.preservation_fraction(pts, op, 0.05, dtype=dt)
+            assert fracs[i] == f_ref
+            np.testing.assert_array_equal(dists[i], d_ref)
