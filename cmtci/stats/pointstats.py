@@ -93,10 +93,11 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None):
     r_vals = np.arange(0, r_max, dr)
     from cmtci.utils.device import analysis_dtype_ctx
 
-    if n > 65536:
-        # one bin can hold at most n(n-1)/2 pairs; past that the masked
+    if dtype is not None and n > 65536:
+        # one bin can hold at most n(n-1)/2 pairs; past that the device
         # head's signed-int32 per-bin counts could wrap (same bound as
-        # variogram.point_variogram_device)
+        # variogram.point_variogram_device). The host scatter head
+        # accumulates f64 (exact to 2^53 pairs) and stays unguarded.
         raise ValueError(
             f"_shell_counts: {n} points can overflow the signed int32 "
             "per-bin pair counts (limit 65536); subsample the cloud")

@@ -193,5 +193,8 @@ class TestPointStatsDevice:
             ref, rel=1e-5)
 
     def test_shell_counts_signed_int32_guard(self):
+        import jax.numpy as jnp
+
         with pytest.raises(ValueError, match="signed int32"):
-            pointstats._shell_counts(np.zeros((65537, 2)), 0.5, 0.05)
+            pointstats._shell_counts(np.zeros((65537, 2)), 0.5, 0.05,
+                                     dtype=jnp.float32)
