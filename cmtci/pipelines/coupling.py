@@ -24,6 +24,31 @@ from cmtci.transport.histogram import (_sep_correlate_nearest,
                                        gaussian_kernel1d)
 
 
+@functools.partial(jax.jit, static_argnames=("radii", "win", "chunk"))
+def _all_iters_device(gx, gy, pxw, ns, u_m, lap_m, kernels, h,
+                      radii: tuple, win: int, chunk: int):
+    """EVERY iteration's diagnostics in ONE dispatch (f32 fast path).
+
+    The diagnostics never feed the nudge (the trajectory is host f64:
+    dists/variogram/weights only), so the full nudge loop runs first and
+    the per-iteration (cloud snapshot, smoothing kernel) pairs evaluate
+    here as one compiled graph — one ~29 ms relay launch per RUN instead
+    of one per iteration (the coupling bench floor was 4 launches + 4
+    scalar fetches). Kernel lengths are shape-static via the `radii`
+    tuple: each distinct per-run radius profile compiles once (absorbed
+    by the persistent cache; the bench/oracle configs reuse one profile).
+    Returns ((n_iter, 2) scalars, (n_iter,) local maps, (n_iter,) u_c_s)."""
+    scal, locs, fields_s = [], [], []
+    for i, radius in enumerate(radii):
+        s, l, u = _iter_device(gx, gy, pxw[i, 0], pxw[i, 1], pxw[i, 2],
+                               ns[i], u_m, lap_m, kernels[i], h,
+                               radius=radius, win=win, chunk=chunk)
+        scal.append(s)
+        locs.append(l)
+        fields_s.append(u)
+    return jnp.stack(scal), jnp.stack(locs), jnp.stack(fields_s)
+
+
 @functools.partial(jax.jit, static_argnames=("radius", "win", "chunk"))
 def _iter_device(gx, gy, px, py, w, n, u_m, lap_m, kernel, h,
                  radius: int, win: int, chunk: int):
@@ -130,6 +155,7 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
     else:
         u_m = np.asarray(u_m_dev)
     rows = []
+    snaps = []  # f32 path: per-iteration (cloud snapshot, smoothing kernel)
     vario32 = cfg.vario_dtype == "float32"
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
@@ -145,34 +171,14 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
         if f32:
-            # potential + whole diagnostic chain in ONE device dispatch;
-            # one 2-scalar fetch per iteration (0.55 s of host filtering +
-            # 0.28 s of grid fetches at the default config disappear, and
-            # the split potential/diag structure's extra relay RPC per
-            # iteration with them)
+            # the diagnostics never feed the nudge: snapshot the cloud and
+            # kernel, evaluate EVERY iteration's diagnostics in one fused
+            # dispatch after the host trajectory completes (one ~29 ms
+            # relay launch per run instead of one per iteration — the
+            # warm floor was 4 launches + 4 scalar fetches)
             kernel_np = gaussian_kernel1d(sigma_px)
-            radius = (len(kernel_np) - 1) // 2
-            chunk = 2048
-            n_pad = ((len(c) + chunk - 1) // chunk) * chunk
-            pxw = np.zeros((3, n_pad), dtype=np.float32)
-            pxw[0, : len(c)] = c[:, 0]
-            pxw[1, : len(c)] = c[:, 1]
-            pxw[2, : len(c)] = 1.0
-            scal, local_dev, u_c_s_dev = _iter_device(
-                gx_dev, gy_dev,
-                jnp.asarray(pxw[0]), jnp.asarray(pxw[1]),
-                jnp.asarray(pxw[2]), np.float32(len(c)),
-                u_m_dev, lap_m_dev, jnp.asarray(kernel_np, np.float32), h,
-                radius=radius, win=int(cfg.win_local_corr), chunk=chunk)
-            corr_pot, corr_lap = (float(v) for v in np.asarray(scal))
-            if out_prefix:  # artifacts want the host f64 frames
-                u_c_s = np.asarray(u_c_s_dev, dtype=np.float64)
-                if u_m is None:
-                    u_m = np.asarray(u_m_dev, dtype=np.float64)
-                ny, nx = u_c_s.shape
-                w = int(cfg.win_local_corr)
-                local = np.full((ny, nx), np.nan)
-                local[w:ny - w, w:nx - w] = np.asarray(local_dev)
+            snaps.append((c.copy(), kernel_np))
+            corr_pot = corr_lap = np.nan  # filled from the fused call below
         else:
             with field_ctx():
                 # the O(grid² · N) pairwise potential follows the grid
@@ -199,12 +205,13 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
             np.savetxt(f"{out_prefix}_{it}_variogram_construct.csv",
                        np.c_[lags, gamma, counts], delimiter=",",
                        header="lag,gamma,count", comments="")
-            np.save(f"{out_prefix}_{it}_localcorr.npy", local)
-            from cmtci.io import plots
+            if not f32:  # f32 grid artifacts come from the fused call below
+                np.save(f"{out_prefix}_{it}_localcorr.npy", local)
+                from cmtci.io import plots
 
-            plots.plot_local_correlation_panels(
-                u_c_s, u_m, local, (xmin, xmax, ymin, ymax),
-                f"{out_prefix}_{it}_potential_comparison_with_corrmap.png")
+                plots.plot_local_correlation_panels(
+                    u_c_s, u_m, local, (xmin, xmax, ymin, ymax),
+                    f"{out_prefix}_{it}_potential_comparison_with_corrmap.png")
 
         # nudge (Iterative_Variogram_Laplacian.py:281-295)
         maxd = np.nanmax(dists) if np.isfinite(np.nanmax(dists)) and np.nanmax(dists) > 0 else 1.0
@@ -212,6 +219,43 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         scale = 1.0 if (a_est is None or a_est <= 0) else min(2.0, max(0.1, a_est))
         lr = cfg.nudge_alpha * (scale / (scale + 1.0))
         c = c + lr * weights[:, None] * (matched_m - c)
+
+    if f32 and snaps:
+        chunk = 2048
+        n_c = len(snaps[0][0])
+        n_pad = ((n_c + chunk - 1) // chunk) * chunk
+        pxw = np.zeros((len(snaps), 3, n_pad), dtype=np.float32)
+        for i, (ci, _) in enumerate(snaps):
+            pxw[i, 0, :n_c] = ci[:, 0]
+            pxw[i, 1, :n_c] = ci[:, 1]
+            pxw[i, 2, :n_c] = 1.0
+        kernels = [jnp.asarray(k, np.float32) for _, k in snaps]
+        radii = tuple((len(k) - 1) // 2 for _, k in snaps)
+        scal, local_dev, u_c_s_dev = _all_iters_device(
+            gx_dev, gy_dev, jnp.asarray(pxw),
+            jnp.full(len(snaps), n_c, np.float32),
+            u_m_dev, lap_m_dev, kernels, h,
+            radii=radii, win=int(cfg.win_local_corr), chunk=chunk)
+        scal = np.asarray(scal)
+        for i, row in enumerate(rows):
+            row["corr_pot"] = float(scal[i, 0])
+            row["corr_lap"] = float(scal[i, 1])
+        if out_prefix:  # artifacts want the host f64 frames
+            from cmtci.io import plots
+
+            u_c_s_all = np.asarray(u_c_s_dev, dtype=np.float64)
+            local_all = np.asarray(local_dev)
+            if u_m is None:
+                u_m = np.asarray(u_m_dev, dtype=np.float64)
+            w = int(cfg.win_local_corr)
+            for i in range(len(snaps)):
+                ny, nx = u_c_s_all[i].shape
+                local = np.full((ny, nx), np.nan)
+                local[w:ny - w, w:nx - w] = local_all[i]
+                np.save(f"{out_prefix}_{i + 1}_localcorr.npy", local)
+                plots.plot_local_correlation_panels(
+                    u_c_s_all[i], u_m, local, (xmin, xmax, ymin, ymax),
+                    f"{out_prefix}_{i + 1}_potential_comparison_with_corrmap.png")
 
     if out_prefix:
         writers.write_dict_rows_csv(f"{out_prefix}_summary_metrics.csv", rows)
