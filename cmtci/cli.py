@@ -468,7 +468,22 @@ def _run_suite(args) -> int:
     for st in stages:
         with timer.stage(st):
             opts = _ACCEL_STAGE_OPTS.get(st, {}) if accel else {}
-            o = _run_bus_stage(st, c, m, ca, matches, f"{args.out}/{st}", opts)
+            try:
+                o = _run_bus_stage(st, c, m, ca, matches, f"{args.out}/{st}",
+                                   opts)
+            except ValueError as e:
+                # the device heads guard loudly against sizes past their
+                # exact-count bounds (e.g. the 65536-point signed-int32
+                # pair-count limit); a suite run must degrade to the host
+                # path for THAT stage, not abort the remaining stages
+                if not (accel and opts):
+                    raise
+                import sys
+
+                print(f"suite: {st} accel path rejected ({e}); "
+                      "rerunning this stage on the host path", file=sys.stderr)
+                o = _run_bus_stage(st, c, m, ca, matches, f"{args.out}/{st}",
+                                   {})
         if st == "spectral" and o["power_slopes_bootstrap"]:
             summary["power_slope_construct"] = o["power_slopes_bootstrap"][0]["slope"]
         elif st == "embeddings":

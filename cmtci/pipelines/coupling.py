@@ -224,19 +224,37 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         chunk = 2048
         n_c = len(snaps[0][0])
         n_pad = ((n_c + chunk - 1) // chunk) * chunk
-        pxw = np.zeros((len(snaps), 3, n_pad), dtype=np.float32)
-        for i, (ci, _) in enumerate(snaps):
-            pxw[i, 0, :n_c] = ci[:, 0]
-            pxw[i, 1, :n_c] = ci[:, 1]
-            pxw[i, 2, :n_c] = 1.0
-        kernels = [jnp.asarray(k, np.float32) for _, k in snaps]
-        radii = tuple((len(k) - 1) // 2 for _, k in snaps)
-        scal, local_dev, u_c_s_dev = _all_iters_device(
-            gx_dev, gy_dev, jnp.asarray(pxw),
-            jnp.full(len(snaps), n_c, np.float32),
-            u_m_dev, lap_m_dev, kernels, h,
-            radii=radii, win=int(cfg.win_local_corr), chunk=chunk)
-        scal = np.asarray(scal)
+        # fuse in groups of <= _FUSE_MAX iterations: the dispatch unrolls
+        # one O(grid²·N) subgraph per iteration, so an unbounded n_iter
+        # would grow compile time (and the radii-tuple cache key space)
+        # linearly — and a long compile that times out wedges the tunneled
+        # relay for ~10 min (CLAUDE.md). The default/oracle n_iter=4 stays
+        # one group (same compiled graph as before); 50 iterations pay 7
+        # launches instead of one graph 12x the tested size.
+        _FUSE_MAX = 8
+        scal_parts, local_parts, ucs_parts = [], [], []
+        for g0 in range(0, len(snaps), _FUSE_MAX):
+            grp = snaps[g0 : g0 + _FUSE_MAX]
+            pxw = np.zeros((len(grp), 3, n_pad), dtype=np.float32)
+            for i, (ci, _) in enumerate(grp):
+                pxw[i, 0, :n_c] = ci[:, 0]
+                pxw[i, 1, :n_c] = ci[:, 1]
+                pxw[i, 2, :n_c] = 1.0
+            kernels = [jnp.asarray(k, np.float32) for _, k in grp]
+            radii = tuple((len(k) - 1) // 2 for _, k in grp)
+            s, l, u = _all_iters_device(
+                gx_dev, gy_dev, jnp.asarray(pxw),
+                jnp.full(len(grp), n_c, np.float32),
+                u_m_dev, lap_m_dev, kernels, h,
+                radii=radii, win=int(cfg.win_local_corr), chunk=chunk)
+            scal_parts.append(np.asarray(s))
+            local_parts.append(l)
+            ucs_parts.append(u)
+        scal = np.concatenate(scal_parts, axis=0)
+        local_dev = (local_parts[0] if len(local_parts) == 1
+                     else jnp.concatenate(local_parts, axis=0))
+        u_c_s_dev = (ucs_parts[0] if len(ucs_parts) == 1
+                     else jnp.concatenate(ucs_parts, axis=0))
         for i, row in enumerate(rows):
             row["corr_pot"] = float(scal[i, 0])
             row["corr_lap"] = float(scal[i, 1])

@@ -50,13 +50,14 @@ def _pair_hist(xy, r_edges, nbins: int, chunk: int = 1024):
 
 @functools.partial(jax.jit, static_argnames=("nbins", "chunk"))
 def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
-    """_pair_hist as scatter-free masked reductions (the TPU pattern of
-    stats/variogram._point_binned_masked): per-edge cumulative counts of
-    d < edge, adjacent-differenced to per-bin int32 counts. Bin semantics
-    identical to the searchsorted(side="right") host path, including
-    d == edges[k] landing in bin k. int32 is exact (no f32 scatter-add
-    saturation at 2^24); one bin can hold at most n(n-1)/2 pairs, guarded
-    against signed-int32 wrap in the wrapper."""
+    """_pair_hist as scatter-free masked reductions: the shared
+    stats/variogram.masked_bin_reduce kernel (per-edge cumulative counts,
+    adjacent-differenced to exact per-bin int32 counts — bin semantics
+    identical to the searchsorted(side="right") host path, no f32
+    scatter-add saturation at 2^24). Signed-int32 per-bin wrap is guarded
+    in the wrapper via variogram.guard_pair_count_int32."""
+    from cmtci.stats.variogram import masked_bin_reduce
+
     n = xy.shape[0]
     npad = ((n + chunk - 1) // chunk) * chunk
     xp = jnp.pad(xy, ((0, npad - n), (0, 0)))
@@ -67,10 +68,7 @@ def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
         ridx = i * chunk + jnp.arange(chunk)
         d = jnp.sqrt(jnp.sum((blk[:, None, :] - xp[None, :, :]) ** 2, axis=-1))
         valid = (ridx[:, None] < cols[None, :]) & (cols[None, :] < n)
-        cum = [jnp.sum(valid & (d < r_edges[k]), dtype=jnp.int32)
-               for k in range(nbins + 1)]
-        cum = jnp.stack(cum)
-        return acc + (cum[1:] - cum[:-1])
+        return acc + masked_bin_reduce(d, valid, r_edges, nbins)
 
     acc = jnp.zeros(nbins, dtype=jnp.int32)
     return jax.lax.fori_loop(0, npad // chunk, body, acc)
@@ -93,14 +91,12 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None):
     r_vals = np.arange(0, r_max, dr)
     from cmtci.utils.device import analysis_dtype_ctx
 
-    if dtype is not None and n > 65536:
-        # one bin can hold at most n(n-1)/2 pairs; past that the device
-        # head's signed-int32 per-bin counts could wrap (same bound as
-        # variogram.point_variogram_device). The host scatter head
-        # accumulates f64 (exact to 2^53 pairs) and stays unguarded.
-        raise ValueError(
-            f"_shell_counts: {n} points can overflow the signed int32 "
-            "per-bin pair counts (limit 65536); subsample the cloud")
+    if dtype is not None:
+        # device head only: the host scatter head accumulates f64 (exact
+        # to 2^53 pairs) and stays unguarded
+        from cmtci.stats.variogram import guard_pair_count_int32
+
+        guard_pair_count_int32(n, "_shell_counts")
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:  # f64 all-pairs loops stay off emulated-f64 TPUs
         edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]), dt)

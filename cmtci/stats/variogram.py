@@ -374,25 +374,55 @@ def _point_binned_masked(locs, vals, max_d, nbins: int, chunk: int,
         else:
             dv2 = d * d
         dvv = jnp.where(valid, dv2, 0.0)
-        s_list, n_list = [], []
-        for k in range(nbins + 1):
-            m = valid & (d < edges[k])
-            s_list.append(jnp.sum(jnp.where(m, dvv, 0.0)))
-            n_list.append(jnp.sum(m, dtype=jnp.int32))
-        # accumulate PER-BIN (adjacent differences of the in-block
+        # per-bin accumulation (adjacent differences of the in-block
         # cumulative masks), not cumulative: cumulative int32 counts wrap
         # at 2^31 total pairs (~65k points), per-bin wraps only when one
-        # bin alone holds 2^31 pairs (n ≥ ~92.7k even if every pair shares
-        # a bin — guarded in the wrapper)
-        s_cum = jnp.stack(s_list)
-        n_cum = jnp.stack(n_list)
-        return (s_acc + (s_cum[1:] - s_cum[:-1]),
-                n_acc + (n_cum[1:] - n_cum[:-1]))
+        # bin alone holds 2^31 pairs — guarded in the wrapper
+        s_bin, n_bin = masked_bin_reduce(d, valid, edges, nbins, dvv=dvv)
+        return s_acc + s_bin, n_acc + n_bin
 
     init = (jnp.zeros(nbins, dtype=locs.dtype),
             jnp.zeros(nbins, dtype=jnp.int32))
     sums, counts = jax.lax.fori_loop(0, npad // chunk, body, init)
     return jnp.stack([sums, 0.5 * (edges[:-1] + edges[1:])]), counts
+
+
+def guard_pair_count_int32(n: int, what: str) -> None:
+    """Reject clouds whose pair count can wrap the device heads' counts.
+
+    The device pair-histogram heads accumulate SIGNED int32 per-bin counts;
+    one bin can hold at most n(n-1)/2 pairs, so n = 65536 is the last safe
+    size (65536*65535/2 = 2147450880 < 2^31-1). Fail loudly instead of
+    wrapping negative. The host heads accumulate f64 (exact to 2^53 pairs)
+    and stay unguarded. Shared by every masked-reduction pair scan
+    (point_variogram_device, pointstats._shell_counts)."""
+    if n > 65536:
+        raise ValueError(
+            f"{what}: {n} points can overflow the signed int32 per-bin "
+            "pair counts (limit 65536); subsample the cloud")
+
+
+def masked_bin_reduce(d, valid, edges, nbins: int, dvv=None):
+    """Scatter-free per-bin pair reductions (the TPU pattern shared by the
+    device variogram and shell-count heads): cumulative counts of
+    valid & (d < edges[k]) per edge, adjacent-differenced to exact int32
+    per-bin counts — bin semantics identical to searchsorted(side="right"),
+    including d == edges[k] landing in bin k. With `dvv`, also returns the
+    matching per-bin sums (accumulated per-bin, not cumulative, so int
+    wrap needs 2^31 pairs in ONE bin — guard_pair_count_int32 in the
+    wrapper). Traced inside the callers' jits; `nbins` must be static."""
+    s_list, n_list = [], []
+    for k in range(nbins + 1):
+        m = valid & (d < edges[k])
+        n_list.append(jnp.sum(m, dtype=jnp.int32))
+        if dvv is not None:
+            s_list.append(jnp.sum(jnp.where(m, dvv, 0.0)))
+    n_cum = jnp.stack(n_list)
+    counts = n_cum[1:] - n_cum[:-1]
+    if dvv is None:
+        return counts
+    s_cum = jnp.stack(s_list)
+    return s_cum[1:] - s_cum[:-1], counts
 
 
 def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
@@ -416,14 +446,7 @@ def point_variogram_device(locs, values=None, max_dist=None, nbins: int = 50,
         centers = np.linspace(0, max_dist or 1.0, nbins + 1)
         centers = 0.5 * (centers[:-1] + centers[1:])
         return centers, np.full(nbins, np.nan), np.zeros(nbins, dtype=int)
-    if n > 65536:
-        # one bin can hold at most n(n-1)/2 pairs; the device counts are
-        # SIGNED int32, so past 2^31-1 pairs-per-bin (n = 65536 is the last
-        # safe size: 65536*65535/2 = 2147450880) a concentrated cloud wraps
-        # negative — fail loudly instead of wrapping
-        raise ValueError(
-            f"point_variogram_device: {n} points can overflow the signed "
-            "int32 per-bin pair counts (limit 65536); subsample the cloud")
+    guard_pair_count_int32(n, "point_variogram_device")
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:
         vals = (jnp.zeros(n, dt) if values is None

@@ -33,14 +33,22 @@ def analysis_cpu():
 def analysis_dtype_ctx(dtype=None):
     """(dtype, device ctx, x64 ctx) for a dual-backend analysis stage.
 
-    The one policy both device-backend stats stages share (embeddings
-    Lanczos, multifractal count grid): dtype=None follows x64; f64 math
-    pins to the host CPU (TPU f64 is emulated and f64 loop compiles are
-    the documented relay wedge), f32 math runs on the default device with
-    x64 tracing disabled (Mosaic aborts on 64-bit scalars)."""
+    The one policy every device-backend stats stage shares (embeddings
+    Lanczos, multifractal count grid, pair scans, symmetry NN): dtype=None
+    is the HOST path at the ambient precision — pinned to the host CPU even
+    when the caller runs with x64 disabled (e.g. inside the enable_x64(False)
+    region CLAUDE.md mandates around Pallas wrappers), because the host
+    heads use scatter-adds that serialize on TPU and an f32-ambient caller
+    must not silently promote the O(n²) scans onto the accelerator past the
+    device heads' int32 guards. Explicit f64 likewise pins to the host (TPU
+    f64 is emulated and f64 loop compiles are the documented relay wedge);
+    only an explicit f32 dtype runs on the default device, with x64 tracing
+    disabled (Mosaic aborts on 64-bit scalars)."""
     import jax.numpy as jnp
 
     dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    if dt == jnp.float64:
-        return dt, analysis_cpu(), contextlib.nullcontext()
+    if dtype is None or dt == jnp.float64:
+        x64_ctx = (contextlib.nullcontext() if dt == jnp.float64
+                   else jax.enable_x64(False))
+        return dt, analysis_cpu(), x64_ctx
     return dt, contextlib.nullcontext(), jax.enable_x64(False)

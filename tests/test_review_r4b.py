@@ -431,3 +431,81 @@ def test_coupling_f32_artifacts_match_f64_frames(tmp_path):
         v64 = open(f"{p64}_{it}_variogram_construct.csv").read()
         v32 = open(f"{p32}_{it}_variogram_construct.csv").read()
         assert v64 == v32  # host-f64 nudge stream: bitwise
+
+
+def test_suite_accel_guard_falls_back_to_host(tmp_path, capsys, monkeypatch):
+    """A device-head size guard (ValueError) in one accel stage must not
+    abort the suite: the stage reruns on the host path and the remaining
+    stages still execute (cli.py suite fallback; the 65536-point int32
+    guard is exercised directly in test_shell_counts_signed_int32_guard —
+    here a monkeypatched stage stands in so the test stays small)."""
+    from cmtci import cli
+
+    out = str(tmp_path)
+    assert cli.main(["stage1", "--max-n", "12", "--boundary-samples", "80",
+                     "--out", f"{out}/bus"]) == 0
+    real = cli._run_bus_stage
+
+    def fake(st, c, m, ca, matches, out_prefix, opts):
+        if st == "spatial-stats" and opts:
+            raise ValueError("synthetic size-guard rejection")
+        return real(st, c, m, ca, matches, out_prefix, opts)
+
+    monkeypatch.setattr(cli, "_run_bus_stage", fake)
+    capsys.readouterr()
+    assert cli.main(["suite", "--busdir", f"{out}/bus",
+                     "--stages", "spatial-stats,report",
+                     "--device", "accel", "--out", f"{out}/suite"]) == 0
+    cap = capsys.readouterr()
+    line = json.loads(cap.out.strip().splitlines()[-1])
+    assert "hausdorff" in line  # the stage completed on the host path
+    assert "rerunning this stage on the host path" in cap.err
+    assert os.path.exists(f"{out}/suite/spatial-stats_spatial_stats.csv")
+
+
+def test_analysis_dtype_ctx_none_is_host_pinned_under_x64_off(monkeypatch):
+    """dtype=None is the HOST path regardless of the ambient x64 flag: an
+    enable_x64(False) caller on a TPU-default session must not silently
+    promote the O(n²) scatter-add heads onto the accelerator (where they
+    serialize and saturate f32 accumulators past the int32 guards)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmtci.utils import device
+
+    monkeypatch.setattr(device, "on_tpu", lambda: True)
+    with jax.enable_x64(False):
+        dt, dev, _ = device.analysis_dtype_ctx(None)
+    assert dt == jnp.float32  # ambient precision is respected...
+    assert not isinstance(dev, contextlib.nullcontext)  # ...but host-pinned
+    # explicit f32 stays a device path; explicit/ambient f64 stays host
+    _, dev32, _ = device.analysis_dtype_ctx(jnp.float32)
+    assert isinstance(dev32, contextlib.nullcontext)
+    dt64, dev64, _ = device.analysis_dtype_ctx(None)
+    assert dt64 == jnp.float64
+    assert not isinstance(dev64, contextlib.nullcontext)
+
+
+def test_coupling_fused_dispatch_grouping():
+    """n_iter past the fuse cap (8) spans two fused dispatches; the
+    cross-group concatenation must keep every iteration's corr rows
+    aligned with the host-f64 realization (and the trajectory bitwise)."""
+    from cmtci.pipelines.coupling import CouplingConfig, run_coupling
+
+    rng = np.random.default_rng(3)
+    t = rng.uniform(0, 2 * np.pi, 150)
+    c = np.column_stack([0.35 * np.cos(t), 0.35 * np.sin(t)])
+    m = np.column_stack([0.5 * np.cos(t), 0.5 * np.sin(t)]) + 0.01
+    matches = np.arange(150)
+    base = dict(n_iter=10, grid_res=48, max_iter_mb=40, win_local_corr=4)
+    rows64, c64 = run_coupling(c, m, matches, CouplingConfig(**base))
+    rows32, c32 = run_coupling(c, m, matches,
+                               CouplingConfig(**base, field_dtype="float32"))
+    np.testing.assert_array_equal(c64, c32)
+    assert len(rows32) == 10
+    for r64, r32 in zip(rows64, rows32):
+        assert np.isfinite(r32["corr_pot"])  # every NaN placeholder filled
+        assert abs(r64["corr_pot"] - r32["corr_pot"]) < 1e-4
+        assert abs(r64["corr_lap"] - r32["corr_lap"]) < 5e-3

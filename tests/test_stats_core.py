@@ -167,9 +167,19 @@ class TestPointStatsDevice:
                                                         dtype=jnp.float32)
         np.testing.assert_array_equal(r64, r32)
         assert (n64, rho64) == (n32, rho32)
-        # int32 masked counts vs the host scatter histogram: identical up
-        # to borderline f32 bin-edge flips (none at this size/seed)
-        np.testing.assert_array_equal(c64, c32)
+        # int32 masked counts vs the host scatter histogram: the contract
+        # is "identical up to borderline f32 bin-edge flips", so assert
+        # THAT, not seed-dependent exact equality (a different host's f32
+        # FMA/sqrt contraction can flip one borderline pair — CLAUDE.md):
+        # flips move a pair to an adjacent bin, conserving the total and
+        # bounding each bin's drift by the flips at its two edges
+        below_max = float(r64[-1]) + 0.05  # pairs past the last edge drop
+        d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+        n_in = int(np.count_nonzero((np.triu(d, 1) < below_max) & np.triu(
+            np.ones_like(d, dtype=bool), 1)))
+        assert abs(int(c64.sum()) - int(c32.sum())) <= 2  # edge-of-range flips
+        assert int(c64.sum()) == n_in  # host histogram drops nothing inside
+        np.testing.assert_array_equal(np.abs(c64 - c32) <= 2, True)
 
     def test_pair_stats_device_realization(self, rng):
         import jax.numpy as jnp
