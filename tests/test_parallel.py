@@ -234,3 +234,45 @@ def test_analysis_step_runs_on_mesh(n_dev):
     assert 0.0 < got["escaped_frac"] < 1.0
     assert np.isfinite(got["kl"]) and got["kl"] > 0
     assert abs(got["kl"] - ref["kl"]) < 1e-5
+
+
+def test_sharded_shell_counts_matches_single_device(rng):
+    """The mesh head must agree with BOTH single-device heads bin for bin
+    (same masked_bin_reduce kernel at equal dtype), and its `_shells`
+    tuple must drop into pair_correlation/ripley_k unchanged."""
+    from cmtci.stats import pointstats as ps
+
+    mesh = sharded.device_mesh()
+    pts = rng.uniform(size=(919, 2))  # odd size: pad rows cross devices
+    r64, c64, n64, rho64 = ps._shell_counts(pts, 0.5, 0.05)
+    for n_dev, chunk in ((8, 64), (4, 128), (2, 64)):
+        m = sharded.device_mesh(n_dev)
+        rs, cs, ns_, rhos = sharded.sharded_shell_counts(pts, 0.5, 0.05, m,
+                                                         chunk=chunk)
+        np.testing.assert_array_equal(rs, r64)
+        np.testing.assert_array_equal(cs, c64)  # f64 vs f64: bitwise
+        assert (ns_, rhos) == (n64, rho64)
+    # f32 partials == the single-device f32 masked head exactly
+    _, c32, _, _ = ps._shell_counts(pts, 0.5, 0.05, dtype=jnp.float32)
+    _, cs32, _, _ = sharded.sharded_shell_counts(pts, 0.5, 0.05, mesh,
+                                                 chunk=64, dtype=jnp.float32)
+    np.testing.assert_array_equal(cs32, c32)
+    # the tuple IS a drop-in for the stats wrappers
+    sh = sharded.sharded_shell_counts(pts, 0.4, 0.04, mesh, chunk=64)
+    rv, g_mesh = ps.pair_correlation(pts, 0.4, 0.04, _shells=sh)
+    _, g_one = ps.pair_correlation(pts, 0.4, 0.04)
+    np.testing.assert_allclose(g_mesh, g_one, rtol=1e-12)
+    _, k_mesh = ps.ripley_k(pts, 0.4, 0.04, _shells=sh)
+    _, k_one = ps.ripley_k(pts, 0.4, 0.04)
+    np.testing.assert_allclose(k_mesh, k_one, rtol=1e-12)
+
+
+def test_sharded_shell_counts_per_device_guard():
+    """The int32 bound applies per device (rows_per·(n-1) pairs), so the
+    single-device mesh still rejects 70k points while 8 devices accept
+    larger clouds than the single-device head's 65536 limit."""
+    import pytest
+
+    mesh1 = sharded.device_mesh(1)
+    with pytest.raises(ValueError, match="signed int32"):
+        sharded.sharded_shell_counts(np.zeros((70000, 2)), 0.5, 0.05, mesh1)
