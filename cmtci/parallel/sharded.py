@@ -443,6 +443,61 @@ def sharded_green_cloud(points, max_iter: int = 20000, escape_r: float = 2.0,
                                         stage_executor=green_stage_executor(mesh))
 
 
+def sharded_cloud_potential(domain, nx: int, ny: int, pts, mesh: Mesh,
+                            eps: float = 1e-12, sign: int = 1,
+                            dtype=jnp.float32, chunk: int = 2048):
+    """Row-sharded cloud log-potential grid (K8's multi-chip head).
+
+    Each device synthesizes its row block's coordinates from the axis index
+    (like sharded_dwell_grid) and accumulates the SAME blocked point-chunk
+    reduction as kernels.potential._accumulate over the replicated cloud —
+    per-pixel sums are independent, so there are no collectives (SURVEY
+    §5.8: all comm is map+reduce; here the reduce is over the replicated
+    point axis, done locally). Bitwise-identical to cloud_log_potential on
+    the same synthesized coordinates (same chunk walk per pixel).
+    Reference conventions: Potentials.py:19-27 (sign=+1),
+    Laplacian_C-M.py:16-24 / variograms_construct_mandelbrot.py:128-146
+    (sign=-1). ny must be a mesh multiple. Returns the (ny, nx) grid.
+    """
+    from cmtci.kernels.potential import _accumulate
+    from cmtci.utils.arrays import as_xy
+
+    _guard_accel_f64(mesh, dtype, "sharded_cloud_potential")
+    n_dev = mesh.devices.size
+    if ny % n_dev:
+        raise ValueError(f"ny={ny} must be a multiple of mesh size {n_dev}")
+    xy = as_xy(pts)
+    n = len(xy)
+    if n == 0:
+        return jnp.zeros((ny, nx), dtype=dtype)
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    rows_per = ny // n_dev
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    px = jnp.asarray(np.pad(xy[:, 0], (0, n_pad - n)), dtype)
+    py = jnp.asarray(np.pad(xy[:, 1], (0, n_pad - n)), dtype)
+    w = jnp.asarray(np.pad(np.ones(n), (0, n_pad - n)), dtype)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None),) * 3,
+        out_specs=P("data", None), check_vma=False,
+    )
+    def run(px_r, py_r, w_r):
+        idx = jax.lax.axis_index("data")
+        row0 = (idx * rows_per).astype(dtype)
+        rows = row0 + jnp.arange(rows_per, dtype=dtype)
+        cols = jnp.arange(nx, dtype=dtype)
+        gx = jnp.broadcast_to((xmin + cols[None, :] * dx).astype(dtype),
+                              (rows_per, nx))
+        gy = jnp.broadcast_to((ymin + rows[:, None] * dy).astype(dtype),
+                              (rows_per, nx))
+        return _accumulate(gx, gy, px_r, py_r, w_r, dtype(eps),
+                           1 if sign > 0 else -1, chunk)
+
+    return run(px, py, w) / n
+
+
 # ---------------------------------------------------------------------------
 # The real tracker stage, sharded (gi_assumption_tracker_v3.py:212-247)
 # ---------------------------------------------------------------------------

@@ -276,3 +276,45 @@ def test_sharded_shell_counts_per_device_guard():
     mesh1 = sharded.device_mesh(1)
     with pytest.raises(ValueError, match="signed int32"):
         sharded.sharded_shell_counts(np.zeros((70000, 2)), 0.5, 0.05, mesh1)
+
+
+def test_sharded_cloud_potential_matches_single_device(rng):
+    """Row-sharded K8 grid == the single-device kernel bitwise at equal
+    dtype/chunk on the same synthesized coordinates, across mesh sizes and
+    both sign conventions."""
+    from cmtci.kernels.potential import cloud_log_potential
+
+    pts = rng.uniform(-1.5, 1.0, size=(501, 2))  # non-chunk-multiple cloud
+    domain = (-2.25, 1.25, -1.75, 1.75)
+    nx, ny = 48, 48
+    xmin, xmax, ymin, ymax = domain
+    dx = (xmax - xmin) / (nx - 1)
+    dy = (ymax - ymin) / (ny - 1)
+    for dt in (jnp.float32, jnp.float64):
+        cols = jnp.arange(nx, dtype=dt)
+        rows = jnp.arange(ny, dtype=dt)
+        gx = np.asarray(jnp.broadcast_to((xmin + cols[None, :] * dx).astype(dt), (ny, nx)))
+        gy = np.asarray(jnp.broadcast_to((ymin + rows[:, None] * dy).astype(dt), (ny, nx)))
+        ref = np.asarray(cloud_log_potential(gx, gy, pts, sign=1, chunk=128))
+        for n_dev in (2, 4, 8):
+            m = sharded.device_mesh(n_dev)
+            got = np.asarray(sharded.sharded_cloud_potential(
+                domain, nx, ny, pts, m, sign=1, dtype=dt, chunk=128))
+            np.testing.assert_array_equal(got, ref)
+    # sign=-1 convention (Laplacian_C-M.py:16-24) and empty-cloud edge
+    mesh = sharded.device_mesh()
+    ref_neg = np.asarray(cloud_log_potential(gx, gy, pts, sign=-1, chunk=128))
+    got_neg = np.asarray(sharded.sharded_cloud_potential(
+        domain, nx, ny, pts, mesh, sign=-1, dtype=jnp.float64, chunk=128))
+    np.testing.assert_array_equal(got_neg, ref_neg)
+    assert not np.asarray(sharded.sharded_cloud_potential(
+        domain, nx, ny, np.zeros((0, 2)), mesh)).any()
+
+
+def test_sharded_cloud_potential_guards():
+    import pytest
+
+    mesh = sharded.device_mesh()
+    with pytest.raises(ValueError, match="multiple of mesh size"):
+        sharded.sharded_cloud_potential((-1, 1, -1, 1), 16, 13,
+                                        np.zeros((4, 2)), mesh)
