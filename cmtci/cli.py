@@ -207,6 +207,12 @@ def main(argv=None):
     p.add_argument("--levels", type=int, default=4, choices=[1, 2, 3, 4],
                    help="number of refinement levels (the reference v18 runs "
                         "all 4, L0-L3; the full study is ~1 s warm)")
+    p.add_argument("--solver", choices=["auto", "spsolve", "cg", "device"],
+                   default="auto",
+                   help="FEM linear solver: device = the fused on-device "
+                        "θ-iteration (one dispatch per mesh, dense Cholesky; "
+                        "f32 on TPU with a final host f64 solve); auto picks "
+                        "device on a TPU session, SuperLU otherwise")
     _add_common(p)
 
     p = sub.add_parser("uniformize-green", help="v40 boundary-integral Riemann map")
@@ -634,7 +640,8 @@ def _dispatch(args):
             REFINEMENT_LEVELS, FEMUniformizeConfig, run_fem_uniformization,
         )
 
-        cfg = FEMUniformizeConfig()
+        cfg = FEMUniformizeConfig(
+            solver=None if args.solver == "auto" else args.solver)
         results = run_fem_uniformization(cfg, args.out, REFINEMENT_LEVELS[: args.levels])
         print(json.dumps({"levels": len(results), "K_median_L0": results[0]["all"]["K_median"]}))
     elif cmd == "uniformize-green":

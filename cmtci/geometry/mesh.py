@@ -73,13 +73,33 @@ def polygon_to_mesh(
     centroids = pts[t].mean(axis=1)
     t = t[poly.contains(centroids)]
 
-    # 6) drop near-degenerate triangles
+    # 6) drop degenerate triangles — RELATIVE criterion. Exactly-collinear
+    # boundary runs (arclength resampling of straight polygon edges) make
+    # qhull's QJ joggle emit "cap" triangles of height ~1e-13 whose P1
+    # stiffness rows reach ~1e12 (κ(K)≈2e15): zero geometric content, but
+    # enough to put an f32 solve permanently out of reach. Genuine thin
+    # triangles on these domains have height ≥ ~1e-3·edge, so the 1e-9
+    # relative threshold sits three decades clear of both populations.
+    # (The previous ABSOLUTE 2e-14 guard passed the joggle caps.)
     p0, p1, p2 = pts[t[:, 0]], pts[t[:, 1]], pts[t[:, 2]]
     dbl_area = np.abs(
         (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
         - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0])
     )
-    t = t[dbl_area > 2e-14]
+    edge_sq = np.maximum(
+        ((p1 - p0) ** 2).sum(1),
+        np.maximum(((p2 - p1) ** 2).sum(1), ((p0 - p2) ** 2).sum(1)),
+    )
+    t = t[dbl_area > np.maximum(2e-9 * edge_sq, 2e-14)]
+
+    # 7) remove orphaned nodes (a node whose every triangle was a dropped
+    # cap would leave a zero stiffness row)
+    used = np.zeros(len(pts), dtype=bool)
+    used[t.reshape(-1)] = True
+    if not used.all():
+        remap = np.cumsum(used) - 1
+        pts = pts[used]
+        t = remap[t]
     return pts, t
 
 

@@ -82,6 +82,10 @@ def dirichlet_solve(k: sp.csr_matrix, bnd: np.ndarray, g_bnd: np.ndarray, method
     u[bnd] = g_bnd
     if method == "cg":
         u[free] = _cg_solve(k_ff.tocsr(), rhs_f)
+    elif method == "device":
+        from cmtci.maps.fem_device import DeviceSPDSolver
+
+        u[free] = DeviceSPDSolver(k_ff).solve(rhs_f)
     else:
         u[free] = spsolve(k_ff.tocsr(), rhs_f)
     return u
@@ -141,6 +145,10 @@ def harmonic_conjugate(points, triangles, u, pin: int = 0, method: str = "spsolv
     v = np.zeros(n)
     if method == "cg":
         v[free] = _cg_solve(k_ff, rhs_f)
+    elif method == "device":
+        from cmtci.maps.fem_device import DeviceSPDSolver
+
+        v[free] = DeviceSPDSolver(k_ff).solve(rhs_f)
     else:
         v[free] = spsolve(k_ff, rhs_f)
     return v
@@ -221,7 +229,17 @@ def theta_iteration(
     so both are LU-factorized once and the iters+1 passes reuse the
     factors (the reference re-runs spsolve per pass, v18:726-727; 7
     SuperLU factorizations per system collapse to 1).
+
+    method="device" runs the WHOLE iteration on the accelerator as one
+    fused dispatch (dense Cholesky solves; see maps/fem_device.py).
     """
+    if method == "device":
+        from cmtci.maps.fem_device import theta_iteration_device
+
+        return theta_iteration_device(
+            points, triangles, poly, iters=iters, relax=relax, smooth=smooth,
+            unwrap_anchor=unwrap_anchor, periodic_enforce=periodic_enforce,
+            feedback=feedback, verbose=verbose, bnd_data=bnd_data)
     bnd_ord, s_b, big_l = (bnd_data if bnd_data is not None
                            else boundary_order_by_arclength(points, triangles, poly))
     theta = -np.pi + 2.0 * np.pi * (s_b / big_l)

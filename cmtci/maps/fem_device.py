@@ -1,0 +1,420 @@
+"""Device-native FEM θ-iteration (S2-S4 on the accelerator).
+
+The reference solves the Laplace Dirichlet problem and the harmonic
+conjugate with scipy `spsolve` per θ-iteration pass
+(lucas_to_cardioid_v18_periodic_theta_crbins_artifacts.py:726-727, assembly
+:331-346). The host rebuild (cmtci.maps.fem) already collapses the repeated
+factorizations to one SuperLU factor pair — this module moves the WHOLE
+iteration onto the device as a single fused XLA dispatch per mesh:
+
+  * the operators (Dirichlet K_ff, Dirichlet K_fb, the FULL Neumann K for
+    the conjugate) are shipped as COO triplets (a few MB) and scattered
+    into dense on-device — never transfer an O(n²) dense matrix through
+    the TPU relay;
+  * both SPD blocks are symmetrically equilibrated (D^-1/2 K D^-1/2; the
+    Lucas alpha-shape meshes carry slim boundary triangles whose stiffness
+    diagonal spans ~1e11, κ(K_ff)≈3e13 raw vs ≈7e2 equilibrated) and
+    Cholesky-factorized ONCE; every pass is two triangular solves + the
+    weak-form conjugate RHS as a segment-sum over triangles;
+  * the conjugate is solved as the statically-condensed, rank-one-lifted
+    full Neumann system instead of the host's drop-one-row pin. The Lucas
+    alpha-shape meshes carry a handful of sliver vertices whose stiffness
+    diagonal is ~1e11: the raw pinned system has κ≈2e15 (the weak
+    single-node pin), equilibration alone still leaves sliver-localized
+    modes at λ≈1e-11 whose f32 Cholesky is not positive-definite — yet
+    those modes carry the slivers' REAL O(1) boundary values (they are
+    weakly-coupled DOFs, not noise), so they cannot be regularized away.
+    The fix is structural: the host Schur-eliminates the high-diagonal
+    sliver nodes in f64 (a |s|≈10 dense block), ships the reduced
+    equilibrated operator (κ≈3e3 after the constant-mode lift ŵŵᵀ,
+    f32-friendly) plus the back-substitution couplings W = K_ss⁻¹K_sr,
+    and the device recovers v_s = K_ss⁻¹b_s − W v_r per pass — an O(1)
+    interpolation map that is benign in f32. The result is then shifted
+    so v[pin]=0; it matches the host pinned solve to the ~1e-4
+    conditioning floor (the spread between ANY two backward-stable f64
+    solvers on the κ≈2e15 pinned system);
+  * the θ machinery (circle normalization with a median radius, anchored
+    unwrap, periodic moving average, 2π-mismatch redistribution,
+    relaxation) runs in jnp between the solves, so the 6-pass iteration
+    plus the final solve is ONE jit call — one relay roundtrip instead of
+    14+ host↔device solves.
+
+dtype policy (utils/device): float64 path is exact (used on CPU meshes and
+in the parity tests — agrees with the SuperLU path to ~1e-12); on a TPU
+session the factorization runs float32 (f64 dense linalg is unimplemented
+on TPU) and `final_host_solve=True` (the default there) re-solves the final
+pass on the host in f64 with the converged θ, so the returned u/v — and the
+CR-defect/Beltrami diagnostics computed from them — carry full f64 solve
+accuracy; only the θ trajectory itself is f32 (observed ~1e-5 vs f64,
+VALIDATION.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from cmtci.utils.device import on_tpu
+
+
+def _coo_parts(m: sp.spmatrix, dtype):
+    c = m.tocoo()
+    return (jnp.asarray(c.row.astype(np.int32)),
+            jnp.asarray(c.col.astype(np.int32)),
+            jnp.asarray(c.data.astype(dtype)))
+
+
+def _dense_from_coo(rows, cols, vals, shape, dtype):
+    return jnp.zeros(shape, dtype).at[rows, cols].add(vals)
+
+
+def _unwrap_anchored(theta, anchor: int):
+    """jnp version of fem.unwrap_theta (np.unwrap + 2π re-anchoring)."""
+    u = jnp.unwrap(theta)
+    off = u[anchor] - theta[anchor]
+    return u - 2.0 * jnp.pi * jnp.round(off / (2.0 * jnp.pi))
+
+
+def _moving_avg_periodic(x, w: int, winding):
+    """jnp version of fem.moving_average_periodic (w static, odd).
+
+    Unrolled shifted-slice sum, NOT jnp.convolve: on TPU the conv lowers
+    to a bf16 convolution (even under default_matmul_precision("highest"))
+    whose ~1e-2 error per pass the θ feedback amplifies to O(1)."""
+    if w <= 1:
+        return x
+    pad = w // 2
+    x_ext = jnp.concatenate([x[-pad:] - winding, x, x[:pad] + winding])
+    n = x.shape[0]
+    acc = x_ext[:n]
+    for i in range(1, w):
+        acc = acc + x_ext[i : i + n]
+    return acc / x.dtype.type(w)
+
+
+def _circle_normalize(ub, vb):
+    """jnp version of fem.circle_normalize_boundary (mean center, median
+    radius with the degenerate-radius fallback, v18:674-684)."""
+    cu = jnp.mean(ub)
+    cv = jnp.mean(vb)
+    r_abs = jnp.hypot(ub - cu, vb - cv)
+    r = jnp.median(r_abs)
+    r = jnp.where(jnp.isfinite(r) & (r >= 1e-12), r, jnp.mean(r_abs) + 1e-12)
+    return cu, cv, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "iters", "relax", "smooth", "anchor", "pin",
+                     "feedback", "periodic_enforce"),
+)
+def _theta_core(
+    ffd, fbd, sred,           # each: (rows, cols, vals) COO triplets
+    d_d, d_s, w_hat,          # equilibration scalings + lifted null vector
+    kss_inv, w_bs,            # sliver condensation: K_ss⁻¹, W = K_ss⁻¹K_sr
+    r_idx, s_idx,             # non-sliver / sliver node indices
+    tris, grads, area,        # conjugate weak-form data
+    t_param,                  # s_b / L, arclength parameter in [0,1)
+    bnd_idx, free_d_idx,
+    *, n: int, iters: int, relax: float, smooth: int, anchor: int,
+    pin: int, feedback: bool, periodic_enforce: bool,
+):
+    dtype = area.dtype
+    nf_d = free_d_idx.shape[0]
+    nb = bnd_idx.shape[0]
+    nr = r_idx.shape[0]
+    # ffd/sred arrive pre-equilibrated (vals already D^-1/2 · D^-1/2);
+    # sred is the Schur-condensed Neumann operator on the r (non-sliver)
+    # nodes, w_hat its equilibrated constant null vector, kss_inv/w_bs the
+    # f64-host-prepared |s|-block inverse and couplings W = K_ss⁻¹K_sr.
+    kd = _dense_from_coo(*ffd, (nf_d, nf_d), dtype)
+    kb = _dense_from_coo(*fbd, (nf_d, nb), dtype)
+    kc = (_dense_from_coo(*sred, (nr, nr), dtype)
+          + w_hat[:, None] * w_hat[None, :])
+    lc = jnp.linalg.cholesky(kc)
+    ld = jnp.linalg.cholesky(kd)
+    two_pi = dtype.type(2.0 * np.pi)
+    pi = dtype.type(np.pi)
+
+    def chol_solve(l_fac, b):
+        y = jax.lax.linalg.triangular_solve(
+            l_fac, b[:, None], left_side=True, lower=True)
+        return jax.lax.linalg.triangular_solve(
+            l_fac, y, left_side=True, lower=True, transpose_a=True)[:, 0]
+
+    def solve_conj(rhs):
+        b_s = rhs[s_idx]
+        b_r = rhs[r_idx] - w_bs.T @ b_s
+        v_r = d_s * chol_solve(lc, d_s * b_r)
+        v_s = kss_inv @ b_s - w_bs @ v_r
+        v0 = jnp.zeros((n,), dtype).at[r_idx].set(v_r).at[s_idx].set(v_s)
+        return v0 - v0[pin]
+
+    def solve_uv(th_bnd):
+        g = jnp.cos(th_bnd)
+        uf = d_d * chol_solve(ld, -d_d * (kb @ g))
+        u = jnp.zeros((n,), dtype).at[bnd_idx].set(g).at[free_d_idx].set(uf)
+        gu = jnp.einsum("ta,tad->td", u[tris], grads)
+        ju = jnp.stack([-gu[:, 1], gu[:, 0]], axis=-1)
+        contrib = area[:, None] * jnp.einsum("td,tad->ta", ju, grads)
+        rhs = jax.ops.segment_sum(contrib.reshape(-1), tris.reshape(-1),
+                                  num_segments=n)
+        return u, solve_conj(rhs)
+
+    theta0 = -pi + two_pi * t_param
+    theta = theta0
+    period_mis = dtype.type(np.nan)
+    drifts = []
+    for _ in range(iters):
+        u, v = solve_uv(theta if feedback else theta0)
+        cu, cv, r = _circle_normalize(u[bnd_idx], v[bnd_idx])
+        theta_new = jnp.arctan2((v[bnd_idx] - cv) / r, (u[bnd_idx] - cu) / r)
+        if feedback:
+            theta_new = _unwrap_anchored(theta_new, anchor)
+            span = theta_new[-1] - theta_new[0]
+            wind = two_pi * jnp.round(span / two_pi
+                                      + dtype.type(0.1) * jnp.sign(span))
+            theta_new = _moving_avg_periodic(theta_new, smooth, wind)
+        else:
+            theta_new = _moving_avg_periodic(theta_new, smooth, dtype.type(0))
+            theta_new = _unwrap_anchored(theta_new, anchor)
+        if periodic_enforce:
+            theta_new = theta_new - theta_new[0]
+            period_mis = (theta_new[-1] - theta_new[0]) - two_pi
+            theta_new = theta_new - period_mis * t_param
+        drifts.append(jnp.median(jnp.abs(theta_new - theta)))
+        theta = (dtype.type(1.0 - relax) * theta
+                 + dtype.type(relax) * theta_new)
+
+    u, v = solve_uv(theta if feedback else theta0)
+    cu, cv, r = _circle_normalize(u[bnd_idx], v[bnd_idx])
+    # pack the outputs: through the TPU relay every fetched array is a
+    # roundtrip, so (uv, scalars, theta, drifts) instead of 8 arrays
+    uv = jnp.stack([(u - cu) / r, (v - cv) / r])
+    scalars = jnp.stack([cu, cv, r, period_mis])
+    return (uv, scalars, theta,
+            jnp.stack(drifts) if drifts else jnp.zeros((0,), dtype))
+
+
+def _reduced_systems(k: sp.csr_matrix, bnd_ord: np.ndarray, pin: int = 0):
+    """Host extraction of the three reduced operators (cheap CSR slicing)."""
+    n = k.shape[0]
+    free_d = np.ones(n, dtype=bool)
+    free_d[bnd_ord] = False
+    free_c = np.ones(n, dtype=bool)
+    free_c[pin] = False
+    return (k[free_d][:, free_d], k[free_d][:, bnd_ord], k[free_c][:, free_c],
+            np.where(free_d)[0], np.where(free_c)[0])
+
+
+def _equilibrated_coo(m: sp.spmatrix, dtype):
+    """(COO triplets of D^-1/2 M D^-1/2, d = 1/sqrt(diag M)) — scaling in
+    f64 on the host so the shipped f32 triplets carry no extra roundoff."""
+    c = m.tocoo()
+    d = 1.0 / np.sqrt(c.tocsr().diagonal())
+    vals = c.data * d[c.row] * d[c.col]
+    return (jnp.asarray(c.row.astype(np.int32)),
+            jnp.asarray(c.col.astype(np.int32)),
+            jnp.asarray(vals.astype(dtype))), d
+
+
+def _condense_slivers(k: sp.csr_matrix, diag_factor: float = 1e6):
+    """Static condensation of the sliver vertices out of the Neumann K.
+
+    Sliver nodes — diag(K) > diag_factor·median(diag(K)), from slim
+    alpha-shape boundary triangles — are the source of the λ≈1e-11
+    equilibrated modes that break an f32 factorization. Eliminating them
+    exactly (f64 host Schur complement over a ~10-node dense block) leaves
+    a reduced Neumann operator whose equilibrated+lifted κ is ~3e3.
+
+    Returns (r_idx, s_idx, S, kss_inv, W) with S = K_rr − K_rs K_ss⁻¹ K_sr
+    (sparse — W inherits K_sr's column sparsity) and W = K_ss⁻¹ K_sr.
+    """
+    dg = k.diagonal()
+    s_mask = dg > diag_factor * np.median(dg)
+    s_idx = np.where(s_mask)[0]
+    r_idx = np.where(~s_mask)[0]
+    if len(s_idx) == 0:
+        return r_idx, s_idx, k, np.zeros((0, 0)), sp.csr_matrix((0, k.shape[0]))
+    kss_inv = np.linalg.inv(k[s_idx][:, s_idx].toarray())
+    k_sr = k[s_idx][:, r_idx].tocsr()
+    w = sp.csr_matrix(kss_inv) @ k_sr
+    s_red = (k[r_idx][:, r_idx] - k[r_idx][:, s_idx] @ w).tocsr()
+    return r_idx, s_idx, s_red, kss_inv, w
+
+
+class ThetaHandle:
+    """Async handle for a dispatched device θ-iteration.
+
+    The dispatch is non-blocking (jax async execution): a pipeline can
+    dispatch every level's iteration before fetching any result, so the
+    TPU relay roundtrips overlap across meshes. `.result()` fetches and
+    (for f32 runs) performs the final host f64 solve at the converged θ.
+    """
+
+    def __init__(self, out, ctx):
+        self._out = out
+        self._ctx = ctx
+
+    def result(self):
+        from cmtci.maps import fem
+
+        uv, scalars, theta, drifts = self._out
+        c = self._ctx
+        if c["verbose"]:
+            for i, d in enumerate(np.asarray(drifts), start=1):
+                print(f"    [theta-iter/device] k={i}/{len(drifts)} median "
+                      f"drift {float(d):.6f} rad")
+        if c["final_host_solve"]:
+            theta_h = np.asarray(theta, dtype=np.float64)
+            period_mis = float(np.asarray(scalars)[3])
+            n, bnd_ord, s_b, big_l = c["n"], c["bnd_ord"], c["s_b"], c["big_l"]
+            triangles, grads, area = c["triangles"], c["grads"], c["area"]
+            th0 = -np.pi + 2.0 * np.pi * (s_b / big_l)
+            free_d = np.ones(n, dtype=bool)
+            free_d[bnd_ord] = False
+            k_fb = c["k"][free_d][:, bnd_ord].tocsr()
+            solve_d = sp.linalg.splu(c["kffd"].tocsc()).solve
+            solve_c = sp.linalg.splu(c["kffc"].tocsc()).solve
+            g = np.cos(theta_h if c["feedback"] else th0)
+            u = np.zeros(n)
+            u[bnd_ord] = g
+            u[c["free_d_idx"]] = solve_d(-(k_fb @ g))
+            rhs = fem._conjugate_rhs(triangles, grads, area, u, n)
+            v = np.zeros(n)
+            v[c["free_c_idx"]] = solve_c(rhs[c["free_c_idx"]])
+            wb = u[bnd_ord] + 1j * v[bnd_ord]
+            c_last, r_last, _ = fem.circle_normalize_boundary(wb)
+            w = (u + 1j * v - c_last) / r_last
+            return w.real, w.imag, c_last, r_last, period_mis
+        uv_h = np.asarray(uv, np.float64)
+        sc = np.asarray(scalars, np.float64)
+        return (uv_h[0], uv_h[1], complex(sc[0], sc[1]), float(sc[2]),
+                float(sc[3]))
+
+
+def dispatch_theta_iteration_device(
+    points, triangles, poly,
+    iters: int = 6, relax: float = 0.7, smooth: int = 7,
+    unwrap_anchor: int = 0, periodic_enforce: bool = True,
+    feedback: bool = True, verbose: bool = False,
+    bnd_data=None, dtype=None, final_host_solve: bool | None = None,
+) -> ThetaHandle:
+    """Dispatch the fused θ-iteration to the device; returns a ThetaHandle.
+
+    dtype=None resolves to float32 on a TPU session, float64 otherwise.
+    final_host_solve (default: True exactly when the device ran f32)
+    re-solves the final pass on the host with SuperLU in f64 at the
+    device-converged θ, so downstream CR/Beltrami diagnostics see full
+    solve precision regardless of the accelerator dtype. Matmuls trace at
+    precision=HIGHEST — the TPU default (bf16 passes) loses ~3 digits of
+    the θ trajectory.
+    """
+    from cmtci.maps import fem
+
+    bnd_ord, s_b, big_l = (bnd_data if bnd_data is not None
+                           else fem.boundary_order_by_arclength(
+                               points, triangles, poly))
+    if dtype is None:
+        dtype = jnp.float32 if on_tpu() else jnp.float64
+    dtype = jnp.dtype(dtype)
+    if final_host_solve is None:
+        final_host_solve = dtype == jnp.float32
+
+    smooth = int(smooth)
+    if smooth > 1 and smooth % 2 == 0:
+        smooth += 1  # host moving_average_periodic widens even windows
+
+    k = fem.assemble_stiffness(points, triangles)
+    grads, area = fem.p1_grads_areas(points, triangles)
+    kffd, kfbd, kffc, free_d_idx, free_c_idx = _reduced_systems(k, bnd_ord)
+    n = len(points)
+    ffd_eq, d_d = _equilibrated_coo(kffd, dtype)
+    r_idx, s_idx, s_red, kss_inv, w_cpl = _condense_slivers(k)
+    sred_eq, d_s = _equilibrated_coo(s_red, dtype)
+    w = 1.0 / d_s  # D^{1/2}·1_r — the reduced Neumann null vector
+    w_hat = w / np.linalg.norm(w)
+
+    with jax.default_matmul_precision("highest"):
+        out = _theta_core(
+            ffd_eq, _coo_parts(kfbd, dtype), sred_eq,
+            jnp.asarray(d_d.astype(dtype)), jnp.asarray(d_s.astype(dtype)),
+            jnp.asarray(w_hat.astype(dtype)),
+            jnp.asarray(kss_inv.astype(dtype)),
+            jnp.asarray(w_cpl.toarray().astype(dtype)),
+            jnp.asarray(r_idx.astype(np.int32)),
+            jnp.asarray(s_idx.astype(np.int32)),
+            jnp.asarray(triangles.astype(np.int32)),
+            jnp.asarray(grads.astype(dtype)), jnp.asarray(area.astype(dtype)),
+            jnp.asarray((s_b / big_l).astype(dtype)),
+            jnp.asarray(bnd_ord.astype(np.int32)),
+            jnp.asarray(free_d_idx.astype(np.int32)),
+            n=n, iters=int(iters), relax=float(relax), smooth=smooth,
+            anchor=int(unwrap_anchor), pin=0, feedback=bool(feedback),
+            periodic_enforce=bool(periodic_enforce),
+        )
+    ctx = dict(verbose=verbose, final_host_solve=final_host_solve,
+               feedback=feedback, n=n, bnd_ord=bnd_ord, s_b=s_b, big_l=big_l,
+               triangles=triangles, grads=grads, area=area, k=k, kffd=kffd,
+               kffc=kffc, free_d_idx=free_d_idx, free_c_idx=free_c_idx)
+    return ThetaHandle(out, ctx)
+
+
+def theta_iteration_device(points, triangles, poly, **kw):
+    """Drop-in device twin of fem.theta_iteration (same returns)."""
+    return dispatch_theta_iteration_device(points, triangles, poly,
+                                           **kw).result()
+
+
+class DeviceSPDSolver:
+    """Dense Cholesky solver on the device for a (reduced) SPD FEM matrix.
+
+    The standalone-solve twin of the fused θ-iteration path: ships the
+    matrix as COO, factorizes once on device, and solves right-hand sides
+    with two triangular solves per call. `refine` steps of classical
+    iterative refinement compute the residual on the host in f64 against
+    the exact sparse operator — on an f32 accelerator this recovers ~4
+    digits per step until the f32 correction-solve floor (~κ·ε32).
+    Reference solves: lucas_to_cardioid_v18...py:726-727 (spsolve).
+    """
+
+    def __init__(self, k_ff: sp.spmatrix, dtype=None):
+        if dtype is None:
+            dtype = jnp.float32 if on_tpu() else jnp.float64
+        self.dtype = jnp.dtype(dtype)
+        self.k = k_ff.tocsr()
+        (rows, cols, vals), self._d = _equilibrated_coo(self.k, self.dtype)
+        nf = self.k.shape[0]
+        with jax.default_matmul_precision("highest"):
+            self._l = _spd_factor(rows, cols, vals, nf)
+
+    def _apply(self, b64: np.ndarray) -> np.ndarray:
+        y = _chol_solve_jit(self._l, jnp.asarray(
+            (self._d * b64).astype(self.dtype)))
+        return self._d * np.asarray(y, np.float64)
+
+    def solve(self, b: np.ndarray, refine: int = 2) -> np.ndarray:
+        b64 = np.asarray(b, np.float64)
+        with jax.default_matmul_precision("highest"):
+            x = self._apply(b64)
+            for _ in range(refine):
+                x = x + self._apply(b64 - self.k @ x)
+        return x
+
+
+@functools.partial(jax.jit, static_argnames=("nf",))
+def _spd_factor(rows, cols, vals, nf: int):
+    return jnp.linalg.cholesky(_dense_from_coo(rows, cols, vals,
+                                               (nf, nf), vals.dtype))
+
+
+@jax.jit
+def _chol_solve_jit(l_fac, b):
+    y = jax.lax.linalg.triangular_solve(l_fac, b[:, None],
+                                        left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        l_fac, y, left_side=True, lower=True, transpose_a=True)[:, 0]

@@ -378,7 +378,8 @@ def _guard_green_accel(platform: str, dtype) -> None:
 
 
 def _guard_accel_f64(mesh: Mesh, dtype, what: str) -> None:
-    """Reject f64 escape/Aberth while_loops on a non-CPU mesh.
+    """Reject f64 iteration loops (escape/Aberth/log-sqrt alike) on a
+    non-CPU mesh.
 
     The same policy _guard_green_accel/_guard_accel_step enforce, applied at
     the shared shard_map entry points (previously only the run_tracker
@@ -386,10 +387,10 @@ def _guard_accel_f64(mesh: Mesh, dtype, what: str) -> None:
     through the remote-compile relay is the documented wedge hazard."""
     if mesh.devices.flat[0].platform != "cpu" and jnp.dtype(dtype) == jnp.float64:
         raise ValueError(
-            f"{what}: refusing to shard_map an f64 escape/Aberth loop onto "
-            "an accelerator mesh (f64 is emulated there and f64 while_loop "
-            "compiles can wedge the compile relay). Use a CPU mesh for the "
-            "f64 path, or the f32/pallas single-chip path.")
+            f"{what}: refusing to shard_map an f64 loop onto an accelerator "
+            "mesh (f64 is emulated there and f64 loop compiles can wedge "
+            "the compile relay). Use a CPU mesh for the f64 path, or the "
+            "f32/pallas single-chip path.")
 
 
 def green_stage_executor(mesh: Mesh):
@@ -492,7 +493,7 @@ def sharded_cloud_potential(domain, nx: int, ny: int, pts, mesh: Mesh,
                               (rows_per, nx))
         gy = jnp.broadcast_to((ymin + rows[:, None] * dy).astype(dtype),
                               (rows_per, nx))
-        return _accumulate(gx, gy, px_r, py_r, w_r, dtype(eps),
+        return _accumulate(gx, gy, px_r, py_r, w_r, jnp.dtype(dtype).type(eps),
                            1 if sign > 0 else -1, chunk)
 
     return run(px, py, w) / n

@@ -335,6 +335,28 @@ class TestCardioid:
 
 
 class TestMeshInterp:
+    def test_no_collinear_joggle_caps(self):
+        # straight polygon edges resample to exactly-collinear boundary
+        # points; qhull QJ joggle then emits height~1e-13 "cap" triangles
+        # whose P1 stiffness rows reach ~1e12 (the f32-killer pathology).
+        # The relative degeneracy filter must remove every one of them.
+        sq = Polygon(np.array([[0.0, 0], [2, 0], [2, 2], [0, 2]]))
+        pts, tri = mesh.polygon_to_mesh(sq, h=0.25, boundary_h=0.125, seed=0)
+        p0, p1, p2 = pts[tri[:, 0]], pts[tri[:, 1]], pts[tri[:, 2]]
+        dbl_area = np.abs(
+            (p1[:, 0] - p0[:, 0]) * (p2[:, 1] - p0[:, 1])
+            - (p1[:, 1] - p0[:, 1]) * (p2[:, 0] - p0[:, 0]))
+        edge_sq = np.maximum(((p1 - p0) ** 2).sum(1), np.maximum(
+            ((p2 - p1) ** 2).sum(1), ((p0 - p2) ** 2).sum(1)))
+        assert (dbl_area > 1e-9 * edge_sq).all()
+        # no orphaned nodes either
+        assert np.isin(np.arange(len(pts)), tri.reshape(-1)).all()
+        # and the mesh still covers the square
+        from cmtci.maps import fem
+
+        _, area = fem.p1_grads_areas(pts, tri)
+        assert area.sum() == pytest.approx(4.0, rel=1e-6)
+
     def test_mesh_and_barycentric_roundtrip(self):
         poly = _circle_poly(200)
         pts, tri = mesh.polygon_to_mesh(poly, h=0.2, boundary_h=0.15, seed=0)
