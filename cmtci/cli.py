@@ -23,6 +23,77 @@ _SUITE_STAGES = ("spectral", "multifractal", "embeddings", "symmetry",
 
 def _add_common(p):
     p.add_argument("--out", default="outputs/run", help="output prefix/dir")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard the pipeline's data-parallel stages over the "
+                        "first N jax devices (jax.sharding.Mesh; 1 = single-"
+                        "device, the default)")
+    if not any(a.option_strings == ["--parity"] for a in p._actions):
+        p.add_argument("--parity", action="store_true",
+                       help="force the host/f64 reference-parity defaults "
+                            "for every dtype/backend knob (on a TPU session "
+                            "the validated accel paths are the default; "
+                            "explicit per-flag values always win)")
+
+
+def _session_tpu() -> bool:
+    """Whether this session's CONFIGURED default platform is a TPU.
+
+    Read from the jax_platforms config / env (set by the environment's
+    sitecustomize on TPU sessions) WITHOUT initializing any backend — the
+    TPU client here sits behind a relay whose first contact takes minutes,
+    and jax.config.update("jax_platforms", "cpu") only works before the
+    backends initialize, so resolution must not touch jax.devices().
+    """
+    import os
+
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    return any(p.strip() in ("tpu", "axon")
+               for p in str(plats).split(",") if p.strip())
+
+
+#: per-subcommand (flag, accel default, host default) triples resolved by
+#: _resolve_platform_defaults: on a TPU session every dtype/backend knob
+#: defaults to its validated accel path (SURVEY §7 design stance); --parity
+#: or an explicit per-flag value opts out.
+_PLATFORM_FLAGS = {
+    "tracker": (("field_dtype", "float32", "float64"),
+                ("de_impl", "pallas", "jax")),
+    "tci": (("de_impl", "pallas", "jax"),),
+    "equipotential": (("green_dtype", "float32", "float64"),),
+    "variograms": (("vario_dtype", "float32", "float64"),
+                   ("field_dtype", "float32", "float64")),
+    "symmetry": (("scan_dtype", "float32", "float64"),),
+    "spatial-stats": (("stat_dtype", "float32", "float64"),),
+    "multifractal": (("box_backend", "device", "host"),
+                     ("box_dtype", "float32", "float64")),
+    "embeddings": (("eig_backend", "device", "scipy"),
+                   ("eig_dtype", "float32", "float64"),
+                   ("knn_dtype", "float32", "float64")),
+    "coupling": (("coupling_field_dtype", "float32", "float64"),
+                 ("coupling_vario_dtype", "float32", "float64")),
+    "uniformize-green": (("map_dtype", "float32", "float64"),),
+    "suite": (("device", "accel", "host"),),
+}
+
+
+def _resolve_platform_defaults(args) -> None:
+    """Fill every None dtype/backend flag with its platform default."""
+    accel_session = (_session_tpu()
+                     and not getattr(args, "parity", False))
+    for name, accel, host in _PLATFORM_FLAGS.get(args.cmd, ()):
+        if getattr(args, name, None) is None:
+            setattr(args, name, accel if accel_session else host)
+
+
+def _mesh_from_args(args):
+    n = getattr(args, "devices", 1) or 1
+    if n <= 1:
+        return None
+    from cmtci.parallel.sharded import device_mesh
+
+    return device_mesh(n)
 
 
 def _add_cache_trace(p):
@@ -87,10 +158,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--domain", type=str, default="-2.2:1.2:-1.6:1.6")
     p.add_argument("--parity", action="store_true", help="bitwise oracle-parity mode")
-    p.add_argument("--field-dtype", choices=["float64", "float32"], default="float64",
-                   help="float32 = the TPU fast path (DE grid + matcher on device)")
-    p.add_argument("--de-impl", choices=["jax", "pallas"], default="jax",
-                   help="pallas = fused early-exit TPU DE head")
+    p.add_argument("--field-dtype", choices=["float64", "float32"], default=None,
+                   help="float32 = the TPU fast path (DE grid + matcher on "
+                        "device; the TPU-session default — --parity or an "
+                        "explicit float64 opts out)")
+    p.add_argument("--de-impl", choices=["jax", "pallas"], default=None,
+                   help="pallas = fused early-exit TPU DE head (TPU-session "
+                        "default)")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard the stage over an N-device mesh (matcher rows, "
                         "DE grid rows, histogram psum; bitwise-equal to "
@@ -103,7 +177,7 @@ def main(argv=None):
                    help="DE grid resolution (BASELINE configs[4]: 2400 = 4x)")
     p.add_argument("--samples", type=int, default=25000)
     p.add_argument("--t-steps", type=int, default=60)
-    p.add_argument("--de-impl", choices=["jax", "numpy", "pallas"], default="jax",
+    p.add_argument("--de-impl", choices=["jax", "numpy", "pallas"], default=None,
                    help="pallas = f32 TPU DE head + device quantile band + "
                         "Gumbel top-k subsample (O(n_samples) relay traffic)")
     _add_common(p)
@@ -114,7 +188,7 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=20000)
     p.add_argument("--skip-per-n", action="store_true")
     p.add_argument("--green-dtype", choices=["float64", "float32"],
-                   default="float64",
+                   default=None,
                    help="float32 = cloud Green potential on the TPU "
                         "(Pallas head; identical escape set, g ~1e-7 rel)")
     p.add_argument("--curve-npy", default=None,
@@ -128,9 +202,9 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--detrend", action="store_true")
     p.add_argument("--fit-model", action="store_true")
-    p.add_argument("--vario-dtype", choices=["float64", "float32"], default="float64",
+    p.add_argument("--vario-dtype", choices=["float64", "float32"], default=None,
                    help="float32 = all-pairs binning on the TPU (78x kernel; ~4e-6 rel)")
-    p.add_argument("--field-dtype", choices=["float64", "float32"], default="float64",
+    p.add_argument("--field-dtype", choices=["float64", "float32"], default=None,
                    help="float32 = DE proxy + potentials on the TPU "
                         "(borderline DE-threshold points flip)")
     _add_common(p)
@@ -140,45 +214,45 @@ def main(argv=None):
         p.add_argument("--busdir", default="out_clean", help="stage-1 file-bus directory")
         if name == "symmetry":
             p.add_argument("--scan-dtype", choices=["float64", "float32"],
-                           default="float64",
+                           default=None,
                            help="float32 = 361-angle best-axis scan on the TPU")
         if name == "spatial-stats":
             p.add_argument("--stat-dtype", choices=["float64", "float32"],
-                           default="float64",
+                           default=None,
                            help="float32 = the three O(n²) pair scans "
                                 "(g(r)/Ripley shell counts + Hausdorff) on "
                                 "the TPU (exact int32 counts; borderline "
                                 "f32 bin flips possible)")
         if name == "multifractal":
             p.add_argument("--box-backend", choices=["host", "device"],
-                           default="host",
+                           default=None,
                            help="device = box counts/partition sums on the "
                                 "default jax device (fixed-shape count grid)")
             p.add_argument("--box-dtype", choices=["float64", "float32"],
-                           default="float64",
+                           default=None,
                            help="float32 = device count grid on the TPU")
         if name == "embeddings":
             p.add_argument("--eig-backend", choices=["scipy", "device"],
-                           default="scipy",
+                           default=None,
                            help="device = dense-Lanczos eigensolver on the "
                                 "default jax device (scipy = eigsh oracle)")
             p.add_argument("--eig-dtype", choices=["float64", "float32"],
-                           default="float64",
+                           default=None,
                            help="float32 = Lanczos on the TPU (agreement "
                                 "~1e-6; float64 runs on the host CPU)")
             p.add_argument("--knn-dtype", choices=["float64", "float32"],
-                           default="float64",
+                           default=None,
                            help="float32 = the blocked kNN on the TPU too "
                                 "(the wall at 5k+ points; f32 can reorder "
                                 "tied neighbors)")
         if name == "coupling":
             p.add_argument("--field-dtype", dest="coupling_field_dtype",
-                           choices=["float64", "float32"], default="float64",
+                           choices=["float64", "float32"], default=None,
                            help="float32 = both potential grids on the TPU "
                                 "(nudge trajectory bitwise-unchanged; "
                                 "corr diagnostics to ~1e-3)")
             p.add_argument("--vario-dtype", dest="coupling_vario_dtype",
-                           choices=["float64", "float32"], default="float64",
+                           choices=["float64", "float32"], default=None,
                            help="float32 = the O(n²) point variogram on the "
                                 "TPU too (an f32 trajectory REALIZATION — "
                                 "a_est feeds the nudge; int32 counts have "
@@ -194,7 +268,7 @@ def main(argv=None):
     p.add_argument("--stages", default="all",
                    help="comma list from {" + ",".join(_SUITE_STAGES) + "} "
                         "(default: all seven, in catalog order)")
-    p.add_argument("--device", choices=["host", "accel"], default="host",
+    p.add_argument("--device", choices=["host", "accel"], default=None,
                    help="accel = every stage's opt-in f32/device path "
                         "(multifractal/embeddings/symmetry/spatial-stats/"
                         "coupling on the TPU; spectral/report are f64-host "
@@ -220,7 +294,7 @@ def main(argv=None):
     p.add_argument("--n-bdy", type=int, default=2000)
     p.add_argument("--interior-n", type=int, default=20000)
     p.add_argument("--map-dtype", choices=["float64", "float32"],
-                   default="float64",
+                   default=None,
                    help="float32 = TPU fast path for the map evaluations "
                         "(fit stays f64 on host; see GreenUniformizeConfig)")
     _add_common(p)
@@ -234,6 +308,7 @@ def main(argv=None):
                         "backend (first call pays the compile)")
 
     args = ap.parse_args(argv)
+    _resolve_platform_defaults(args)
     import jax
 
     if args.platform != "auto":
@@ -276,6 +351,13 @@ def _wants_tpu(args) -> bool:
         return True  # report the environment's real default backend
     if args.cmd == "suite":
         return args.device == "accel"
+    if args.cmd == "uniformize-fem":
+        # the fused on-device θ-iteration (maps/fem_device.py): explicit
+        # --solver device always targets the TPU; auto does on a TPU
+        # session unless --parity forces the SuperLU reference path
+        return args.solver == "device" or (
+            args.solver == "auto" and _session_tpu()
+            and not getattr(args, "parity", False))
     return False
 
 
@@ -395,7 +477,7 @@ def _bus_stage_opts_from_args(st, args) -> dict:
     return {}
 
 
-def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts) -> dict:
+def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts, mesh=None) -> dict:
     """One bus analysis stage — the SINGLE dispatch the standalone
     subcommands and `cmtci suite` share (same pipeline call, same artifact
     layout, so suite outputs are value-identical per stage). `opts` holds
@@ -430,7 +512,7 @@ def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts) -> dict:
         return {"rows": o["rows"]}
     if st == "spatial-stats":
         o = analysis.run_spatial_stats(ca, m, out_prefix=out_prefix,
-                                       stat_dtype=f32("stat_dtype"))
+                                       stat_dtype=f32("stat_dtype"), mesh=mesh)
         return {"hausdorff": o["hausdorff"]}
     if st == "report":
         return {"report_row": analysis.run_report(c, m, ca, matches, out_prefix)}
@@ -441,7 +523,7 @@ def _run_bus_stage(st, c, m, ca, matches, out_prefix, opts) -> dict:
             c, m, matches,
             CouplingConfig(field_dtype=opts.get("field_dtype", "float64"),
                            vario_dtype=opts.get("vario_dtype", "float64")),
-            out_prefix)
+            out_prefix, mesh=mesh)
         return {"coupling_rows": rows}
     raise ValueError(f"unknown bus stage {st!r}")
 
@@ -476,7 +558,7 @@ def _run_suite(args) -> int:
             opts = _ACCEL_STAGE_OPTS.get(st, {}) if accel else {}
             try:
                 o = _run_bus_stage(st, c, m, ca, matches, f"{args.out}/{st}",
-                                   opts)
+                                   opts, mesh=_mesh_from_args(args))
             except ValueError as e:
                 # the device heads guard loudly against sizes past their
                 # exact-count bounds (e.g. the 65536-point signed-int32
@@ -528,7 +610,7 @@ def _dispatch(args):
 
         cfg = BoundaryConfig(tuple(args.xlim), tuple(args.ylim), args.res,
                              args.max_iter, args.level)
-        path, _ = run_boundary(cfg, args.out)
+        path, _ = run_boundary(cfg, args.out, mesh=_mesh_from_args(args))
         print(f"boundary: {len(path)} vertices -> {args.out}_boundary.csv")
     elif cmd == "lucas-boundary":
         from cmtci.pipelines.lucas_boundary import LucasBoundaryConfig, export_lucas_boundary
@@ -604,7 +686,8 @@ def _dispatch(args):
                                   potential_dtype=args.green_dtype,
                                   curve_npy=args.curve_npy)
         out = run_equipotential(cfg, args.out, with_per_n=not args.skip_per_n,
-                                cache_dir=args.cache_dir, timer=_timer(args))
+                                cache_dir=args.cache_dir, timer=_timer(args),
+                                mesh=_mesh_from_args(args))
         print(json.dumps(out["summary"]))
     elif cmd == "variograms":
         from cmtci.pipelines.variograms import VariogramConfig, run_variograms
@@ -613,12 +696,14 @@ def _dispatch(args):
                               detrend=args.detrend, fit_model=args.fit_model,
                               vario_dtype=args.vario_dtype,
                               field_dtype=args.field_dtype)
-        out = run_variograms(cfg, f"{args.out}_variograms.csv")
+        out = run_variograms(cfg, f"{args.out}_variograms.csv",
+                             mesh=_mesh_from_args(args))
         print(f"variograms: {out['n_construct']} C pts, {out['n_boundary']} M pts")
     elif cmd in _SUITE_STAGES:
         c, m, ca, matches = _load_bus(args.busdir)
         out = _run_bus_stage(cmd, c, m, ca, matches, args.out,
-                             _bus_stage_opts_from_args(cmd, args))
+                             _bus_stage_opts_from_args(cmd, args),
+                             mesh=_mesh_from_args(args))
         if cmd == "spectral":
             print(json.dumps(out["power_slopes_bootstrap"]))
         elif cmd == "multifractal":
@@ -641,7 +726,8 @@ def _dispatch(args):
         )
 
         cfg = FEMUniformizeConfig(
-            solver=None if args.solver == "auto" else args.solver)
+            solver=("spsolve" if args.parity else None)
+            if args.solver == "auto" else args.solver)
         results = run_fem_uniformization(cfg, args.out, REFINEMENT_LEVELS[: args.levels])
         print(json.dumps({"levels": len(results), "K_median_L0": results[0]["all"]["K_median"]}))
     elif cmd == "uniformize-green":

@@ -214,6 +214,178 @@ def sharded_semivariogram(coords, values, r_edges, mesh: Mesh, chunk: int = 512)
     return gamma, counts
 
 
+def sharded_binned_sq_diff(c1, v1, c2, v2, r_edges, mesh: Mesh,
+                           upper: bool = True, chunk: int = 512, dtype=None):
+    """stats.variogram._binned_sq_diff with the i-rows sharded over the mesh.
+
+    Each device bins its row block's (value-difference)² against the full
+    replicated (c2, v2) set with the scatter-free masked-reduction kernel
+    (stats.variogram.masked_bin_reduce — bin semantics identical to
+    searchsorted(side="right")-1, so counts are EXACTLY the host path's);
+    per-device (sums, int32 counts) partials are summed on the host in
+    f64/int64. upper=True applies the global j > i self-pair mask (the
+    grid-semivariogram form), upper=False bins the full rectangle (the
+    cross-semivariogram form). Returns (sums, counts int64).
+    Reference: variograms_construct_mandelbrot.py:178-315.
+    """
+    from cmtci.stats.variogram import masked_bin_reduce
+
+    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    _guard_accel_f64(mesh, dt, "sharded_binned_sq_diff")
+    c1 = np.asarray(c1, dtype=float)
+    v1 = np.asarray(v1, dtype=float)
+    c2 = np.asarray(c2, dtype=float)
+    v2 = np.asarray(v2, dtype=float)
+    n1, n2 = len(c1), len(c2)
+    n_dev = mesh.devices.size
+    per = chunk * n_dev
+    n_pad = ((n1 + per - 1) // per) * per
+    rows_per = n_pad // n_dev
+    if rows_per * max(n2, 1) > 2**31 - 1:
+        raise ValueError(
+            f"sharded_binned_sq_diff: {n1}x{n2} pairs over {n_dev} devices "
+            f"can overflow a device's signed int32 per-bin partial "
+            f"(rows_per={rows_per}); use more devices or subsample")
+    nbins = len(r_edges) - 1
+    edges = jnp.asarray(np.asarray(r_edges, dtype=float), dt)
+    c1p = jnp.asarray(np.pad(c1, ((0, n_pad - n1), (0, 0))), dt)
+    v1p = jnp.asarray(np.pad(v1, (0, n_pad - n1)), dt)
+    c2j = jnp.asarray(c2, dt)
+    v2j = jnp.asarray(v2, dt)
+    cols = jnp.arange(n2)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None, None), P(None)),
+        out_specs=(P("data", None), P("data", None)), check_vma=False,
+    )
+    def run(c_loc, v_loc, c_all, v_all):
+        dev = jax.lax.axis_index("data")
+        row0 = dev * rows_per
+
+        def body(i, acc):
+            s_acc, n_acc = acc
+            blk_c = jax.lax.dynamic_slice_in_dim(c_loc, i * chunk, chunk, 0)
+            blk_v = jax.lax.dynamic_slice_in_dim(v_loc, i * chunk, chunk)
+            gidx = row0 + i * chunk + jnp.arange(chunk)
+            d = jnp.sqrt(jnp.sum((blk_c[:, None, :] - c_all[None, :, :]) ** 2,
+                                 axis=-1))
+            dv2 = (blk_v[:, None] - v_all[None, :]) ** 2
+            valid = jnp.broadcast_to(gidx[:, None] < n1, d.shape)
+            if upper:
+                valid = valid & (cols[None, :] > gidx[:, None])
+            s_bin, n_bin = masked_bin_reduce(d, valid, edges, nbins,
+                                             dvv=jnp.where(valid, dv2, 0.0))
+            return s_acc + s_bin, n_acc + n_bin
+
+        init = (jnp.zeros(nbins, dtype=dt), jnp.zeros(nbins, dtype=jnp.int32))
+        s, c = jax.lax.fori_loop(0, rows_per // chunk, body, init)
+        return s[None], c[None]
+
+    s_parts, n_parts = run(c1p, v1p, c2j, v2j)
+    return (np.asarray(s_parts, np.float64).sum(axis=0),
+            np.asarray(n_parts, np.int64).sum(axis=0))
+
+
+def sharded_point_variogram(locs, values=None, max_dist=None, nbins: int = 50,
+                            mesh: Mesh | None = None, chunk: int = 512,
+                            dtype=None):
+    """stats.variogram.point_variogram with the i-rows sharded over the mesh.
+
+    Bin semantics identical to the host path (np.digitize(d, bins)-1 ==
+    masked_bin_reduce's d < edges cumulative form, d == max_dist dropped);
+    counts are exact int64 sums of per-device int32 partials. max_dist=None
+    derives the host default 0.5·max(d) with a first sharded max pass
+    (lax.pmax over the mesh) so no pair distance ever lands on the host.
+    Returns (centers, gamma, counts) like the host function.
+    Reference: Iterative_Variogram_Laplacian.py:53-87.
+    """
+    from cmtci.stats.variogram import masked_bin_reduce
+
+    if mesh is None:
+        mesh = device_mesh()
+    dt = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    _guard_accel_f64(mesh, dt, "sharded_point_variogram")
+    locs = np.asarray(locs, dtype=float)
+    n = len(locs)
+    if n < 2:
+        centers = np.linspace(0, max_dist or 1.0, nbins + 1)
+        centers = 0.5 * (centers[:-1] + centers[1:])
+        return centers, np.full(nbins, np.nan), np.zeros(nbins, dtype=np.int64)
+    n_dev = mesh.devices.size
+    per = chunk * n_dev
+    n_pad = ((n + per - 1) // per) * per
+    rows_per = n_pad // n_dev
+    if rows_per * (n - 1) > 2**31 - 1:
+        raise ValueError(
+            f"sharded_point_variogram: {n} points over {n_dev} devices can "
+            f"overflow a device's signed int32 per-bin partial")
+    use_values = values is not None
+    vals = (np.zeros(n) if values is None else np.asarray(values, dtype=float))
+    lp = jnp.asarray(np.pad(locs, ((0, n_pad - n), (0, 0))), dt)
+    vp = jnp.asarray(np.pad(vals, (0, n_pad - n)), dt)
+    l_all = jnp.asarray(locs, dt)
+    v_all = jnp.asarray(vals, dt)
+    cols = jnp.arange(n)
+    md = jnp.asarray(0.0 if max_dist is None else max_dist, dt)
+    auto_max = max_dist is None
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("data", None), P("data"), P(None, None), P(None), P()),
+        out_specs=(P("data", None), P("data", None), P()), check_vma=False,
+    )
+    def run(l_loc, v_loc, l_rep, v_rep, md_in):
+        dev = jax.lax.axis_index("data")
+        row0 = dev * rows_per
+
+        def dists_block(i):
+            blk = jax.lax.dynamic_slice_in_dim(l_loc, i * chunk, chunk, 0)
+            gidx = row0 + i * chunk + jnp.arange(chunk)
+            d = jnp.sqrt(jnp.sum((blk[:, None, :] - l_rep[None, :, :]) ** 2,
+                                 axis=-1))
+            valid = (gidx[:, None] < cols[None, :]) & (cols[None, :] < n)
+            return d, valid, gidx
+
+        if auto_max:
+            def body_max(i, acc):
+                d, valid, _ = dists_block(i)
+                return jnp.maximum(acc, jnp.max(jnp.where(valid, d, -jnp.inf)))
+
+            dmax = jax.lax.fori_loop(0, rows_per // chunk, body_max,
+                                     jnp.asarray(-jnp.inf, dt))
+            max_d = jnp.asarray(0.5, dt) * jax.lax.pmax(dmax, "data")
+        else:
+            max_d = md_in
+        edges = jnp.linspace(jnp.asarray(0.0, dt), max_d, nbins + 1)
+
+        def body(i, acc):
+            s_acc, n_acc = acc
+            d, valid, gidx = dists_block(i)
+            if use_values:
+                blk_v = jax.lax.dynamic_slice_in_dim(v_loc, i * chunk, chunk)
+                dv2 = (blk_v[:, None] - v_rep[None, :]) ** 2
+            else:
+                dv2 = d * d
+            s_bin, n_bin = masked_bin_reduce(d, valid, edges, nbins,
+                                             dvv=jnp.where(valid, dv2, 0.0))
+            return s_acc + s_bin, n_acc + n_bin
+
+        init = (jnp.zeros(nbins, dtype=dt), jnp.zeros(nbins, dtype=jnp.int32))
+        s, c = jax.lax.fori_loop(0, rows_per // chunk, body, init)
+        return s[None], c[None], max_d
+
+    s_parts, n_parts, max_d = run(lp, vp, l_all, v_all, md)
+    sums = np.asarray(s_parts, np.float64).sum(axis=0)
+    counts = np.asarray(n_parts, np.int64).sum(axis=0)
+    bins = np.linspace(0.0, float(max_d), nbins + 1)
+    centers = 0.5 * (bins[:-1] + bins[1:])
+    gamma = np.full(nbins, np.nan)
+    nz = counts > 0
+    gamma[nz] = 0.5 * sums[nz] / counts[nz]
+    return centers, gamma, counts
+
+
 def sharded_shell_counts(points, r_max: float, dr: float, mesh: Mesh,
                          chunk: int = 1024, dtype=None):
     """stats.pointstats._shell_counts with the i-rows sharded over the mesh.

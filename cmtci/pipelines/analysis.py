@@ -201,15 +201,18 @@ def run_tci(cfg: TCIConfig, out_json: str | None = None):
 
 
 def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None,
-                      stat_dtype=None):
+                      stat_dtype=None, mesh=None):
     """phase2 + phase3: g(r), Ripley K, Hausdorff, gradient curvature, box dim.
 
     stat_dtype=jnp.float32 runs the three O(n²) pair scans (shell counts
     per cloud + Hausdorff) on the default (TPU) device — counts exact
     int32, borderline f32 bin flips possible; the host f64 pass is the
-    stage wall at beyond-reference bus sizes."""
-    shells_c = ps._shell_counts(c_aligned, r_max, dr, dtype=stat_dtype)
-    shells_m = ps._shell_counts(m_pts, r_max, dr, dtype=stat_dtype)
+    stage wall at beyond-reference bus sizes. With `mesh` the shell counts
+    shard over the mesh (and the 65536-point int32 guard relaxes to
+    ~sqrt(n_devices)·65536)."""
+    shells_c = ps._shell_counts(c_aligned, r_max, dr, dtype=stat_dtype,
+                                mesh=mesh)
+    shells_m = ps._shell_counts(m_pts, r_max, dr, dtype=stat_dtype, mesh=mesh)
     r_c, g_c = ps.pair_correlation(c_aligned, r_max, dr, _shells=shells_c)
     r_m, g_m = ps.pair_correlation(m_pts, r_max, dr, _shells=shells_m)
     _, k_c = ps.ripley_k(c_aligned, r_max, dr, _shells=shells_c)

@@ -29,8 +29,26 @@ class BoundaryConfig:
     backend: str = "auto"  # "pallas" | "xla" | "auto"
 
 
-def compute_dwell(cfg: BoundaryConfig) -> np.ndarray:
+def compute_dwell(cfg: BoundaryConfig, mesh=None) -> np.ndarray:
     domain = (*cfg.xlim, *cfg.ylim)
+    if mesh is not None:
+        import jax.numpy as jnp
+
+        from cmtci.parallel.sharded import sharded_dwell_grid
+
+        # row-shard the dwell grid over the mesh; pad rows to a mesh
+        # multiple with an EXTENDED domain at the same dy, then crop (the
+        # first res rows are the exact grid nodes). CPU meshes run the f64
+        # loop (exact); accelerator meshes run f32 (the guard refuses
+        # emulated f64 there).
+        n_dev = mesh.devices.size
+        ny = ((cfg.res + n_dev - 1) // n_dev) * n_dev
+        dy = (cfg.ylim[1] - cfg.ylim[0]) / (cfg.res - 1)
+        dom_pad = (*cfg.xlim, cfg.ylim[0], cfg.ylim[0] + dy * (ny - 1))
+        f64_ok = mesh.devices.flat[0].platform == "cpu"
+        z = sharded_dwell_grid(dom_pad, cfg.res, ny, cfg.max_iter, mesh,
+                               dtype=jnp.float64 if f64_ok else jnp.float32)
+        return np.asarray(z)[: cfg.res].astype(float)
     use_pallas = cfg.backend == "pallas" or (
         cfg.backend == "auto" and jax.default_backend() in ("tpu", "axon")
     )
@@ -53,11 +71,12 @@ def compute_dwell(cfg: BoundaryConfig) -> np.ndarray:
         return np.asarray(mb.dwell_grid(cr, ci, max_iter=cfg.max_iter)).astype(float)
 
 
-def run_boundary(cfg: BoundaryConfig, output_prefix: str | None = None):
+def run_boundary(cfg: BoundaryConfig, output_prefix: str | None = None,
+                 mesh=None):
     """Returns (contour_vertices, dwell_grid); optionally writes the file bus."""
     xs = np.linspace(cfg.xlim[0], cfg.xlim[1], cfg.res)
     ys = np.linspace(cfg.ylim[0], cfg.ylim[1], cfg.res)
-    z = compute_dwell(cfg)
+    z = compute_dwell(cfg, mesh=mesh)
     path = contour.extract_contour(xs, ys, z, cfg.level * cfg.max_iter)
     if path is None or path.shape[0] < 50:
         raise RuntimeError("Failed to extract a usable contour; adjust level/res.")

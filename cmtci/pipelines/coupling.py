@@ -106,8 +106,18 @@ class CouplingConfig:
     vario_dtype: str = "float64"
 
 
-def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | None = None):
-    """Returns summary rows + final nudged cloud."""
+def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig,
+                 out_prefix: str | None = None, mesh=None):
+    """Returns summary rows + final nudged cloud.
+
+    With `mesh` (a jax.sharding.Mesh) the two O(n²)-class stages shard over
+    it: the per-iteration U_C cloud log-potential grid rides
+    parallel.sharded.sharded_cloud_potential (row-sharded) and the point
+    variogram rides sharded_point_variogram (pair-rows sharded); the
+    diagnostics then run per iteration (the single-chip fused-snapshot f32
+    path is bypassed — it exists to amortize the TPU relay, which a mesh
+    run does not go through).
+    """
     if matches is None:
         raise ValueError(
             "coupling requires matches (matches_indices.csv missing or "
@@ -154,13 +164,23 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         gy_dev = jnp.asarray(gyp)
     else:
         u_m = np.asarray(u_m_dev)
+    if mesh is not None and f32:
+        # mesh runs take the per-iteration diagnostics branch below
+        u_m = np.asarray(u_m_dev, dtype=np.float64)
+    fused32 = f32 and mesh is None
     rows = []
     snaps = []  # f32 path: per-iteration (cloud snapshot, smoothing kernel)
     vario32 = cfg.vario_dtype == "float32"
     for it in range(1, cfg.n_iter + 1):
         matched_m = m[matches]
         dists = np.linalg.norm(c - matched_m, axis=1)
-        if vario32:
+        if mesh is not None:
+            from cmtci.parallel.sharded import sharded_point_variogram
+
+            lags, gamma, counts = sharded_point_variogram(
+                c, dists, nbins=cfg.vario_bins, mesh=mesh,
+                dtype=jnp.float32 if vario32 else None)
+        elif vario32:
             lags, gamma, counts = vg.point_variogram_device(
                 c, dists, nbins=cfg.vario_bins, dtype=jnp.float32)
         else:
@@ -170,7 +190,7 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         sigma_px = 1.0 if (a_est is None or a_est <= 0) else max(
             0.5, cfg.smooth_factor * (a_est / h) / 2.0
         )
-        if f32:
+        if fused32:
             # the diagnostics never feed the nudge: snapshot the cloud and
             # kernel, evaluate EVERY iteration's diagnostics in one fused
             # dispatch after the host trajectory completes (one ~29 ms
@@ -180,11 +200,27 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
             snaps.append((c.copy(), kernel_np))
             corr_pot = corr_lap = np.nan  # filled from the fused call below
         else:
-            with field_ctx():
-                # the O(grid² · N) pairwise potential follows the grid
-                # dtype (f64 self-pins to the host CPU)
-                u_c = np.asarray(cloud_log_potential(gxp, gyp, c,
-                                                     eps=1e-12, sign=1))
+            if mesh is not None:
+                from cmtci.parallel.sharded import sharded_cloud_potential
+
+                # row-shard U_C over the mesh; pad ny to a mesh multiple
+                # with an EXTENDED domain at the same dy, then crop (the
+                # first grid_res rows are the exact linspace nodes)
+                n_dev = mesh.devices.size
+                ny = cfg.grid_res
+                ny_pad = ((ny + n_dev - 1) // n_dev) * n_dev
+                dyg = (ymax - ymin) / (ny - 1)
+                dom_pad = (xmin, xmax, ymin, ymin + dyg * (ny_pad - 1))
+                u_c = np.asarray(sharded_cloud_potential(
+                    dom_pad, cfg.grid_res, ny_pad, c, mesh, eps=1e-12,
+                    sign=1,
+                    dtype=jnp.float32 if f32 else jnp.float64))[:ny]
+            else:
+                with field_ctx():
+                    # the O(grid² · N) pairwise potential follows the grid
+                    # dtype (f64 self-pins to the host CPU)
+                    u_c = np.asarray(cloud_log_potential(gxp, gyp, c,
+                                                         eps=1e-12, sign=1))
             with analysis_cpu():
                 # per-iteration f64 grid DIAGNOSTICS pin to the host CPU:
                 # laplacians/correlations are jnp ops that would otherwise
@@ -205,7 +241,7 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
             np.savetxt(f"{out_prefix}_{it}_variogram_construct.csv",
                        np.c_[lags, gamma, counts], delimiter=",",
                        header="lag,gamma,count", comments="")
-            if not f32:  # f32 grid artifacts come from the fused call below
+            if not fused32:  # fused-path grid artifacts come from below
                 np.save(f"{out_prefix}_{it}_localcorr.npy", local)
                 from cmtci.io import plots
 
@@ -220,7 +256,7 @@ def run_coupling(c_pts, m_pts, matches, cfg: CouplingConfig, out_prefix: str | N
         lr = cfg.nudge_alpha * (scale / (scale + 1.0))
         c = c + lr * weights[:, None] * (matched_m - c)
 
-    if f32 and snaps:
+    if fused32 and snaps:
         chunk = 2048
         n_c = len(snaps[0][0])
         n_pad = ((n_c + chunk - 1) // chunk) * chunk

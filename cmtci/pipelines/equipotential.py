@@ -47,7 +47,8 @@ class EquipotentialConfig:
 
 
 def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
-                    cache_dir: str | None = None, dtype: str = "float64"):
+                    cache_dir: str | None = None, dtype: str = "float64",
+                    mesh=None):
     """(g, it, phi) for a complex cloud via the compaction-staged Green kernel.
 
     Exactly equal to the plain batched kernel per point (verified), ~125x
@@ -56,7 +57,9 @@ def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
     iteration budget. With cache_dir the result is stored keyed by
     (cloud digest, max_iter, R, dtype) — SURVEY §5.4 resume.
     dtype="float32" runs the f32 Pallas head on the default (TPU) device;
-    the f64 default stays on the host CPU by the device policy.
+    the f64 default stays on the host CPU by the device policy. With `mesh`
+    (f64 path) each compaction stage's active batch is point-sharded over
+    the mesh (parallel.sharded.green_stage_executor — bitwise equal).
     """
     from cmtci.utils import artifacts
 
@@ -67,8 +70,14 @@ def batch_potential(cloud: np.ndarray, max_iter: int, escape_radius: float,
             g, it, phi = green_cloud_f32(cloud, max_iter=max_iter,
                                          escape_r=escape_radius)
         else:
-            g, it, phi = mb.green_potential_compacted(cloud, max_iter=max_iter,
-                                                      escape_r=escape_radius)
+            executor = None
+            if mesh is not None:
+                from cmtci.parallel.sharded import green_stage_executor
+
+                executor = green_stage_executor(mesh)
+            g, it, phi = mb.green_potential_compacted(
+                cloud, max_iter=max_iter, escape_r=escape_radius,
+                stage_executor=executor)
         return {"g": g, "it": it, "phi": phi}
 
     out = artifacts.cached(
@@ -142,7 +151,7 @@ def cumulative_stats(cfg: EquipotentialConfig, family: str | None = None,
 
 def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                       with_per_n: bool = True, cache_dir: str | None = None,
-                      timer=None):
+                      timer=None, mesh=None):
     """Full driver. Returns dict of results; writes CSV/NPY if out_dir."""
     from cmtci.utils.artifacts import StageTimer
 
@@ -184,7 +193,7 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
                    else c_inv)
         g_all, it_all, phi_all = batch_potential(
             all_pts, cfg.max_iter, cfg.escape_radius, cache_dir=cache_dir,
-            dtype=cfg.potential_dtype)
+            dtype=cfg.potential_dtype, mesh=mesh)
         g, it, phi = (g_all[: len(c_inv)], it_all[: len(c_inv)],
                       phi_all[: len(c_inv)])
     out = {
@@ -219,7 +228,7 @@ def run_equipotential(cfg: EquipotentialConfig, out_dir: str | None = None,
             # saved boundary polyline, e.g. lucas_points.npy
             g_c, _, _ = batch_potential(c_curve, cfg.max_iter,
                                         cfg.escape_radius, cache_dir=cache_dir,
-                                        dtype=cfg.potential_dtype)
+                                        dtype=cfg.potential_dtype, mesh=mesh)
             out["curve_summary"] = laws.summarize_g(g_c)
             out["curve_laws"] = laws.compare_reference_laws(g_c[g_c > 0])
             out["curve_g"] = g_c

@@ -47,7 +47,8 @@ class VariogramConfig:
     cloud_backend: str = "aberth"
 
 
-def run_variograms(cfg: VariogramConfig, out_csv: str | None = None):
+def run_variograms(cfg: VariogramConfig, out_csv: str | None = None,
+                   mesh=None):
     import contextlib
 
     import jax.numpy as jnp
@@ -96,9 +97,10 @@ def run_variograms(cfg: VariogramConfig, out_csv: str | None = None):
     dt = jnp.float32 if cfg.vario_dtype == "float32" else None
     # one fused device call for all three binnings on the f32 path (same
     # host-RNG draw order as the sequential calls); f64 stays sequential
-    # on the host CPU
+    # on the host CPU; a mesh shards the three binnings' i-rows over its
+    # devices (SURVEY §5.8 data parallelism)
     r_c, g_c, g_m, g_x, _, _, _ = vg.three_semivariograms(
-        u_c_n, u_m_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt)
+        u_c_n, u_m_n, gx, gy, r_bins, cfg.m_target, rng, dtype=dt, mesh=mesh)
 
     out = {
         "r": r_c, "gamma_construct": g_c, "gamma_mandelbrot": g_m, "gamma_cross": g_x,

@@ -74,7 +74,7 @@ def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
     return jax.lax.fori_loop(0, npad // chunk, body, acc)
 
 
-def _shell_counts(points, r_max: float, dr: float, dtype=None):
+def _shell_counts(points, r_max: float, dr: float, dtype=None, mesh=None):
     """(r_vals, shell counts over [r, r+dr), n, rho): one O(N²) pass shared
     by g(r) and Ripley K.
 
@@ -83,9 +83,16 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None):
     land borderline pairs one bin over vs f64 — the documented opt-in for
     beyond-reference cloud sizes where the host O(n²) pass is the stage
     wall). f64 (default) stays on the host CPU by the device policy.
+    With `mesh` the pass shards its i-rows over the mesh
+    (parallel.sharded.sharded_shell_counts), which also relaxes the
+    single-device 65536-point int32 guard to ~sqrt(n_devices)·65536.
     """
     xy = _xy(points)
     n = len(xy)
+    if mesh is not None:
+        from cmtci.parallel.sharded import sharded_shell_counts
+
+        return sharded_shell_counts(xy, r_max, dr, mesh, dtype=dtype)
     area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
     rho = n / area
     r_vals = np.arange(0, r_max, dr)
@@ -93,7 +100,8 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None):
 
     if dtype is not None:
         # device head only: the host scatter head accumulates f64 (exact
-        # to 2^53 pairs) and stays unguarded
+        # to 2^53 pairs) and stays unguarded; a mesh routes around the
+        # guard entirely (sharded partials bound pairs per device)
         from cmtci.stats.variogram import guard_pair_count_int32
 
         guard_pair_count_int32(n, "_shell_counts")

@@ -205,15 +205,51 @@ def _binned_three_masked(cc, vc, cm, vm, c1, v1, c2, v2, edges, nbins: int,
 
 
 def three_semivariograms(field_c, field_m, gx, gy, r_bins, m_target: int = 15000,
-                         rng=None, chunk: int = 1024, dtype=None):
+                         rng=None, chunk: int = 1024, dtype=None, mesh=None):
     """(γ_C, γ_M, γ_cross) with the pipeline's exact RNG draw order.
 
     Draws the four location subsamples in the same host-RNG order as the
     sequential grid_semivariogram/grid_semivariogram/cross_semivariogram
     calls (idx_C, idx_M, i1, i2), then runs all three binnings in one
     device call (f32 path) or falls back to the sequential host path.
+    With `mesh` (a jax.sharding.Mesh) the three binnings shard their i-rows
+    over the mesh (parallel.sharded.sharded_binned_sq_diff — counts
+    EXACTLY equal to the host path, sums to f64 reduction order).
     Returns (r_centers, gamma_c, gamma_m, gamma_x, counts_c, counts_m,
     counts_x)."""
+    if mesh is not None:
+        from cmtci.parallel.sharded import sharded_binned_sq_diff
+
+        coords = np.column_stack([np.asarray(gx).ravel(),
+                                  np.asarray(gy).ravel()])
+        vc_all = np.asarray(field_c).ravel()
+        vm_all = np.asarray(field_m).ravel()
+        r = rng if rng is not None else np.random
+        m = min(m_target, coords.shape[0])
+        idx_c = r.choice(coords.shape[0], size=m, replace=False)
+        idx_m = r.choice(coords.shape[0], size=m, replace=False)
+        i1 = r.choice(coords.shape[0], size=m, replace=False)
+        i2 = r.choice(coords.shape[0], size=m, replace=False)
+        nbins = len(r_bins) - 1
+        s_c, n_c = sharded_binned_sq_diff(
+            coords[idx_c], vc_all[idx_c], coords[idx_c], vc_all[idx_c],
+            r_bins, mesh, upper=True, chunk=chunk // 2, dtype=dtype)
+        s_m, n_m = sharded_binned_sq_diff(
+            coords[idx_m], vm_all[idx_m], coords[idx_m], vm_all[idx_m],
+            r_bins, mesh, upper=True, chunk=chunk // 2, dtype=dtype)
+        s_x, n_x = sharded_binned_sq_diff(
+            coords[i1], vc_all[i1], coords[i2], vm_all[i2],
+            r_bins, mesh, upper=False, chunk=chunk // 2, dtype=dtype)
+
+        def gamma_of(sums, counts):
+            g = np.zeros(nbins)
+            nz = counts > 0
+            g[nz] = 0.5 * sums[nz] / counts[nz]
+            return g
+
+        r_centers = 0.5 * (np.asarray(r_bins)[:-1] + np.asarray(r_bins)[1:])
+        return (r_centers, gamma_of(s_c, n_c), gamma_of(s_m, n_m),
+                gamma_of(s_x, n_x), n_c, n_m, n_x)
     if dtype is None:
         r_c, g_c, n_c = grid_semivariogram(field_c, gx, gy, r_bins, m_target,
                                            rng, chunk, dtype)

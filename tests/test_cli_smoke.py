@@ -72,3 +72,39 @@ def test_suite_cli(tmp_path, capsys):
     with pytest.raises(SystemExit, match="unknown stage"):
         main(["suite", "--busdir", f"{out}/bus", "--stages", "nope",
               "--out", f"{out}/x"])
+
+
+def test_platform_aware_defaults(monkeypatch):
+    """On a TPU session every dtype/backend knob defaults to its validated
+    accel path; --parity (or an explicit value) opts out. VERDICT r4 item 6."""
+    import argparse
+
+    import cmtci.cli as cli
+
+    # the conftest pins jax_platforms=cpu, so this process resolves host
+    ns = argparse.Namespace(cmd="tracker", field_dtype=None, de_impl=None,
+                            parity=False)
+    cli._resolve_platform_defaults(ns)
+    assert (ns.field_dtype, ns.de_impl) == ("float64", "jax")
+
+    monkeypatch.setattr(cli, "_session_tpu", lambda: True)
+    for parity, want in ((False, ("float32", "pallas")),
+                         (True, ("float64", "jax"))):
+        ns = argparse.Namespace(cmd="tracker", field_dtype=None, de_impl=None,
+                                parity=parity)
+        cli._resolve_platform_defaults(ns)
+        assert (ns.field_dtype, ns.de_impl) == want, (parity, ns)
+    # explicit value wins over the platform default
+    ns = argparse.Namespace(cmd="tracker", field_dtype="float64", de_impl=None,
+                            parity=False)
+    cli._resolve_platform_defaults(ns)
+    assert (ns.field_dtype, ns.de_impl) == ("float64", "pallas")
+    # suite device + embeddings backend triples resolve too
+    ns = argparse.Namespace(cmd="suite", device=None, parity=False)
+    cli._resolve_platform_defaults(ns)
+    assert ns.device == "accel"
+    ns = argparse.Namespace(cmd="embeddings", eig_backend=None, eig_dtype=None,
+                            knn_dtype=None, parity=False)
+    cli._resolve_platform_defaults(ns)
+    assert (ns.eig_backend, ns.eig_dtype, ns.knn_dtype) == (
+        "device", "float32", "float32")

@@ -70,6 +70,28 @@ class TestFEM:
         v_expected = pts[:, 1] - pts[0, 1]  # pinned at node 0
         np.testing.assert_allclose(v, v_expected, atol=2e-2)
 
+    def test_harmonic_extension_second_order(self):
+        # convergence-ORDER assertion (VERDICT r4 item 7): the P1 Dirichlet
+        # extension error for a smooth harmonic function must contract ~h²
+        # between two resolutions — a size-tuned atol at one mesh cannot
+        # distinguish a first-order (or subtly wrong) solve; the ratio can.
+        from cmtci.geometry.mesh import boundary_vertices
+
+        errs = {}
+        for h in (0.2, 0.1):
+            poly, pts, tris = _disk_mesh(h=h)
+            k = fem.assemble_stiffness(pts, tris)
+            bnd = boundary_vertices(tris)
+            # u = Re(z²) = x²−y², a nontrivial harmonic polynomial
+            g = pts[bnd, 0] ** 2 - pts[bnd, 1] ** 2
+            u = fem.dirichlet_solve(k, bnd, g)
+            exact = pts[:, 0] ** 2 - pts[:, 1] ** 2
+            errs[h] = float(np.sqrt(np.mean((u - exact) ** 2)))
+        ratio = errs[0.2] / errs[0.1]
+        # exact h² contraction is ratio 4; unstructured meshing noise and
+        # the curved-boundary approximation leave a margin
+        assert ratio > 2.5, (errs, ratio)
+
     def test_theta_iteration_maps_disk_to_circle(self):
         poly, pts, tris = _disk_mesh(h=0.15)
         u, v, c, r, mis = fem.theta_iteration(pts, tris, poly, iters=4)
@@ -108,6 +130,32 @@ class TestRiemann:
         f = rm.f(z_test)
         np.testing.assert_allclose(np.abs(f), 0.6, atol=5e-3)
         np.testing.assert_allclose(rm.phi_raw(z_test).imag, 0.0, atol=1e-6)
+
+    def test_green_quadrature_convergence_order(self):
+        # convergence-ORDER assertion (VERDICT r4 item 7): pin the boundary
+        # quadrature's empirical order p in err ~ 1/n_bdy^p on an
+        # ASYMMETRIC analytic domain (the disk is degenerate: rotational
+        # symmetry cancels the quadrature error to machine eps at n=25).
+        # Shift-corrected interior g differences self-converge against an
+        # n=1600 reference at p ≈ 1 (measured 1.05e-4 → 1.05e-5 over 50 →
+        # 400); p must stay ≥ 0.85 — a size-tuned atol at one n cannot see
+        # a broken weight going O(1) or O(1/sqrt(n)), the slope can.
+        t = np.linspace(0, 2 * np.pi, 4000, endpoint=False)
+        r = 1.0 + 0.15 * np.cos(3 * t)
+        poly = Polygon(np.column_stack([r * np.cos(t), r * np.sin(t)]))
+        z = np.array([0.2 + 0.1j, -0.3 + 0.2j, 0.1 - 0.35j])
+
+        def g_at(n_bdy):
+            g = riemann.fit_riemann_map(poly, n_bdy=n_bdy).g_real(z)
+            return g - g[0]  # the g_shift calibration is a pure constant
+
+        g_ref = g_at(1600)
+        ns = np.array([50.0, 100.0, 400.0])
+        errs = np.array([float(np.max(np.abs(g_at(int(n)) - g_ref)))
+                         for n in ns])
+        assert (errs > 0).all(), errs
+        p = -np.polyfit(np.log(ns), np.log(errs), 1)[0]
+        assert p > 0.85, (errs, p)
 
     def test_boundary_contract(self):
         t = np.linspace(0, 2 * np.pi, 500, endpoint=False)

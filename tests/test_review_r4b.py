@@ -446,10 +446,10 @@ def test_suite_accel_guard_falls_back_to_host(tmp_path, capsys, monkeypatch):
                      "--out", f"{out}/bus"]) == 0
     real = cli._run_bus_stage
 
-    def fake(st, c, m, ca, matches, out_prefix, opts):
+    def fake(st, c, m, ca, matches, out_prefix, opts, mesh=None):
         if st == "spatial-stats" and opts:
             raise ValueError("synthetic size-guard rejection")
-        return real(st, c, m, ca, matches, out_prefix, opts)
+        return real(st, c, m, ca, matches, out_prefix, opts, mesh=mesh)
 
     monkeypatch.setattr(cli, "_run_bus_stage", fake)
     capsys.readouterr()
