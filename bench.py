@@ -36,6 +36,7 @@ dwell number (tagged fallback_cpu) — the pipeline keys would mislead the
 per-round record with non-TPU timings.
 """
 
+import functools
 import json
 import time
 
@@ -339,6 +340,85 @@ def _bench_dwell_mfu(on_tpu: bool) -> dict:
     return out
 
 
+def _bench_scale() -> dict:
+    """Scale-demonstration keys (VERDICT r4 item 4) — the reference's
+    res=2000 is the floor, not the ceiling:
+
+      * escape_grid_res{4096,8192}_mpix_s — the Pallas dwell head at 4x/16x
+        the reference pixel count (single chip, chained grids);
+      * spatial_stats_150k_s — TWO 150k-point f32 shell-count pair scans
+        (2.25e10 pairs each; exact counts via the (hi,lo) int32 carry
+        spill that removed the 65536-point ceiling) + the f32 Hausdorff;
+      * knn_150k_s — the embeddings kNN search (k=20, hi/lo two-float
+        coordinates + host exact re-rank) at 150k points.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cmtci.kernels.mandelbrot_pallas import (
+        DEFAULT_INNER, DEFAULT_TILE, _field,
+    )
+
+    out = {}
+    with jax.enable_x64(False):
+        for res, reps in ((4096, 12), (8192, 3)):
+            dx = (DOM[1] - DOM[0]) / (res - 1)
+            params = jnp.asarray([DOM[0], DOM[2], dx, dx], dtype=jnp.float32)
+
+            @functools.partial(jax.jit, static_argnames=("r",))
+            def chained(p, r):
+                total = jnp.float32(0.0)
+                for _ in range(r):
+                    z = _field(p, res, res, MAX_ITER, "dwell", 4.0,
+                               DEFAULT_TILE, DEFAULT_INNER, False)
+                    total = total + jnp.sum(z)
+                    p = p + jnp.float32(1e-12) * total / (jnp.abs(total) + 1.0)
+                return total
+
+            float(chained(params, reps))
+            best = float("inf")
+            for k in range(2):
+                t0 = time.time()
+                float(chained(params + jnp.float32(1e-9 * (k + 1)), reps))
+                best = min(best, time.time() - t0)
+            out[f"escape_grid_res{res}_mpix_s"] = round(
+                res * res / (best / reps) / 1e6, 1)
+
+    rng = np.random.default_rng(1)
+    t = rng.uniform(0, 2 * np.pi, 150_000)
+    r = 1.0 + 0.05 * rng.standard_normal(150_000)
+    c1 = np.column_stack([r * np.cos(t), r * np.sin(t)])
+    c2 = c1[::-1] + 0.01 * rng.standard_normal((150_000, 2))
+
+    from cmtci.stats import pointstats as ps
+
+    def scan():
+        sh1 = ps._shell_counts(c1, 0.5, 0.02, dtype=jnp.float32)
+        sh2 = ps._shell_counts(c2, 0.5, 0.02, dtype=jnp.float32)
+        h = ps.hausdorff(c1, c2, dtype=jnp.float32)
+        assert sh1[1].sum() > 0 and sh2[1].sum() > 0 and h > 0
+        return h
+
+    scan()  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        scan()
+        best = min(best, time.time() - t0)
+    out["spatial_stats_150k_s"] = round(best, 2)
+
+    from cmtci.stats.embeddings import build_sparse_kernel
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        kmat, sigma = build_sparse_kernel(c1, k=20, dtype=jnp.float32)
+        best = min(best, time.time() - t0)
+    assert kmat.shape == (150_000, 150_000) and sigma > 0
+    out["knn_150k_s"] = round(best, 2)
+    return out
+
+
 def _bench_eigensweep() -> float:
     """Warm wall time of the stage-4 inverse cloud (host-CPU by policy)."""
     from cmtci.kernels import companion
@@ -525,6 +605,12 @@ def _run(on_tpu: bool, fallback: bool = False):
             result.update(_bench_dwell_mfu(on_tpu))
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             result["mfu_error"] = repr(e)[:300]
+        print(json.dumps(result), flush=True)
+    if on_tpu:
+        try:  # scale demonstration: 4x/16x grids + 150k-point pair scans
+            result.update(_bench_scale())
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            result["scale_error"] = repr(e)[:300]
         print(json.dumps(result), flush=True)
 
     def key(name: str, fn, baseline: float, vs_name: str, digits: int = 2):

@@ -192,12 +192,14 @@ def _theta_core(
 
     u, v = solve_uv(theta if feedback else theta0)
     cu, cv, r = _circle_normalize(u[bnd_idx], v[bnd_idx])
-    # pack the outputs: through the TPU relay every fetched array is a
-    # roundtrip, so (uv, scalars, theta, drifts) instead of 8 arrays
+    # pack EVERYTHING into one vector: through the TPU relay every fetched
+    # array is a ~30 ms roundtrip, so (uv | scalars | theta | drifts) ride
+    # one async host copy per mesh (ThetaHandle.prefetch overlaps them all)
     uv = jnp.stack([(u - cu) / r, (v - cv) / r])
     scalars = jnp.stack([cu, cv, r, period_mis])
-    return (uv, scalars, theta,
-            jnp.stack(drifts) if drifts else jnp.zeros((0,), dtype))
+    return jnp.concatenate([
+        uv.reshape(-1), scalars, theta,
+        jnp.stack(drifts) if drifts else jnp.zeros((0,), dtype)])
 
 
 def _reduced_systems(k: sp.csr_matrix, bnd_ord: np.ndarray, pin: int = 0):
@@ -250,51 +252,125 @@ def _condense_slivers(k: sp.csr_matrix, diag_factor: float = 1e6):
 class ThetaHandle:
     """Async handle for a dispatched device θ-iteration.
 
-    The dispatch is non-blocking (jax async execution): a pipeline can
-    dispatch every level's iteration before fetching any result, so the
-    TPU relay roundtrips overlap across meshes. `.result()` fetches and
-    (for f32 runs) performs the final host f64 solve at the converged θ.
+    The dispatch is non-blocking (jax async execution) and the whole
+    output rides ONE packed vector: a pipeline can dispatch every level's
+    iteration, `prefetch()` them all (async device→host copies overlap
+    across meshes — each blocking fetch through the TPU relay is a ~30 ms
+    roundtrip), then `.result()` each. result() performs the final host
+    f64 solve at the converged θ for f32 runs, reusing the prep cache's
+    SuperLU factors.
     """
 
     def __init__(self, out, ctx):
         self._out = out
         self._ctx = ctx
 
+    def prefetch(self):
+        try:
+            self._out.copy_to_host_async()
+        except AttributeError:  # non-jax array (already host)
+            pass
+        return self
+
     def result(self):
         from cmtci.maps import fem
 
-        uv, scalars, theta, drifts = self._out
         c = self._ctx
+        n, nb, iters = c["n"], len(c["bnd_ord"]), c["iters"]
+        packed = np.asarray(self._out, dtype=np.float64)
+        uv = packed[: 2 * n].reshape(2, n)
+        scalars = packed[2 * n : 2 * n + 4]
+        theta_h = packed[2 * n + 4 : 2 * n + 4 + nb]
         if c["verbose"]:
-            for i, d in enumerate(np.asarray(drifts), start=1):
-                print(f"    [theta-iter/device] k={i}/{len(drifts)} median "
+            drifts = packed[2 * n + 4 + nb :]
+            for i, d in enumerate(drifts, start=1):
+                print(f"    [theta-iter/device] k={i}/{iters} median "
                       f"drift {float(d):.6f} rad")
         if c["final_host_solve"]:
-            theta_h = np.asarray(theta, dtype=np.float64)
-            period_mis = float(np.asarray(scalars)[3])
-            n, bnd_ord, s_b, big_l = c["n"], c["bnd_ord"], c["s_b"], c["big_l"]
-            triangles, grads, area = c["triangles"], c["grads"], c["area"]
+            period_mis = float(scalars[3])
+            bnd_ord, s_b, big_l = c["bnd_ord"], c["s_b"], c["big_l"]
+            prep = c["prep"]
+            triangles, grads, area = (prep["triangles_np"], prep["grads_np"],
+                                      prep["area_np"])
             th0 = -np.pi + 2.0 * np.pi * (s_b / big_l)
-            free_d = np.ones(n, dtype=bool)
-            free_d[bnd_ord] = False
-            k_fb = c["k"][free_d][:, bnd_ord].tocsr()
-            solve_d = sp.linalg.splu(c["kffd"].tocsc()).solve
-            solve_c = sp.linalg.splu(c["kffc"].tocsc()).solve
+            solve_d, solve_c = prep["splu_d"], prep["splu_c"]
             g = np.cos(theta_h if c["feedback"] else th0)
             u = np.zeros(n)
             u[bnd_ord] = g
-            u[c["free_d_idx"]] = solve_d(-(k_fb @ g))
+            u[prep["free_d_idx_np"]] = solve_d(-(prep["k_fb_np"] @ g))
             rhs = fem._conjugate_rhs(triangles, grads, area, u, n)
             v = np.zeros(n)
-            v[c["free_c_idx"]] = solve_c(rhs[c["free_c_idx"]])
+            v[prep["free_c_idx_np"]] = solve_c(rhs[prep["free_c_idx_np"]])
             wb = u[bnd_ord] + 1j * v[bnd_ord]
             c_last, r_last, _ = fem.circle_normalize_boundary(wb)
             w = (u + 1j * v - c_last) / r_last
             return w.real, w.imag, c_last, r_last, period_mis
-        uv_h = np.asarray(uv, np.float64)
-        sc = np.asarray(scalars, np.float64)
-        return (uv_h[0], uv_h[1], complex(sc[0], sc[1]), float(sc[2]),
-                float(sc[3]))
+        return (uv[0], uv[1], complex(scalars[0], scalars[1]),
+                float(scalars[2]), float(scalars[3]))
+
+
+_PREP_CACHE: dict = {}
+_PREP_CACHE_MAX = 24
+
+
+def _mesh_prep(points, triangles, bnd_ord, dtype, need_splu: bool):
+    """Device-resident per-mesh dispatch state, memoized.
+
+    Everything that depends only on (mesh, boundary order, dtype) — the
+    equilibrated COO triplets ON DEVICE, the condensation couplings, the
+    index arrays, and (lazily) the SuperLU factors for the final f64 host
+    solve. Through the TPU relay the device_puts alone were ~0.3 s per
+    warm study and the two splu factorizations another ~0.18 s; a
+    parameter sweep or repeated run pays them once. Bounded FIFO cache.
+    """
+    import hashlib
+
+    from cmtci.maps import fem
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.ascontiguousarray(points))
+    h.update(np.ascontiguousarray(triangles))
+    h.update(np.ascontiguousarray(bnd_ord))
+    key = (h.hexdigest(), str(dtype))
+    prep = _PREP_CACHE.get(key)
+    if prep is None:
+        k = fem.assemble_stiffness(points, triangles)
+        grads, area = fem.p1_grads_areas(points, triangles)
+        kffd, kfbd, kffc, free_d_idx, free_c_idx = _reduced_systems(k, bnd_ord)
+        ffd_eq, d_d = _equilibrated_coo(kffd, dtype)
+        r_idx, s_idx, s_red, kss_inv, w_cpl = _condense_slivers(k)
+        sred_eq, d_s = _equilibrated_coo(s_red, dtype)
+        w = 1.0 / d_s  # D^{1/2}·1_r — the reduced Neumann null vector
+        w_hat = w / np.linalg.norm(w)
+        n = len(points)
+        free_d = np.ones(n, dtype=bool)
+        free_d[bnd_ord] = False
+        prep = dict(
+            ffd_eq=ffd_eq, fbd=_coo_parts(kfbd, dtype), sred_eq=sred_eq,
+            d_d=jnp.asarray(d_d.astype(dtype)),
+            d_s=jnp.asarray(d_s.astype(dtype)),
+            w_hat=jnp.asarray(w_hat.astype(dtype)),
+            kss_inv=jnp.asarray(kss_inv.astype(dtype)),
+            w_bs=jnp.asarray(w_cpl.toarray().astype(dtype)),
+            r_idx=jnp.asarray(r_idx.astype(np.int32)),
+            s_idx=jnp.asarray(s_idx.astype(np.int32)),
+            tris=jnp.asarray(triangles.astype(np.int32)),
+            grads=jnp.asarray(grads.astype(dtype)),
+            area=jnp.asarray(area.astype(dtype)),
+            bnd_idx=jnp.asarray(bnd_ord.astype(np.int32)),
+            free_d_idx=jnp.asarray(free_d_idx.astype(np.int32)),
+            triangles_np=triangles, grads_np=grads, area_np=area,
+            kffd=kffd, kffc=kffc, k_fb_np=k[free_d][:, bnd_ord].tocsr(),
+            free_d_idx_np=free_d_idx, free_c_idx_np=free_c_idx,
+            splu_d=None, splu_c=None,
+        )
+        if len(_PREP_CACHE) >= _PREP_CACHE_MAX:
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+        _PREP_CACHE[key] = prep
+    if need_splu and prep["splu_d"] is None:
+        prep["splu_d"] = sp.linalg.splu(prep["kffd"].tocsc()).solve
+        prep["splu_c"] = sp.linalg.splu(prep["kffc"].tocsc()).solve
+    return prep
 
 
 def dispatch_theta_iteration_device(
@@ -312,7 +388,9 @@ def dispatch_theta_iteration_device(
     device-converged θ, so downstream CR/Beltrami diagnostics see full
     solve precision regardless of the accelerator dtype. Matmuls trace at
     precision=HIGHEST — the TPU default (bf16 passes) loses ~3 digits of
-    the θ trajectory.
+    the θ trajectory. The dispatch-static per-mesh state (equilibrated
+    operators on device, condensation couplings, SuperLU factors) is
+    memoized in _PREP_CACHE, so warm repeats ship only the jit call.
     """
     from cmtci.maps import fem
 
@@ -329,38 +407,24 @@ def dispatch_theta_iteration_device(
     if smooth > 1 and smooth % 2 == 0:
         smooth += 1  # host moving_average_periodic widens even windows
 
-    k = fem.assemble_stiffness(points, triangles)
-    grads, area = fem.p1_grads_areas(points, triangles)
-    kffd, kfbd, kffc, free_d_idx, free_c_idx = _reduced_systems(k, bnd_ord)
     n = len(points)
-    ffd_eq, d_d = _equilibrated_coo(kffd, dtype)
-    r_idx, s_idx, s_red, kss_inv, w_cpl = _condense_slivers(k)
-    sred_eq, d_s = _equilibrated_coo(s_red, dtype)
-    w = 1.0 / d_s  # D^{1/2}·1_r — the reduced Neumann null vector
-    w_hat = w / np.linalg.norm(w)
-
+    prep = _mesh_prep(points, triangles, bnd_ord, dtype,
+                      need_splu=final_host_solve)
     with jax.default_matmul_precision("highest"):
         out = _theta_core(
-            ffd_eq, _coo_parts(kfbd, dtype), sred_eq,
-            jnp.asarray(d_d.astype(dtype)), jnp.asarray(d_s.astype(dtype)),
-            jnp.asarray(w_hat.astype(dtype)),
-            jnp.asarray(kss_inv.astype(dtype)),
-            jnp.asarray(w_cpl.toarray().astype(dtype)),
-            jnp.asarray(r_idx.astype(np.int32)),
-            jnp.asarray(s_idx.astype(np.int32)),
-            jnp.asarray(triangles.astype(np.int32)),
-            jnp.asarray(grads.astype(dtype)), jnp.asarray(area.astype(dtype)),
+            prep["ffd_eq"], prep["fbd"], prep["sred_eq"],
+            prep["d_d"], prep["d_s"], prep["w_hat"],
+            prep["kss_inv"], prep["w_bs"], prep["r_idx"], prep["s_idx"],
+            prep["tris"], prep["grads"], prep["area"],
             jnp.asarray((s_b / big_l).astype(dtype)),
-            jnp.asarray(bnd_ord.astype(np.int32)),
-            jnp.asarray(free_d_idx.astype(np.int32)),
+            prep["bnd_idx"], prep["free_d_idx"],
             n=n, iters=int(iters), relax=float(relax), smooth=smooth,
             anchor=int(unwrap_anchor), pin=0, feedback=bool(feedback),
             periodic_enforce=bool(periodic_enforce),
         )
     ctx = dict(verbose=verbose, final_host_solve=final_host_solve,
-               feedback=feedback, n=n, bnd_ord=bnd_ord, s_b=s_b, big_l=big_l,
-               triangles=triangles, grads=grads, area=area, k=k, kffd=kffd,
-               kffc=kffc, free_d_idx=free_d_idx, free_c_idx=free_c_idx)
+               feedback=feedback, n=n, iters=int(iters), bnd_ord=bnd_ord,
+               s_b=s_b, big_l=big_l, prep=prep)
     return ThetaHandle(out, ctx)
 
 

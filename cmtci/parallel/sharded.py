@@ -393,32 +393,26 @@ def sharded_shell_counts(points, r_max: float, dr: float, mesh: Mesh,
     Each device bins its row block's upper-triangle pair distances against
     the replicated cloud with the same scatter-free masked-reduction kernel
     as the single-device head (stats/variogram.masked_bin_reduce, so bin
-    semantics are identical bit for bit at equal dtype), and returns its
-    exact int32 per-bin partial; the host sums partials in int64. Because
-    the int32 bound applies PER DEVICE (a device sees at most
-    rows_per·(n-1) pairs), a D-device mesh relaxes the single-device
-    65536-point guard to rows_per·(n-1) < 2^31 — ~sqrt(D)·65536 points.
-    Returns the `_shells` tuple (r_vals, counts_f64, n, rho) that
-    stats.pointstats.pair_correlation / ripley_k accept directly.
-    Reference: spatial_stats_phase2.py:9-47.
+    semantics are identical bit for bit at equal dtype), accumulating an
+    exact (hi, lo) int32 pair with a per-block carry spill
+    (pointstats._hilo_spill) — no pair-count ceiling; the only int32 bound
+    is per block (chunk·n), which _auto_chunk sizes away. The host
+    reconstructs int64 partials and sums. Returns the `_shells` tuple
+    (r_vals, counts_f64, n, rho) that stats.pointstats.pair_correlation /
+    ripley_k accept directly. Reference: spatial_stats_phase2.py:9-47.
     """
     from cmtci.stats.variogram import masked_bin_reduce
     from cmtci.utils.arrays import as_xy
 
+    from cmtci.stats.pointstats import _auto_chunk, _hilo_spill, _hilo_total
+
     xy = as_xy(points)
     n = len(xy)
     n_dev = mesh.devices.size
+    chunk = _auto_chunk(n, chunk)  # per-block chunk·n pairs must fit int32
     per = chunk * n_dev
     n_pad = ((n + per - 1) // per) * per
     rows_per = n_pad // n_dev
-    if rows_per * max(n - 1, 1) > 2**31 - 1:
-        # one device's partial for one bin can hold at most rows_per·(n-1)
-        # pairs; past that the signed-int32 partial could wrap (the host
-        # int64 sum is exact once the partials are)
-        raise ValueError(
-            f"sharded_shell_counts: {n} points over {n_dev} devices can "
-            f"overflow a device's signed int32 per-bin partial "
-            f"(rows_per={rows_per}); use more devices or subsample")
     area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
     rho = n / area
     r_vals = np.arange(0, r_max, dr)
@@ -431,25 +425,32 @@ def sharded_shell_counts(points, r_max: float, dr: float, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P("data", None), P(None, None)),
-        out_specs=P("data", None), check_vma=False,
+        out_specs=(P("data", None), P("data", None)), check_vma=False,
     )
     def run(x_loc, x_all):
         dev = jax.lax.axis_index("data")
         row0 = dev * rows_per
 
         def body(i, acc):
+            hi, lo = acc
             blk = jax.lax.dynamic_slice_in_dim(x_loc, i * chunk, chunk, axis=0)
             gidx = row0 + i * chunk + jnp.arange(chunk)
             d = jnp.sqrt(jnp.sum((blk[:, None, :] - x_all[None, :, :]) ** 2,
                                  axis=-1))
             valid = (gidx[:, None] < cols[None, :]) & (cols[None, :] < n)
-            return acc + masked_bin_reduce(d, valid, edges, nbins)
+            # exact (hi, lo) int32 accumulation with a per-block carry
+            # spill — no 2^31 per-device pair ceiling (pointstats._hilo_*)
+            return _hilo_spill(hi, lo + masked_bin_reduce(d, valid, edges,
+                                                          nbins))
 
-        acc = jnp.zeros(nbins, dtype=jnp.int32)
-        return jax.lax.fori_loop(0, rows_per // chunk, body, acc)[None]
+        acc = (jnp.zeros(nbins, dtype=jnp.int32),
+               jnp.zeros(nbins, dtype=jnp.int32))
+        hi, lo = jax.lax.fori_loop(0, rows_per // chunk, body, acc)
+        return hi[None], lo[None]
 
-    partials = np.asarray(run(xp, xp), dtype=np.int64)
-    return r_vals, partials.sum(axis=0).astype(np.float64), n, rho
+    hi, lo = run(xp, xp)
+    counts = _hilo_total(hi, lo).sum(axis=0)
+    return r_vals, counts.astype(np.float64), n, rho
 
 
 # ---------------------------------------------------------------------------

@@ -208,8 +208,8 @@ def run_spatial_stats(c_aligned, m_pts, r_max=1.5, dr=0.05, out_prefix=None,
     per cloud + Hausdorff) on the default (TPU) device — counts exact
     int32, borderline f32 bin flips possible; the host f64 pass is the
     stage wall at beyond-reference bus sizes. With `mesh` the shell counts
-    shard over the mesh (and the 65536-point int32 guard relaxes to
-    ~sqrt(n_devices)·65536)."""
+    shard over the mesh; either way the (hi, lo) int32 carry-spill keeps
+    counts exact with no pair-count ceiling."""
     shells_c = ps._shell_counts(c_aligned, r_max, dr, dtype=stat_dtype,
                                 mesh=mesh)
     shells_m = ps._shell_counts(m_pts, r_max, dr, dtype=stat_dtype, mesh=mesh)

@@ -84,6 +84,9 @@ class _SyncTheta:
     def __init__(self, out):
         self._out = out
 
+    def prefetch(self):
+        return self
+
     def result(self):
         return self._out
 
@@ -222,6 +225,9 @@ def run_fem_uniformization(cfg: FEMUniformizeConfig, out_dir: str | None = None,
                        lvl["name"], poly_l, poly_c)
         for lvl in (levels if levels is not None else cfg.levels)
     ]
+    for d in dispatched:  # start every device→host copy before any blocks
+        d["th_l"].prefetch()
+        d["th_c"].prefetch()
     results = [finish_level(cfg, d) for d in dispatched]
     if out_dir:
         writers.write_json(f"{out_dir}/results.json", results)

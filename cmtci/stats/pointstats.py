@@ -48,14 +48,35 @@ def _pair_hist(xy, r_edges, nbins: int, chunk: int = 1024):
     return acc[:-1]
 
 
+def _hilo_spill(hi, lo):
+    """Exact int32 pair-count accumulation past 2^31: spill lo's high bits
+    into hi every block (lo stays < 2^20 + one block's pairs; hi counts
+    2^20-pair units — exact up to 2^51 total pairs). The device heads stay
+    pure int32 (TPU x64 is emulated), the host reconstructs int64."""
+    carry = lo >> 20
+    return hi + carry, lo - (carry << 20)
+
+
+def _hilo_total(hi, lo) -> np.ndarray:
+    return (np.asarray(hi, np.int64) << 20) + np.asarray(lo, np.int64)
+
+
+def _auto_chunk(n: int, chunk: int) -> int:
+    """Largest block size whose per-block pair count chunk·n fits int32
+    (masked_bin_reduce's in-block cumulative sums are int32)."""
+    return max(8, min(chunk, (2**31 - 1) // max(n, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("nbins", "chunk"))
 def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
     """_pair_hist as scatter-free masked reductions: the shared
     stats/variogram.masked_bin_reduce kernel (per-edge cumulative counts,
     adjacent-differenced to exact per-bin int32 counts — bin semantics
     identical to the searchsorted(side="right") host path, no f32
-    scatter-add saturation at 2^24). Signed-int32 per-bin wrap is guarded
-    in the wrapper via variogram.guard_pair_count_int32."""
+    scatter-add saturation at 2^24). Per-bin totals accumulate in an exact
+    (hi, lo) int32 pair with a carry spill per block (_hilo_spill), so
+    there is NO 2^31 total-pair ceiling — only the per-block chunk·n bound,
+    which the wrapper sizes away (_auto_chunk). Returns (hi, lo)."""
     from cmtci.stats.variogram import masked_bin_reduce
 
     n = xy.shape[0]
@@ -64,13 +85,14 @@ def _pair_hist_masked(xy, r_edges, nbins: int, chunk: int = 1024):
     cols = jnp.arange(npad)
 
     def body(i, acc):
+        hi, lo = acc
         blk = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=0)
         ridx = i * chunk + jnp.arange(chunk)
         d = jnp.sqrt(jnp.sum((blk[:, None, :] - xp[None, :, :]) ** 2, axis=-1))
         valid = (ridx[:, None] < cols[None, :]) & (cols[None, :] < n)
-        return acc + masked_bin_reduce(d, valid, r_edges, nbins)
+        return _hilo_spill(hi, lo + masked_bin_reduce(d, valid, r_edges, nbins))
 
-    acc = jnp.zeros(nbins, dtype=jnp.int32)
+    acc = (jnp.zeros(nbins, dtype=jnp.int32), jnp.zeros(nbins, dtype=jnp.int32))
     return jax.lax.fori_loop(0, npad // chunk, body, acc)
 
 
@@ -79,13 +101,13 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None, mesh=None):
     by g(r) and Ripley K.
 
     dtype=jnp.float32 runs the pair histogram on the default (TPU) device
-    via the masked-reduction head (counts exact int32; f32 distances can
-    land borderline pairs one bin over vs f64 — the documented opt-in for
+    via the masked-reduction head (counts exact via the (hi, lo) int32
+    carry-spill — no 65536-point pair ceiling; f32 distances can land
+    borderline pairs one bin over vs f64 — the documented opt-in for
     beyond-reference cloud sizes where the host O(n²) pass is the stage
     wall). f64 (default) stays on the host CPU by the device policy.
     With `mesh` the pass shards its i-rows over the mesh
-    (parallel.sharded.sharded_shell_counts), which also relaxes the
-    single-device 65536-point int32 guard to ~sqrt(n_devices)·65536.
+    (parallel.sharded.sharded_shell_counts).
     """
     xy = _xy(points)
     n = len(xy)
@@ -98,13 +120,6 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None, mesh=None):
     r_vals = np.arange(0, r_max, dr)
     from cmtci.utils.device import analysis_dtype_ctx
 
-    if dtype is not None:
-        # device head only: the host scatter head accumulates f64 (exact
-        # to 2^53 pairs) and stays unguarded; a mesh routes around the
-        # guard entirely (sharded partials bound pairs per device)
-        from cmtci.stats.variogram import guard_pair_count_int32
-
-        guard_pair_count_int32(n, "_shell_counts")
     dt, dev, x64_ctx = analysis_dtype_ctx(dtype)
     with dev, x64_ctx:  # f64 all-pairs loops stay off emulated-f64 TPUs
         edges = jnp.asarray(np.concatenate([r_vals, [r_vals[-1] + dr]]), dt)
@@ -114,8 +129,12 @@ def _shell_counts(points, r_max: float, dr: float, dtype=None, mesh=None):
             counts = np.asarray(_pair_hist(xyd, edges, len(r_vals)))
         else:
             # device path: scatter-free masked reductions (TPU scatters
-            # serialize; same reformulation as the device variograms)
-            counts = np.asarray(_pair_hist_masked(xyd, edges, len(r_vals)))
+            # serialize; same reformulation as the device variograms) with
+            # exact (hi, lo) int32 counts — no 65536-point pair ceiling,
+            # only the per-block bound _auto_chunk sizes away
+            hi, lo = _pair_hist_masked(xyd, edges, len(r_vals),
+                                       chunk=_auto_chunk(n, 1024))
+            counts = _hilo_total(hi, lo)
     return r_vals, counts.astype(np.float64), n, rho
 
 

@@ -267,15 +267,30 @@ def test_sharded_shell_counts_matches_single_device(rng):
     np.testing.assert_allclose(k_mesh, k_one, rtol=1e-12)
 
 
-def test_sharded_shell_counts_per_device_guard():
-    """The int32 bound applies per device (rows_per·(n-1) pairs), so the
-    single-device mesh still rejects 70k points while 8 devices accept
-    larger clouds than the single-device head's 65536 limit."""
-    import pytest
+def test_hilo_accumulator_exact_past_int32():
+    """The (hi, lo) int32 carry-spill accumulator that removed the
+    65536-point pair-count ceiling must stay exact far past 2^31 total."""
+    from cmtci.stats.pointstats import _hilo_spill, _hilo_total
 
-    mesh1 = sharded.device_mesh(1)
-    with pytest.raises(ValueError, match="signed int32"):
-        sharded.sharded_shell_counts(np.zeros((70000, 2)), 0.5, 0.05, mesh1)
+    add = jnp.asarray([2**30, 123, 1], jnp.int32)
+
+    def body(_, acc):
+        hi, lo = acc
+        return _hilo_spill(hi, lo + add)
+
+    hi, lo = jax.lax.fori_loop(
+        0, 5000, body,
+        (jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32)))
+    want = 5000 * np.asarray([2**30, 123, 1], dtype=np.int64)  # 5.4e12 max
+    np.testing.assert_array_equal(_hilo_total(hi, lo), want)
+
+
+def test_auto_chunk_keeps_blocks_int32_safe():
+    from cmtci.stats.pointstats import _auto_chunk
+
+    for n in (100, 65536, 150_000, 2_000_000):
+        c = _auto_chunk(n, 1024)
+        assert 8 <= c <= 1024 and (c == 1024 or c * n <= 2**31 - 1), (n, c)
 
 
 def test_sharded_cloud_potential_matches_single_device(rng):

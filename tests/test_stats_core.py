@@ -202,9 +202,21 @@ class TestPointStatsDevice:
         assert pointstats.hausdorff(a, b, dtype=jnp.float32) == pytest.approx(
             ref, rel=1e-5)
 
-    def test_shell_counts_signed_int32_guard(self):
+    @pytest.mark.slow
+    def test_shell_counts_past_int32_pair_ceiling(self):
+        # the (hi, lo) carry-spill replaced the old 65536-point ValueError:
+        # a concentrated cloud past the old limit must return EXACT counts
+        # (n=66000 in one bin = 2.18e9 pairs > 2^31, the old wrap point).
+        # Coincident points keep the O(n²) distance pass vectorized-cheap.
         import jax.numpy as jnp
 
-        with pytest.raises(ValueError, match="signed int32"):
-            pointstats._shell_counts(np.zeros((65537, 2)), 0.5, 0.05,
-                                     dtype=jnp.float32)
+        n = 66_000
+        pts = np.zeros((n, 2))
+        pts[0] = (1.0, 1.0)  # nonzero area so rho is finite
+        r_vals, counts, n_out, rho = pointstats._shell_counts(
+            pts, 0.5, 0.05, dtype=jnp.float32)
+        assert n_out == n
+        # all coincident pairs land in bin 0; the (n-1) pairs to the far
+        # corner exceed r_max and are dropped
+        assert counts[0] == n * (n - 1) // 2 - (n - 1), counts[0]
+        assert counts[1:].sum() == 0
