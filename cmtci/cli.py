@@ -651,6 +651,10 @@ def _dispatch(args):
                             parity=args.parity, field_dtype=args.field_dtype,
                             de_impl=args.de_impl)
         mesh = None
+        if not args.mesh_devices and args.devices > 1:
+            # the common --devices flag is the tracker's --mesh-devices
+            # (which predates it and keeps its CPU-fallback semantics)
+            args.mesh_devices = args.devices
         if args.mesh_devices:
             import jax
 
