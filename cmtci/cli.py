@@ -328,6 +328,12 @@ def main(argv=None):
 
 def _wants_tpu(args) -> bool:
     """Subcommand+flags combinations whose kernels target the TPU."""
+    if args.cmd == "boundary":
+        # the flagship Pallas dwell head (BoundaryConfig backend="auto"
+        # picks it whenever the default backend is a TPU); --parity or a
+        # --devices mesh (virtual CPU devices) keep the exact f64 path
+        return (_session_tpu() and not getattr(args, "parity", False)
+                and getattr(args, "devices", 1) <= 1)
     if args.cmd == "tracker":
         return (args.field_dtype == "float32" or args.de_impl == "pallas")
     if args.cmd == "variograms":
