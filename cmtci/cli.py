@@ -79,20 +79,41 @@ _PLATFORM_FLAGS = {
 
 
 def _resolve_platform_defaults(args) -> None:
-    """Fill every None dtype/backend flag with its platform default."""
+    """Fill every None dtype/backend flag with its platform default.
+
+    `--platform cpu` opts out like --parity does: a forced-CPU run must
+    not inherit the TPU accel defaults (interpreted-Pallas on CPU is an
+    effective hang, and f32 numerics would silently replace f64).
+    """
     accel_session = (_session_tpu()
-                     and not getattr(args, "parity", False))
+                     and not getattr(args, "parity", False)
+                     and getattr(args, "platform", "auto") != "cpu")
     for name, accel, host in _PLATFORM_FLAGS.get(args.cmd, ()):
         if getattr(args, name, None) is None:
             setattr(args, name, accel if accel_session else host)
+
+
+#: subcommands whose dispatch actually threads a --devices mesh through
+_MESH_COMMANDS = ("boundary", "tracker", "equipotential", "variograms",
+                  "spatial-stats", "coupling", "suite")
 
 
 def _mesh_from_args(args):
     n = getattr(args, "devices", 1) or 1
     if n <= 1:
         return None
+    import jax
+
     from cmtci.parallel.sharded import device_mesh
 
+    devs = jax.devices()
+    if len(devs) < n:
+        # never silently shrink the mesh — the user would believe the run
+        # was N-way when it was len(devs)-way
+        raise SystemExit(
+            f"--devices {n} needs {n} devices but only {len(devs)} are "
+            f"available on '{devs[0].platform}'. For virtual CPU devices "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N.")
     return device_mesh(n)
 
 
@@ -309,6 +330,11 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     _resolve_platform_defaults(args)
+    if getattr(args, "devices", 1) > 1 and args.cmd not in _MESH_COMMANDS:
+        # reject rather than silently no-op a requested mesh
+        raise SystemExit(
+            f"--devices: `cmtci {args.cmd}` has no mesh-sharded stage; "
+            f"supported subcommands: {', '.join(_MESH_COMMANDS)}")
     import jax
 
     if args.platform != "auto":
@@ -350,6 +376,8 @@ def _wants_tpu(args) -> bool:
         return args.green_dtype == "float32"
     if args.cmd == "symmetry":
         return args.scan_dtype == "float32"
+    if args.cmd == "spatial-stats":
+        return args.stat_dtype == "float32"
     if args.cmd == "coupling":
         return (args.coupling_field_dtype == "float32"
                 or args.coupling_vario_dtype == "float32")

@@ -146,9 +146,13 @@ def harmonic_conjugate(points, triangles, u, pin: int = 0, method: str = "spsolv
     if method == "cg":
         v[free] = _cg_solve(k_ff, rhs_f)
     elif method == "device":
-        from cmtci.maps.fem_device import DeviceSPDSolver
+        # NOT DeviceSPDSolver on the pinned k_ff: the weak single-node pin
+        # leaves κ≈2e15 on sliver-bearing meshes and its f32 Cholesky is
+        # not positive-definite (silent NaNs). The Neumann solver condenses
+        # the sliver nodes and lifts the constant mode instead.
+        from cmtci.maps.fem_device import DeviceNeumannSolver
 
-        v[free] = DeviceSPDSolver(k_ff).solve(rhs_f)
+        return DeviceNeumannSolver(k, pin=pin).solve(rhs)
     else:
         v[free] = spsolve(k_ff, rhs_f)
     return v

@@ -140,11 +140,7 @@ def _theta_core(
     two_pi = dtype.type(2.0 * np.pi)
     pi = dtype.type(np.pi)
 
-    def chol_solve(l_fac, b):
-        y = jax.lax.linalg.triangular_solve(
-            l_fac, b[:, None], left_side=True, lower=True)
-        return jax.lax.linalg.triangular_solve(
-            l_fac, y, left_side=True, lower=True, transpose_a=True)[:, 0]
+    chol_solve = _chol_solve  # shared two-triangular-solve helper
 
     def solve_conj(rhs):
         b_s = rhs[s_idx]
@@ -470,15 +466,80 @@ class DeviceSPDSolver:
         return x
 
 
+class DeviceNeumannSolver:
+    """Pinned Neumann solve (harmonic-conjugate class) on the device.
+
+    The standalone twin of the fused θ-iteration's conjugate path: the
+    weakly-pinned reduced system has κ≈2e15 on sliver-bearing meshes and
+    its f32 Cholesky is not positive-definite, so this solver takes the
+    FULL singular Neumann K, Schur-condenses the high-diagonal sliver
+    nodes on the host in f64 (_condense_slivers), equilibrates + lifts
+    the constant null mode, factorizes on device, back-substitutes the
+    sliver values, and shifts so v[pin]=0. Classical refinement is OFF by
+    default: unlike the SPD case, the pin-shifted lifted apply is not a
+    contraction for x += apply(b − Kx) on a near-singular K (measured
+    divergent on a synthetic sliver system), and the direct solve already
+    sits at the lifted-vs-pinned distribution floor (~1e-6 relative at
+    the solution scale) in BOTH dtypes.
+    Reference: lucas_to_cardioid_v18...py:407-431.
+    """
+
+    def __init__(self, k: sp.spmatrix, pin: int = 0, dtype=None):
+        if dtype is None:
+            dtype = jnp.float32 if on_tpu() else jnp.float64
+        self.dtype = jnp.dtype(dtype)
+        self.k = k.tocsr()
+        self.pin = pin
+        self._r_idx, self._s_idx, s_red, self._kss_inv, w_cpl = (
+            _condense_slivers(self.k))
+        self._w_bs = w_cpl.toarray()
+        (rows, cols, vals), self._d = _equilibrated_coo(s_red, self.dtype)
+        w = 1.0 / self._d
+        w_hat = jnp.asarray((w / np.linalg.norm(w)).astype(self.dtype))
+        nr = s_red.shape[0]
+        with jax.default_matmul_precision("highest"):
+            self._l = _spd_factor_lifted(rows, cols, vals, w_hat, nr)
+
+    def _apply(self, b64: np.ndarray) -> np.ndarray:
+        b_s = b64[self._s_idx]
+        b_r = b64[self._r_idx] - self._w_bs.T @ b_s
+        y = _chol_solve_jit(self._l, jnp.asarray(
+            (self._d * b_r).astype(self.dtype)))
+        v_r = self._d * np.asarray(y, np.float64)
+        v_s = self._kss_inv @ b_s - self._w_bs @ v_r
+        v = np.zeros(len(b64))
+        v[self._r_idx] = v_r
+        v[self._s_idx] = v_s
+        return v - v[self.pin]
+
+    def solve(self, rhs: np.ndarray, refine: int = 0) -> np.ndarray:
+        b64 = np.asarray(rhs, np.float64)
+        with jax.default_matmul_precision("highest"):
+            x = self._apply(b64)
+            for _ in range(refine):
+                x = x + self._apply(b64 - self.k @ x)
+        return x
+
+
 @functools.partial(jax.jit, static_argnames=("nf",))
 def _spd_factor(rows, cols, vals, nf: int):
     return jnp.linalg.cholesky(_dense_from_coo(rows, cols, vals,
                                                (nf, nf), vals.dtype))
 
 
-@jax.jit
-def _chol_solve_jit(l_fac, b):
+@functools.partial(jax.jit, static_argnames=("nf",))
+def _spd_factor_lifted(rows, cols, vals, w_hat, nf: int):
+    kc = (_dense_from_coo(rows, cols, vals, (nf, nf), vals.dtype)
+          + w_hat[:, None] * w_hat[None, :])
+    return jnp.linalg.cholesky(kc)
+
+
+def _chol_solve(l_fac, b):
+    """x with L Lᵀ x = b via two triangular solves (traced in callers)."""
     y = jax.lax.linalg.triangular_solve(l_fac, b[:, None],
                                         left_side=True, lower=True)
     return jax.lax.linalg.triangular_solve(
         l_fac, y, left_side=True, lower=True, transpose_a=True)[:, 0]
+
+
+_chol_solve_jit = jax.jit(_chol_solve)

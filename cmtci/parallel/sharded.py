@@ -93,6 +93,33 @@ def sharded_dwell_grid(domain, nx: int, ny: int, max_iter: int, mesh: Mesh,
     return run()
 
 
+def sharded_dwell_rows(cr, ci, max_iter: int, mesh: Mesh):
+    """Row-sharded dwell loop over PRECOMPUTED coordinate grids.
+
+    Unlike sharded_dwell_grid (which synthesizes xmin + i·dx per shard),
+    this takes the caller's exact grid nodes — e.g. np.linspace grids, so
+    a mesh run of the boundary pipeline produces bitwise the SAME dwell
+    field as the single-device f64 path (linspace and affine synthesis
+    differ at the ulp level, and borderline escape pixels flip on ulps —
+    CLAUDE.md). ny must be a mesh multiple (pad + crop at the call site).
+    """
+    cr = jnp.asarray(cr)
+    _guard_accel_f64(mesh, cr.dtype, "sharded_dwell_rows")
+    n_dev = mesh.devices.size
+    if cr.shape[0] % n_dev:
+        raise ValueError(f"ny={cr.shape[0]} must be a multiple of mesh "
+                         f"size {n_dev}")
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P("data", None), P("data", None)),
+        out_specs=P("data", None), check_vma=False,
+    )
+    def run(cr_l, ci_l):
+        return _dwell_local(cr_l, ci_l, max_iter)
+
+    return run(cr, jnp.asarray(ci))
+
+
 def sharded_eigensweep(ns, family: str = "lucas_all_ones", mesh: Mesh | None = None,
                        max_iters: int = 200):
     """Companion eigensweep with the polynomial batch sharded over devices.

@@ -34,20 +34,26 @@ def compute_dwell(cfg: BoundaryConfig, mesh=None) -> np.ndarray:
     if mesh is not None:
         import jax.numpy as jnp
 
-        from cmtci.parallel.sharded import sharded_dwell_grid
+        from cmtci.parallel.sharded import sharded_dwell_rows
+        from cmtci.utils.device import analysis_cpu
 
-        # row-shard the dwell grid over the mesh; pad rows to a mesh
-        # multiple with an EXTENDED domain at the same dy, then crop (the
-        # first res rows are the exact grid nodes). CPU meshes run the f64
-        # loop (exact); accelerator meshes run f32 (the guard refuses
-        # emulated f64 there).
+        # row-shard the dwell loop over the mesh on the SAME linspace grid
+        # nodes as the single-device path (sharded_dwell_rows — bitwise-
+        # identical dwell field on a CPU mesh; an f32 accelerator mesh can
+        # flip borderline pixels, like every f32 realization). Pad rows to
+        # a mesh multiple with copies of the first row, then crop.
+        f64_ok = mesh.devices.flat[0].platform == "cpu"
+        dt = jnp.float64 if f64_ok else jnp.float32
+        with analysis_cpu():  # same jnp.linspace nodes as the f64 path
+            cr, ci = mb.complex_grid(domain, cfg.res, cfg.res, dtype=dt)
+            cr, ci = np.asarray(cr), np.asarray(ci)
         n_dev = mesh.devices.size
         ny = ((cfg.res + n_dev - 1) // n_dev) * n_dev
-        dy = (cfg.ylim[1] - cfg.ylim[0]) / (cfg.res - 1)
-        dom_pad = (*cfg.xlim, cfg.ylim[0], cfg.ylim[0] + dy * (ny - 1))
-        f64_ok = mesh.devices.flat[0].platform == "cpu"
-        z = sharded_dwell_grid(dom_pad, cfg.res, ny, cfg.max_iter, mesh,
-                               dtype=jnp.float64 if f64_ok else jnp.float32)
+        pad = ny - cfg.res
+        if pad:
+            cr = np.vstack([cr, np.repeat(cr[:1], pad, axis=0)])
+            ci = np.vstack([ci, np.repeat(ci[:1], pad, axis=0)])
+        z = sharded_dwell_rows(cr, ci, cfg.max_iter, mesh)
         return np.asarray(z)[: cfg.res].astype(float)
     use_pallas = cfg.backend == "pallas" or (
         cfg.backend == "auto" and jax.default_backend() in ("tpu", "axon")

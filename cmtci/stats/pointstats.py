@@ -63,8 +63,11 @@ def _hilo_total(hi, lo) -> np.ndarray:
 
 def _auto_chunk(n: int, chunk: int) -> int:
     """Largest block size whose per-block pair count chunk·n fits int32
-    (masked_bin_reduce's in-block cumulative sums are int32)."""
-    return max(8, min(chunk, (2**31 - 1) // max(n, 1)))
+    (masked_bin_reduce's in-block cumulative sums are int32). The bound
+    leaves a 2^20 margin: the accumulator adds the block's counts to a
+    lo register that can already hold up to 2^20−1 BEFORE spilling, so
+    chunk·n + 2^20 must stay below 2^31 for exactness."""
+    return max(8, min(chunk, (2**31 - 2**20) // max(n, 1)))
 
 
 @functools.partial(jax.jit, static_argnames=("nbins", "chunk"))

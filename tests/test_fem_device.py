@@ -168,6 +168,46 @@ class TestSliverCondensation:
         v -= v[0]
         np.testing.assert_allclose(v, v_ref, atol=1e-6)
 
+    def test_neumann_solver_f32_on_sliver_system(self):
+        # the public harmonic_conjugate(method='device') path must survive
+        # an f32 TPU-session default on a sliver-bearing operator — the
+        # weakly-pinned reduced system's f32 Cholesky is NOT positive-
+        # definite (silent NaNs); DeviceNeumannSolver condenses + lifts.
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+        from scipy.sparse.linalg import spsolve
+
+        from cmtci.maps.fem_device import DeviceNeumannSolver
+
+        rng = np.random.default_rng(2)
+        n = 40
+        a = np.zeros((n, n))
+        for i in range(n - 2):
+            for j in rng.choice(n - 2, size=3, replace=False):
+                if i != j:
+                    w = rng.uniform(0.5, 2.0)
+                    a[i, j] -= w
+                    a[j, i] -= w
+        a[n - 2, n - 1] = a[n - 1, n - 2] = -1e11
+        a[n - 2, 0] = a[0, n - 2] = -1e-3
+        a[n - 1, 1] = a[1, n - 1] = -2e-3
+        np.fill_diagonal(a, 0.0)
+        np.fill_diagonal(a, -a.sum(axis=1))
+        k = sp.csr_matrix(a)
+        b = rng.standard_normal(n)
+        b -= b.mean()
+        free = np.ones(n, bool)
+        free[0] = False
+        v_ref = np.zeros(n)
+        v_ref[free] = spsolve(k[free][:, free].tocsr(), b[free])
+        # both dtypes sit at the lifted-vs-pinned distribution floor
+        # (~5e-4 absolute at solution scale ~368, i.e. ~1.3e-6 relative)
+        v32 = DeviceNeumannSolver(k, pin=0, dtype=jnp.float32).solve(b)
+        assert np.isfinite(v32).all()
+        np.testing.assert_allclose(v32, v_ref, atol=2e-3)
+        v64 = DeviceNeumannSolver(k, pin=0, dtype=jnp.float64).solve(b)
+        np.testing.assert_allclose(v64, v_ref, atol=2e-3)
+
     def test_no_slivers_passthrough(self):
         import scipy.sparse as sp
 

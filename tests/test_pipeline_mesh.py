@@ -146,11 +146,12 @@ class TestPipelinesWithMesh:
         cfg = BoundaryConfig(res=96, max_iter=80)
         ref_path, ref_z = run_boundary(cfg)
         got_path, got_z = run_boundary(cfg, mesh=mesh)
-        # integer dwell counts: the mesh path synthesizes coordinates from
-        # the axis index (vs linspace), so at most a handful of borderline
-        # pixels may flip
-        assert (got_z == ref_z).mean() > 0.999
-        assert abs(len(got_path) - len(ref_path)) <= 2
+        # sharded_dwell_rows iterates the SAME f64 linspace nodes as the
+        # single-device path, so the dwell field is bitwise identical on a
+        # CPU mesh (the boundary CSV feeds the whole downstream bus — a
+        # --devices run must not change it)
+        np.testing.assert_array_equal(got_z, ref_z)
+        np.testing.assert_allclose(got_path, ref_path)
 
     def test_run_equipotential(self, mesh):
         from cmtci.pipelines.equipotential import (
@@ -175,3 +176,31 @@ def test_cli_devices_flag(tmp_path):
     assert main(["boundary", "--res", "200", "--max-iter", "80",
                  "--devices", "2", "--out", f"{tmp_path}/m"]) == 0
     assert os.path.exists(f"{tmp_path}/m_boundary.csv")
+
+
+def test_cli_devices_rejections(tmp_path):
+    import pytest
+
+    from cmtci.cli import main
+
+    # a subcommand with no mesh-sharded stage must reject, not no-op
+    with pytest.raises(SystemExit, match="no mesh-sharded stage"):
+        main(["stage1", "--devices", "4", "--out", f"{tmp_path}/s"])
+    # more devices than exist must reject, not silently shrink the mesh
+    with pytest.raises(SystemExit, match="needs 99 devices"):
+        main(["boundary", "--res", "64", "--max-iter", "30",
+              "--devices", "99", "--out", f"{tmp_path}/m2"])
+
+
+def test_platform_cpu_opts_out_of_accel_defaults(monkeypatch):
+    import argparse
+
+    import cmtci.cli as cli
+
+    monkeypatch.setattr(cli, "_session_tpu", lambda: True)
+    ns = argparse.Namespace(cmd="tracker", field_dtype=None, de_impl=None,
+                            parity=False, platform="cpu")
+    cli._resolve_platform_defaults(ns)
+    # forced-CPU runs must not inherit the accel defaults (interpreted
+    # Pallas on CPU is an effective hang)
+    assert (ns.field_dtype, ns.de_impl) == ("float64", "jax")
